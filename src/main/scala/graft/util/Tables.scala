@@ -1,0 +1,53 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loading + oracle-parity numeric helpers.
+  *
+  * Scale note: `t()` returns a plain parquet scan; Catalyst pushes filters
+  * and prunes columns into the scan, so every query built on it keeps
+  * pushdown. Nothing here collects to the driver.
+  *
+  * Determinism note: double sums are order-dependent, and at cluster scale
+  * the aggregation order is never stable (partial aggs, AQE). The driver
+  * hash-compares our parquet output against a DuckDB oracle, so all money
+  * sums go through exact decimal accumulation and are cast back to double
+  * — bit-identical on both engines regardless of plan shape. This is also
+  * the right call at 100 TB: decimal partial aggregation is still a
+  * map-side combine; the cost is a wider accumulator, not a new shuffle.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact order-independent sum of a 2-decimal (currency-like) column. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact order-independent sum of a derived double expression, quantized
+    * at 10 decimal places (enough for price*discount products). */
+  def dsum10(c: Column): Column = sum(c.cast(DecimalType(28, 10))).cast(DoubleType)
+
+  /** SUM(price * (1 - disc)) computed entirely in decimal: the source
+    * columns are 2-decimal currency values, so casting the *inputs* (not a
+    * double product) to decimal is exact, and the whole sum is
+    * order-independent and engine-independent. */
+  def dsumRevenue(price: Column, disc: Column): Column =
+    sum(price.cast(DecimalType(18, 2)) * (lit(1) - disc.cast(DecimalType(4, 2))))
+      .cast(DoubleType)
+
+  /** SUM(price * (1 - disc) * (1 + tax)) — same exact-decimal scheme. */
+  def dsumCharge(price: Column, disc: Column, tax: Column): Column =
+    sum(price.cast(DecimalType(18, 2)) * (lit(1) - disc.cast(DecimalType(4, 2))) *
+      (lit(1) + tax.cast(DecimalType(4, 2)))).cast(DoubleType)
+
+  /** Exact mean: decimal sum then a single IEEE double division. */
+  def dmean(c: Column): Column =
+    sum(c.cast(DecimalType(28, 10))).cast(DoubleType) / count(c)
+
+  /** Oracle-side fragments mirroring the helpers above (DuckDB SQL). */
+  def oDsum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
+  def oDsum10(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(28,10))) AS DOUBLE)"
+  def oDmean(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(28,10))) AS DOUBLE) / COUNT($e)"
+}
