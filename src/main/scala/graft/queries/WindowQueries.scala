@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.util.Tables._
+import graft.operators.Dedup
+
+/** Window-function block (SURVEY §2.5): dedup-latest, deterministic
+  * hash dedup, lag family, rolling means, partition-broadcast,
+  * bucketed row-number pairing.
+  *
+  * All windows partition by a real key (client/user/type) — at 100 TB
+  * each window is one hash shuffle on its partition key and streams
+  * within partitions; no global windows anywhere.
+  */
+object WindowQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // W1 — latest event per user (QUALIFY row_number = 1,
+    // graphics_dashboard.sql:165-169).
+    "q30_dedup_latest" -> ((s, dir) => {
+      Dedup.latestPerKey(t(s, dir, "events"), Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    }),
+
+    // W2 — deterministic pseudo-random representative per (user, day)
+    // via portable md5 ordering (graphics_trends.sql:48 uses
+    // FARM_FINGERPRINT; md5 here so the oracle can reproduce it).
+    "q31_hash_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("day", to_date(col("ts")))
+      Dedup.deterministicSamplePerKey(e, Seq("user_id", "day"),
+          md5(col("event_id").cast("string")))
+        .select("user_id", "day", "event_id")
+        .orderBy("user_id", "day")
+    }),
+
+    // W4 — lag family: daily per-type counts with lag 1 and lag 7 +
+    // day-over-day ratio (search-alert/main.py:194-236).
+    "q32_lag_family" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("n_lag1", lag(col("n"), 1).over(w))
+        .withColumn("n_lag7", lag(col("n"), 7).over(w))
+        .withColumn("dod", col("n").cast(DoubleType) / col("n_lag1"))
+        .orderBy("event_type", "day")
+    }),
+
+    // W5 — 7-day rolling mean (desktop_mau_dau.py:369-372). Integer
+    // counts keep the double mean exact on both engines.
+    "q33_rolling_mean" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("day").rowsBetween(-6, 0)
+      daily
+        .withColumn("ma7", (sum(col("n")).over(w).cast(DoubleType) /
+          count(col("n")).over(w)))
+        .orderBy("day")
+    }),
+
+    // W6/A19 — group-scoped scalar broadcast: share of the partition
+    // total (search-alert/main.py:212 transform(sum)).
+    "q34_partition_share" -> ((s, dir) => {
+      val n = t(s, dir, "nation"); val c = t(s, dir, "customer")
+      val byNation = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_regionkey"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+      val w = Window.partitionBy("n_regionkey")
+      byNation
+        .withColumn("region_total", sum(col("n_cust")).over(w))
+        .withColumn("share", col("n_cust").cast(DoubleType) / col("region_total"))
+        .orderBy("n_regionkey", "n_name")
+    }),
+
+    // W3/J12 — bucketed row-number pairing: i-th purchase joined to i-th
+    // signup within a user bucket (client-regeneration/main.py:61-117,
+    // two ROW_NUMBER() windows + LEFT JOIN USING(bucket, rn)).
+    "q35_bucket_pairing" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("bucket", pmod(col("user_id"), lit(8)))
+      def ranked(typ: String, idCol: String) = {
+        val w = Window.partitionBy("bucket")
+          .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+        e.filter(col("event_type") === typ)
+          .withColumn("rn", row_number().over(w))
+          .select(col("bucket"), col("rn"), col("event_id").as(idCol))
+      }
+      ranked("purchase", "purchase_id")
+        .join(ranked("signup", "signup_id"), Seq("bucket", "rn"), "left")
+        .orderBy("bucket", "rn")
+    }),
+
+    // W7 — moving-average band check: flag days whose count falls below
+    // 0.5× the trailing 7-day mean (search-term-data-validation-v2
+    // data_validation.py:156-334 shape, simplified band).
+    "q36_band_check" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+      daily
+        .withColumn("trail_mean", sum(col("n")).over(w).cast(DoubleType) /
+          count(col("n")).over(w))
+        .withColumn("is_low", col("n") < col("trail_mean") * 0.5)
+        .filter(col("trail_mean").isNotNull)
+        .orderBy("event_type", "day")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_dedup_latest" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q31_hash_dedup" ->
+      """SELECT user_id, day, event_id FROM (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_id,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                       ORDER BY md5(CAST(event_id AS VARCHAR)) ASC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id, day""".stripMargin,
+    "q32_lag_family" ->
+      """SELECT day, event_type, n, n_lag1, n_lag7, CAST(n AS DOUBLE) / n_lag1 AS dod
+        |FROM (
+        |  SELECT day, event_type, n,
+        |    lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS n_lag1,
+        |    lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS n_lag7
+        |  FROM (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+        |        FROM events GROUP BY 1, 2))
+        |ORDER BY event_type, day""".stripMargin,
+    "q33_rolling_mean" ->
+      """SELECT day, n,
+        |  CAST(SUM(n) OVER w AS DOUBLE) / COUNT(n) OVER w AS ma7
+        |FROM (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1)
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+    "q34_partition_share" ->
+      """SELECT n_regionkey, n_name, n_cust,
+        |  CAST(SUM(n_cust) OVER (PARTITION BY n_regionkey) AS BIGINT) AS region_total,
+        |  CAST(n_cust AS DOUBLE) / CAST(SUM(n_cust) OVER (PARTITION BY n_regionkey) AS BIGINT) AS share
+        |FROM (SELECT n_regionkey, n_name, COUNT(*) AS n_cust
+        |      FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |      GROUP BY 1, 2)
+        |ORDER BY n_regionkey, n_name""".stripMargin,
+    "q35_bucket_pairing" ->
+      """WITH e AS (SELECT *, user_id % 8 AS bucket FROM events),
+        |p AS (SELECT bucket, event_id AS purchase_id,
+        |        row_number() OVER (PARTITION BY bucket ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |      FROM e WHERE event_type = 'purchase'),
+        |g AS (SELECT bucket, event_id AS signup_id,
+        |        row_number() OVER (PARTITION BY bucket ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |      FROM e WHERE event_type = 'signup')
+        |SELECT p.bucket, p.rn, p.purchase_id, g.signup_id
+        |FROM p LEFT JOIN g USING (bucket, rn)
+        |ORDER BY bucket, rn""".stripMargin,
+    "q36_band_check" ->
+      """SELECT day, event_type, n, trail_mean, n < trail_mean * 0.5 AS is_low
+        |FROM (
+        |  SELECT day, event_type, n,
+        |    CAST(SUM(n) OVER w AS DOUBLE) / COUNT(n) OVER w AS trail_mean
+        |  FROM (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+        |        FROM events GROUP BY 1, 2)
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |WHERE trail_mean IS NOT NULL
+        |ORDER BY event_type, day""".stripMargin
+  )
+}

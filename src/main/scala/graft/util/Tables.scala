@@ -19,8 +19,18 @@ import org.apache.spark.sql.types._
   * map-side combine; the cost is a wider accumulator, not a new shuffle.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Load a testdata table. `events.parquet` carries TIMESTAMP(NANOS),
+    * which Spark 4 only reads with spark.sql.legacy.parquet.nanosAsLong
+    * (set in Verify/Bench/test sessions) — convert the nanos long back to
+    * a proper timestamp here (micros precision, plenty for this data). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts",
+        timestamp_micros(floor(col("ts") / 1000).cast(LongType)))
+      case None => df
+    }
+  }
 
   /** Exact order-independent sum of a 2-decimal (currency-like) column. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
