@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.util.Tables._
+import graft.operators.{HistogramAgg, JackknifeCI, Stats}
+
+/** Statistical block (SURVEY §2.4 A9–A13, §2.9 F4): grouped and row-axis
+  * quantiles, two-level partial/final aggregation, jackknife CI UDAF,
+  * sparse histogram algebra.
+  */
+object StatQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A11 — grouped exact quantiles p10/p50/p90
+    // (prophet_forecast.py:176-204; pandas_extras.py:5-12).
+    "q60_group_quantiles" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          Stats.groupPercentile(col("o_totalprice"), 0.1).as("p10"),
+          Stats.groupPercentile(col("o_totalprice"), 0.5).as("p50"),
+          Stats.groupPercentile(col("o_totalprice"), 0.9).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // A12 — row-axis aggregation across an array column (the 1000
+    // simulation columns shape, prophet_forecast.py:194-204).
+    "q61_row_axis_stats" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          Stats.arrayMean(col("embedding")).as("mean_e"),
+          Stats.arrayPercentile(col("embedding"), 0.1).as("p10_e"),
+          Stats.arrayPercentile(col("embedding"), 0.5).as("p50_e"),
+          Stats.arrayPercentile(col("embedding"), 0.9).as("p90_e"))
+        .orderBy("vec_id")
+    }),
+
+    // A9 — explicit two-level partial/final decomposition with a
+    // deterministic closed-form variance over bucket sums
+    // (forecast_and_actual.sql:55-81 per-bucket CTE shape).
+    "q62_two_level_variance" -> ((s, dir) => {
+      val perBucket = t(s, dir, "events")
+        .groupBy(col("event_type"), pmod(col("user_id"), lit(20)).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      perBucket
+        .groupBy("event_type")
+        .agg(
+          sum(col("n")).as("total"),
+          count(lit(1)).as("n_buckets"),
+          // var = (Σx² − (Σx)²/n) / (n−1), all integer sums → exact
+          ((sum(col("n") * col("n")).cast(DoubleType) -
+            (sum(col("n")) * sum(col("n"))).cast(DoubleType) / count(lit(1))) /
+            (count(lit(1)) - lit(1))).as("bucket_var"))
+        .orderBy("event_type")
+    }),
+
+    // F4/A10 — jackknife sum CI custom Aggregator (the JS UDAF
+    // equivalent; forecast_and_actual.sql:74). Integer bucket counts →
+    // deterministic doubles; rounded at 6dp on both engines.
+    "q63_jackknife_ci" -> ((s, dir) => {
+      val perBucket = t(s, dir, "events")
+        .groupBy(col("event_type"), pmod(col("user_id"), lit(20)).as("bucket"))
+        .agg(count(lit(1)).cast(DoubleType).as("n"))
+      perBucket
+        .groupBy("event_type")
+        .agg(JackknifeCI.jackknifeSumCi(20)(col("bucket"), col("n")).as("ci"))
+        .select(col("event_type"),
+          col("ci.total").as("total"),
+          round(col("ci.low"), 6).as("low"),
+          round(col("ci.high"), 6).as("high"))
+        .orderBy("event_type")
+    }),
+
+    // A20/F3 — sparse histogram vector sum: per-user sparse histograms
+    // (bucket = value div 50) merged elementwise per event_type, then
+    // count_at0/enum_nz style extraction (out_of_date_details.sql:57-75).
+    "q64_histogram_sum" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"),
+          floor(col("value") / 50).cast(IntegerType).as("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("event_type", "user_id")
+        .agg(map_from_entries(collect_list(struct(col("bucket"), col("c")))).as("hist"))
+      perUser
+        .groupBy("event_type")
+        .agg(HistogramAgg.sumHistograms(col("hist")).as("hist"))
+        .select(col("event_type"),
+          HistogramAgg.countAt0(col("hist")).as("count_at0"),
+          explode(HistogramAgg.enumNonZero(col("hist"))).as(Seq("bucket", "n")))
+        .select("event_type", "bucket", "n", "count_at0")
+        .orderBy("event_type", "bucket")
+    }),
+
+    // A13 — period floor + aggregate (pandas_extras.py:15-57 to_period).
+    "q65_period_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+        .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+        .orderBy("month")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q60_group_quantiles" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority, list_sort(list(o_totalprice)) AS v, COUNT(*) AS n
+        |  FROM orders GROUP BY o_orderpriority),
+        |i AS (
+        |  SELECT o_orderpriority, v, n,
+        |    CAST(0.1 AS DOUBLE) * (n - 1) AS i10, CAST(0.5 AS DOUBLE) * (n - 1) AS i50, CAST(0.9 AS DOUBLE) * (n - 1) AS i90
+        |  FROM g)
+        |SELECT o_orderpriority,
+        |  v[CAST(FLOOR(i10) AS INTEGER) + 1] + (v[CAST(CEIL(i10) AS INTEGER) + 1] - v[CAST(FLOOR(i10) AS INTEGER) + 1]) * (i10 - FLOOR(i10)) AS p10,
+        |  v[CAST(FLOOR(i50) AS INTEGER) + 1] + (v[CAST(CEIL(i50) AS INTEGER) + 1] - v[CAST(FLOOR(i50) AS INTEGER) + 1]) * (i50 - FLOOR(i50)) AS p50,
+        |  v[CAST(FLOOR(i90) AS INTEGER) + 1] + (v[CAST(CEIL(i90) AS INTEGER) + 1] - v[CAST(FLOOR(i90) AS INTEGER) + 1]) * (i90 - FLOOR(i90)) AS p90,
+        |  n
+        |FROM i ORDER BY o_orderpriority""".stripMargin,
+    "q61_row_axis_stats" ->
+      """WITH b AS (
+        |  SELECT vec_id,
+        |    list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+        |    len(embedding) AS n,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, x) -> a + x) AS s
+        |  FROM embeddings),
+        |i AS (SELECT vec_id, v, n, s,
+        |    CAST(0.1 AS DOUBLE) * (n - 1) AS i10, CAST(0.5 AS DOUBLE) * (n - 1) AS i50, CAST(0.9 AS DOUBLE) * (n - 1) AS i90 FROM b)
+        |SELECT vec_id, s / n AS mean_e,
+        |  v[CAST(FLOOR(i10) AS INTEGER) + 1] + (v[CAST(CEIL(i10) AS INTEGER) + 1] - v[CAST(FLOOR(i10) AS INTEGER) + 1]) * (i10 - FLOOR(i10)) AS p10_e,
+        |  v[CAST(FLOOR(i50) AS INTEGER) + 1] + (v[CAST(CEIL(i50) AS INTEGER) + 1] - v[CAST(FLOOR(i50) AS INTEGER) + 1]) * (i50 - FLOOR(i50)) AS p50_e,
+        |  v[CAST(FLOOR(i90) AS INTEGER) + 1] + (v[CAST(CEIL(i90) AS INTEGER) + 1] - v[CAST(FLOOR(i90) AS INTEGER) + 1]) * (i90 - FLOOR(i90)) AS p90_e
+        |FROM i ORDER BY vec_id""".stripMargin,
+    "q62_two_level_variance" ->
+      """SELECT event_type, CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_buckets,
+        |  (CAST(SUM(n * n) AS DOUBLE) - CAST(SUM(n) * SUM(n) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1) AS bucket_var
+        |FROM (SELECT event_type, user_id % 20 AS bucket, COUNT(*) AS n
+        |      FROM events GROUP BY 1, 2)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Mirrors JackknifeSumCi.finish op-for-op: zero-filled bucket-sorted
+    // list, sequential left folds, identical expression order — so the
+    // doubles are bit-identical to the Aggregator's.
+    "q63_jackknife_ci" ->
+      """WITH per_bucket AS (
+        |  SELECT event_type, user_id % 20 AS bucket, CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1, 2),
+        |filled AS (
+        |  SELECT e.event_type, b.bucket, COALESCE(p.n, 0.0) AS n
+        |  FROM (SELECT DISTINCT event_type FROM per_bucket) e
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS bucket) b
+        |  LEFT JOIN per_bucket p ON p.event_type = e.event_type AND p.bucket = b.bucket),
+        |l AS (SELECT event_type, list(n ORDER BY bucket) AS vals FROM filled GROUP BY 1),
+        |c AS (SELECT event_type, vals,
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals), (a, x) -> a + x) AS total FROM l),
+        |th AS (SELECT event_type, total,
+        |        list_transform(vals, v -> (total - v) * 20 / 19) AS thetas FROM c),
+        |mm AS (SELECT event_type, total, thetas,
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), thetas), (a, x) -> a + x) / 20 AS mean_t FROM th),
+        |sq AS (SELECT event_type, total,
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(thetas, t -> (t - mean_t) * (t - mean_t))), (a, x) -> a + x) AS ssq FROM mm)
+        |SELECT event_type, total,
+        |  ROUND(total - 1.959963984540054 * SQRT(ssq * 19 / 20), 6) AS low,
+        |  ROUND(total + 1.959963984540054 * SQRT(ssq * 19 / 20), 6) AS high
+        |FROM sq ORDER BY event_type""".stripMargin,
+    "q64_histogram_sum" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(FLOOR(value / 50) AS INTEGER) AS bucket, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, bucket, n,
+        |  COALESCE(CAST(SUM(CASE WHEN bucket = 0 THEN n END)
+        |    OVER (PARTITION BY event_type) AS BIGINT), 0) AS count_at0
+        |FROM h ORDER BY event_type, bucket""".stripMargin,
+    "q65_period_rollup" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+  )
+}
