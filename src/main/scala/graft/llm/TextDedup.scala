@@ -1,0 +1,109 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data deduplication over a `documents(doc_id, text, ...)`
+  * table: exact, MinHash-LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design (the point of these operators at 100 TB):
+  *  - Exact dedup is a hash-groupBy on a 128-bit content digest — one
+  *    shuffle keyed by digest, no text comparison after hashing.
+  *  - MinHash-LSH emits (band, band-signature) keys and joins WITHIN
+  *    buckets only — candidate generation is linear + one shuffle on the
+  *    band key; there is NO all-pairs crossJoin anywhere. Bucket-local
+  *    pair expansion is quadratic only in bucket size, which LSH keeps
+  *    tiny by construction.
+  *  - SimHash buckets by the 64-bit signature (or signature bands for
+  *    Hamming-distance tolerance).
+  *  - Exact n-gram Jaccard is reserved for candidate *verification*,
+  *    never discovery.
+  *
+  * All hashing uses xxhash64 with distinct integer seeds — stable across
+  * runs/executors, codegen'd, no UDFs in the row path.
+  */
+object TextDedup {
+
+  /** Normalized content digest for exact dedup (whitespace-collapsed,
+    * lowercased — the usual normalization before exact matching). */
+  def contentKey(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Word w-shingles of a text column → array<string>. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val words = split(text, " ")
+    val n = size(words)
+    when(n >= w,
+      transform(sequence(lit(0), n - lit(w)),
+        i => array_join(slice(words, i + 1, lit(w)), " ")))
+      .otherwise(array(array_join(words, " ")))
+  }
+
+  /** MinHash signature: for each of `k` hash seeds, the minimum
+    * xxhash64(shingle, seed) over the document's shingles. */
+  def minhashSignature(shingleArr: Column, k: Int = 16): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(shingleArr, sh => xxhash64(sh, lit(seed))))
+    }: _*)
+
+  /** LSH band keys: signature split into `bands` rows of `rowsPerBand`,
+    * each rendered to a single joinable key (band index + hash of the
+    * band slice). */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
+            e => e.cast(StringType)))).as("key"))
+    }: _*)
+
+  /** Candidate near-dup pairs via banded MinHash-LSH. Returns
+    * (doc_a, doc_b) with doc_a < doc_b, distinct. */
+  def minhashCandidates(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sig = docs.select(col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol)), k).as("sig"))
+    val banded = sig.select(col("id"),
+      explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity between the shingle sets of two columns —
+    * the verification step applied to LSH candidates. */
+  def jaccard(sh1: Column, sh2: Column): Column = {
+    val s1 = array_distinct(sh1); val s2 = array_distinct(sh2)
+    val inter = size(array_intersect(s1, s2))
+    inter.cast(DoubleType) /
+      (size(s1) + size(s2) - inter).cast(DoubleType)
+  }
+
+  /** 64-bit SimHash signatures, DataFrame-level: explode tokens, hash,
+    * majority-vote per bit via one grouped aggregation (64 conditional
+    * sums in a single shuffle — the scalable shape), then recombine the
+    * sign bits into one long.
+    *
+    * Scale: linear in total tokens, one shuffle on the doc id; the 64
+    * bit-count columns are map-side partially aggregated.
+    */
+  def simhashDf(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", bits: Int = 64): DataFrame = {
+    val tokens = docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until bits).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1L)).as(s"b$i"))
+    val counted = tokens.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val sig = (0 until bits).map(i =>
+      when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    counted.select(col("id"), sig.as("sig"))
+  }
+}

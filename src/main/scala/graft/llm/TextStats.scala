@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis for training-data pipelines: token counting, quality
+  * scoring, language-ID heuristic, document fingerprinting.
+  *
+  * Everything is a codegen'd Column expression — per-document work is
+  * embarrassingly parallel and pipelines inside the parquet scan stage
+  * (no shuffle until the caller aggregates).
+  */
+object TextStats {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, "\\s+"))
+
+  /** BPE-ish token count: letter runs, digit runs, and single other
+    * non-space chars (the usual pre-tokenizer regex shape). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Mean token length (exact rational: int sums → one double division). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = split(text, "\\s+")
+    aggregate(transform(toks, t => length(t)), lit(0),
+      (acc, x) => acc + x).cast(DoubleType) / size(toks)
+  }
+
+  /** Stopword ratio against a fixed lexicon. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = split(lower(text), "\\s+")
+    size(filter(toks, t => t.isin(stopwords: _*))).cast(DoubleType) / size(toks)
+  }
+
+  /** Punctuation character ratio (per char). */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,;:!?'\"()\\[\\]{}-]", "")))
+      .cast(DoubleType) / length(text)
+
+  /** Composite quality score in [0,1]: length band + stopword presence −
+    * punctuation excess. Deterministic rational arithmetic. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nTok = tokenCount(text)
+    val lengthOk = when(nTok.between(10, 1000), lit(0.5)).otherwise(lit(0.0))
+    val stopOk = when(stopwordRatio(text, stopwords) > 0.01, lit(0.3)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio(text) < 0.2, lit(0.2)).otherwise(lit(0.0))
+    lengthOk + stopOk + punctOk
+  }
+
+  /** Language-ID n-gram/stopword heuristic: per-language marker hit
+    * counts, argmax with alphabetical tiebreak. Markers are tiny fixed
+    * lexica — the real-world shape (fastText-style scoring) with a
+    * deterministic, engine-portable core. */
+  def languageGuess(text: Column, markers: Map[String, Seq[String]]): Column = {
+    val toks = split(lower(text), "\\s+")
+    def hits(words: Seq[String]): Column =
+      size(filter(toks, t => t.isin(words: _*)))
+    // fold over languages sorted desc so earlier (alphabetically smaller)
+    // language wins ties via strict `>` comparison
+    val sorted = markers.toSeq.sortBy(_._1)
+    sorted.reverse.foldLeft((lit("und"), lit(-1).cast(IntegerType))) {
+      case ((bestLang, bestHits), (lang, words)) =>
+        val h = hits(words)
+        (when(h >= bestHits, lit(lang)).otherwise(bestLang),
+          when(h >= bestHits, h).otherwise(bestHits))
+    }._1
+  }
+
+  /** Polynomial rolling-hash fingerprint over tokens, mod 1e9+7 —
+    * a deterministic document signature computable in any engine
+    * (per-token value: length*17 + first-char code). */
+  def rollingFingerprint(text: Column): Column = {
+    val toks = split(text, "\\s+")
+    aggregate(toks, lit(0L),
+      (acc, tok) => pmod(acc * 31 + (length(tok) * 17 + ascii(tok)), lit(1000000007L)))
+  }
+}

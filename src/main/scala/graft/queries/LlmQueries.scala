@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.util.Tables._
+import graft.llm.{Ann, Multimodal, TextDedup, TextStats}
+
+/** LLM training-data pipeline block: dedup (exact / MinHash-LSH /
+  * SimHash / n-gram Jaccard), ANN (brute-force + LSH), text analysis,
+  * multimodal plumbing. Oracle-checked where the computation is
+  * SQL-expressible; LSH paths are rows-only (approximate by design).
+  */
+object LlmQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopwords = Seq("the", "a", "and", "of", "to")
+  private val langMarkers = Map(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("el", "la", "rapido"),
+    "de" -> Seq("der", "die", "das"),
+    "fr" -> Seq("le", "la", "vite"),
+    "zh" -> Seq("de", "shi"))
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: normalized-content digest groups, one row per distinct
+    // content with its keeper (min doc_id) and duplicate count.
+    "q70_exact_dedup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(TextDedup.contentKey(col("text")).as("content_key"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .groupBy("n_copies")
+        .agg(count(lit(1)).as("n_groups"), min(col("keeper")).as("first_keeper"))
+        .orderBy("n_copies")
+    }),
+
+    // Near-dup discovery verified with exact token-set Jaccard, blocked
+    // by source (deterministic, oracle-expressible). The LSH variant
+    // below is the scale path; this is the exactness gate.
+    "q71_jaccard_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+      val a = d.alias("a"); val b = d.alias("b")
+      val inter = size(array_intersect(col("a.toks"), col("b.toks")))
+      val j = inter.cast(DoubleType) /
+        (size(col("a.toks")) + size(col("b.toks")) - inter).cast(DoubleType)
+      a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), j.as("jaccard"))
+        .filter(col("jaccard") >= 0.95)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // MinHash-LSH candidate pairs (banded; no all-pairs join anywhere) —
+    // approximate by design → rows-only check. Shape: sig (linear) →
+    // band explode (×bands) → equi-join on (band, key) → distinct pairs.
+    "q72_minhash_lsh" -> ((s, dir) => {
+      TextDedup.minhashCandidates(t(s, dir, "documents"), k = 16, bands = 8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash: 64-bit signatures, grouped by signature — hash collisions
+    // = near-dup buckets. Deterministic (xxhash64) but not reasonably
+    // SQL-expressible → rows-only.
+    "q73_simhash" -> ((s, dir) => {
+      TextDedup.simhashDf(t(s, dir, "documents"))
+        .groupBy("sig").agg(count(lit(1)).as("n"), min("id").as("keeper"))
+        .orderBy(col("n").desc, col("sig"))
+    }),
+
+    // ANN baseline: exact cosine top-3 for queries vec_id < 5, decimal
+    // dot products → engine-identical ranking.
+    "q74_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+        .orderBy("qid", "rank")
+    }),
+
+    // ANN scale path: LSH signature buckets + in-bucket exact re-rank.
+    // Approximate recall → rows-only check.
+    "q75_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 50), k = 3, nBits = 6)
+        .orderBy("qid", "rank")
+    }),
+
+    // Text quality metrics per document (token counts, mean token len,
+    // stopword/punct ratios, composite score).
+    "q76_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.tokenCount(col("text")).as("n_tokens"),
+          TextStats.meanTokenLen(col("text")).as("mean_tok_len"),
+          TextStats.stopwordRatio(col("text"), stopwords).as("stop_ratio"),
+          TextStats.punctRatio(col("text")).as("punct_ratio"),
+          TextStats.qualityScore(col("text"), stopwords).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic vs the labeled lang column: per-source
+    // accuracy of the marker-lexicon argmax.
+    "q77_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("guess", TextStats.languageGuess(col("text"), langMarkers))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          count_if(col("guess") === col("lang")).as("n_correct"),
+          count_if(col("guess") === "en").as("n_en_guess"))
+        .orderBy("source")
+    }),
+
+    // BPE-ish token counting (pre-tokenizer regex) per source.
+    "q78_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextStats.bpeishTokenCount(col("text")).as("n_bpe"),
+          TextStats.tokenCount(col("text")).as("n_ws"))
+        .groupBy("source")
+        .agg(sum(col("n_bpe")).as("total_bpe"), sum(col("n_ws")).as("total_ws"),
+          max(col("n_bpe")).as("max_bpe"))
+        .orderBy("source")
+    }),
+
+    // Rolling-hash document fingerprint (integer arithmetic, portable).
+    "q79_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.rollingFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal plumbing: binary payload column + metadata + content
+    // digest. (The mapPartitions decode stub is exercised in the test
+    // suite; this query checks the oracle-able binary layer.)
+    "q80_multimodal_binary" -> ((s, dir) => {
+      Multimodal.syntheticMedia(t(s, dir, "documents"))
+        .select(col("doc_id"), col("media_type"),
+          octet_length(col("payload")).as("byte_len"),
+          sha2(col("payload"), 256).as("digest"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q70_exact_dedup" ->
+      """WITH g AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,
+        |    MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        |  FROM documents GROUP BY 1)
+        |SELECT n_copies, COUNT(*) AS n_groups, MIN(keeper) AS first_keeper
+        |FROM g GROUP BY n_copies ORDER BY n_copies""".stripMargin,
+    "q71_jaccard_neardup" ->
+      """WITH s AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+        |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.95
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q74_ann_bruteforce" ->
+      """WITH norms AS (
+        |  SELECT vec_id, SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS n2
+        |  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY vec_id),
+        |el AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    unnest(q.embedding) AS qv, unnest(c.embedding) AS cv
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id != q.vec_id),
+        |dots AS (
+        |  SELECT qid, cid, SUM(CAST(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE) AS DECIMAL(30,15))) AS dot
+        |  FROM el GROUP BY qid, cid),
+        |scored AS (
+        |  SELECT d.qid, d.cid,
+        |    CAST(d.dot AS DOUBLE) / (SQRT(CAST(nq.n2 AS DOUBLE)) * SQRT(CAST(nc.n2 AS DOUBLE))) AS cosine
+        |  FROM dots d
+        |  JOIN norms nq ON nq.vec_id = d.qid
+        |  JOIN norms nc ON nc.vec_id = d.cid)
+        |SELECT qid, rank, cid, ROUND(cosine, 6) AS cosine FROM (
+        |  SELECT qid, cid, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+        |  FROM scored) WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q76_text_quality" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS n_tokens,
+        |  CAST(list_reduce(list_prepend(0, list_transform(string_split_regex(text, '\s+'), t -> length(t))), (a, x) -> a + x) AS DOUBLE)
+        |    / len(string_split_regex(text, '\s+')) AS mean_tok_len,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+        |    / len(string_split_regex(lower(text), '\s+')) AS stop_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  (CASE WHEN len(string_split_regex(text, '\s+')) BETWEEN 10 AND 1000 THEN 0.5 ELSE 0.0 END +
+        |   CASE WHEN CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |     t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+        |     / len(string_split_regex(lower(text), '\s+')) > 0.01 THEN 0.3 ELSE 0.0 END +
+        |   CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |     / length(text) < 0.2 THEN 0.2 ELSE 0.0 END) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q77_langid" ->
+      """WITH g AS (
+        |  SELECT source, lang,
+        |    len(list_filter(toks, t -> t IN ('the', 'a', 'fast', 'slow'))) AS h_en,
+        |    len(list_filter(toks, t -> t IN ('el', 'la', 'rapido'))) AS h_es,
+        |    len(list_filter(toks, t -> t IN ('der', 'die', 'das'))) AS h_de,
+        |    len(list_filter(toks, t -> t IN ('le', 'la', 'vite'))) AS h_fr,
+        |    len(list_filter(toks, t -> t IN ('de', 'shi'))) AS h_zh
+        |  FROM (SELECT source, lang, string_split_regex(lower(text), '\s+') AS toks
+        |        FROM documents)),
+        |guessed AS (
+        |  SELECT source, lang,
+        |    CASE GREATEST(h_de, h_en, h_es, h_fr, h_zh)
+        |      WHEN h_de THEN 'de' WHEN h_en THEN 'en' WHEN h_es THEN 'es'
+        |      WHEN h_fr THEN 'fr' ELSE 'zh' END AS guess
+        |  FROM g)
+        |SELECT source, COUNT(*) AS n,
+        |  count_if(guess = lang)::BIGINT AS n_correct,
+        |  count_if(guess = 'en')::BIGINT AS n_en_guess
+        |FROM guessed GROUP BY source ORDER BY source""".stripMargin,
+    "q78_token_count" ->
+      """SELECT source,
+        |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe,
+        |  CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_ws,
+        |  CAST(MAX(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS INTEGER) AS max_bpe
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q79_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(text, '\s+'),
+        |        tok -> CAST(length(tok) * 17 + ascii(tok) AS BIGINT))),
+        |    (acc, v) -> (acc * 31 + v) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q80_multimodal_binary" ->
+      """SELECT doc_id, 'image/fake-' || (doc_id % 3) AS media_type,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
+        |  sha256(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
