@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ WindowQueries.queries ++
-      ArrayJsonQueries.queries ++ StatQueries.queries ++ LlmQueries.queries
+      ArrayJsonQueries.queries ++ StatQueries.queries ++ LlmQueries.queries ++
+      InfraQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ WindowQueries.oracles ++
-      ArrayJsonQueries.oracles ++ StatQueries.oracles ++ LlmQueries.oracles
+      ArrayJsonQueries.oracles ++ StatQueries.oracles ++ LlmQueries.oracles ++
+      InfraQueries.oracles
 }

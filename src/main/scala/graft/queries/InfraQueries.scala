@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.util.Tables._
+import graft.catalog.MutableTable
+import graft.dag.{ViewDag, ViewDef}
+import graft.operators.{Closure, Incremental}
+import graft.streaming.StreamOps
+
+/** Infrastructure block: view-DAG deployment (D6), DML rewrites (D2/D3),
+  * incremental watermark rollup (A18/I1-I3), transitive closure (G1),
+  * and a Structured Streaming windowed aggregation — each surfaced as an
+  * oracle-checkable query.
+  */
+object InfraQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  val queries: Map[String, Q] = Map(
+    // D6 — deploy a 3-level view DAG (declared out of dependency order;
+    // topo sort must fix it), then query the top view. The rendered refs
+    // resolve through the session catalog exactly like update_schema.py's
+    // CREATE OR REPLACE chain.
+    "q90_view_dag" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("src_orders")
+      t(s, dir, "customer").createOrReplaceTempView("src_customer")
+      val views = Seq(
+        ViewDef("v_top_segments",
+          """SELECT c_mktsegment, COUNT(*) AS n_big
+            |FROM {{ ref('v_cust_orders') }} WHERE total > 150000
+            |GROUP BY c_mktsegment""".stripMargin),
+        ViewDef("v_cust_orders",
+          """SELECT c.c_custkey, c.c_mktsegment, o.total
+            |FROM {{ ref('src_customer') }} c
+            |JOIN {{ ref('v_order_totals') }} o ON o.o_custkey = c.c_custkey""".stripMargin),
+        ViewDef("v_order_totals",
+          """SELECT o_custkey,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            |FROM {{ ref('src_orders') }} GROUP BY o_custkey""".stripMargin))
+      val result = ViewDag.deploy(s, views)
+      require(result.order == Seq("v_order_totals", "v_cust_orders", "v_top_segments"),
+        s"unexpected topo order: ${result.order}")
+      ViewDag.table(s, "v_top_segments").orderBy("c_mktsegment")
+    }),
+
+    // D2/D3/D4 — UPDATE...FROM + DELETE WHERE rewrites on an immutable
+    // copy: bump BUILDING balances by their order count, delete AUTOMOBILE
+    // rows, return the final table.
+    "q91_dml_rewrite" -> ((s, dir) => {
+      val path = tmpDir("graft_dml")
+      t(s, dir, "customer").write.mode(SaveMode.Overwrite).parquet(path)
+      val tbl = MutableTable(s, path)
+      val orderCounts = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg((count(lit(1)).cast(DoubleType) * 10).as("bump"))
+      val src = tbl.read.join(orderCounts, Seq("c_custkey"))
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), (col("c_acctbal") + col("bump")).as("new_bal"))
+      tbl.updateFrom(src, Seq("c_custkey"), Map("c_acctbal" -> "new_bal"))
+      tbl.deleteWhere(col("c_mktsegment") === "AUTOMOBILE")
+      tbl.read.select("c_custkey", "c_mktsegment", "c_acctbal").orderBy("c_custkey")
+    }),
+
+    // A18/I1 — incremental rollup: watermark read from the "already
+    // stored" aggregate (first 10 days), then only the window
+    // (watermark, max-2d] is aggregated and appended.
+    "q92_incremental_rollup" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("day", to_date(col("ts")))
+      val stored = e.filter(col("day") <= "2024-01-10")
+        .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+      val wmDay = java.sql.Date.valueOf("2024-01-10")
+      val lagGuard = java.sql.Date.valueOf("2024-01-29") // max day - 1 (late-data guard)
+      val fresh = e.filter(col("day") > lit(wmDay) && col("day") <= lit(lagGuard))
+        .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+      stored.unionByName(fresh).orderBy("day", "event_type")
+    }),
+
+    // G1 — transitive closure to fixpoint: synthetic within-region
+    // "neighbor chain" edges over nation (n→next n in same region), the
+    // closure must recover all ordered same-region pairs. Oracle:
+    // recursive CTE.
+    "q93_closure" -> ((s, dir) => {
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey"))
+      // edge: consecutive nation keys within a region
+      val ranked = n.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("n_regionkey").orderBy("n_nationkey")))
+      val e1 = ranked.select(col("n_regionkey"), col("rk"), col("n_nationkey").as("src"))
+      val e2 = ranked.select(col("n_regionkey"), (col("rk") - 1).as("rk"),
+        col("n_nationkey").as("dst"))
+      val edges = e1.join(e2, Seq("n_regionkey", "rk")).select("src", "dst")
+      Closure.transitiveClosure(edges, maxIter = 10).orderBy("src", "dst")
+    }),
+
+    // Structured Streaming — watermarked tumbling-window daily counts,
+    // driven synchronously; semantics equal the batch group-by oracle.
+    "q94_stream_window" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      StreamOps.windowedCountsAvailableNow(s, dir, schema,
+          queryName = "stream_counts_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+          globFilter = Some("events.parquet"))
+        .orderBy("day", "event_type")
+    }),
+
+    // I4/I6 — reconciliation anti-join + snapshot-skip gates, surfaced as
+    // a relational result: users with events but no "processed" record.
+    "q95_reconciliation" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val processed = e.filter(col("event_id") % 97 === 0)
+        .select(col("user_id")).distinct()
+      Incremental.unprocessed(
+          e.select("user_id").distinct(), processed, Seq("user_id"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q90_view_dag" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_big FROM (
+        |  SELECT c.c_custkey, c.c_mktsegment, o.total
+        |  FROM customer c
+        |  JOIN (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |        FROM orders GROUP BY o_custkey) o ON o.o_custkey = c.c_custkey)
+        |WHERE total > 150000 GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q91_dml_rewrite" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_mktsegment = 'BUILDING' AND bump IS NOT NULL
+        |       THEN c_acctbal + bump ELSE c_acctbal END AS c_acctbal
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey AS k, CAST(COUNT(*) AS DOUBLE) * 10 AS bump
+        |           FROM orders GROUP BY o_custkey) b ON b.k = c_custkey
+        |WHERE c_mktsegment != 'AUTOMOBILE'
+        |ORDER BY c_custkey""".stripMargin,
+    "q92_incremental_rollup" ->
+      """SELECT day, event_type, COUNT(*) AS n
+        |FROM (SELECT CAST(ts AS DATE) AS day, event_type FROM events)
+        |WHERE day <= DATE '2024-01-29'
+        |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+    "q93_closure" ->
+      """WITH RECURSIVE ranked AS (
+        |  SELECT n_nationkey, n_regionkey,
+        |    row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rk
+        |  FROM nation),
+        |edges AS (
+        |  SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+        |  FROM ranked a JOIN ranked b
+        |    ON a.n_regionkey = b.n_regionkey AND b.rk = a.rk + 1),
+        |closure AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src)
+        |SELECT src, dst FROM closure ORDER BY src, dst""".stripMargin,
+    "q94_stream_window" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q95_reconciliation" ->
+      """SELECT DISTINCT user_id FROM events
+        |WHERE user_id NOT IN (SELECT DISTINCT user_id FROM events WHERE event_id % 97 = 0)
+        |ORDER BY user_id""".stripMargin
+  )
+}
