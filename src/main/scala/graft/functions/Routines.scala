@@ -35,7 +35,7 @@ object Routines {
     struct(
       ext("^([^:]+):").as("scheme"),
       ext("^[^:]+:/+([^/?#]+)").as("host"),
-      coalesce(ext("^[^:]+:/+[^/]+([^#?]+)"), lit("/")).as("path"),
+      coalesce(ext("^[^:]+:/+[^/]+([^#?]+)?"), lit("/")).as("path"),
       ext("[^#]*\\?([^#]+)").as("query"),
       ext("#(.*)").as("fragment")
     )

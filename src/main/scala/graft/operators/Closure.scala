@@ -17,25 +17,33 @@ import org.apache.spark.sql.functions._
   */
 object Closure {
 
+  /** Materialize + cut lineage: localCheckpoint truncates execution
+    * lineage, and rebuilding from the checkpointed RDD gives the plan
+    * fresh attribute ids (an analysis barrier) — without it, repeated
+    * self-unions of the same attributes trip Catalyst constraint
+    * propagation and re-plan the whole history each round. */
+  private def barrier(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true)
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   /** All (src, dst) pairs reachable via `edges(src, dst)` within maxIter
     * hops. */
   def transitiveClosure(edges: DataFrame, maxIter: Int = 10): DataFrame = {
-    val base = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true)
+    val base = barrier(edges.select(col("src"), col("dst")).distinct())
     var closure = base
     var frontier = base
     var iter = 0
     var growing = true
     while (growing && iter < maxIter) {
-      val next = frontier.alias("f")
+      val next = barrier(frontier.alias("f")
         .join(base.alias("e"), col("f.dst") === col("e.src"))
         .select(col("f.src").as("src"), col("e.dst").as("dst"))
         .distinct()
-        .join(closure, Seq("src", "dst"), "left_anti")
-        .localCheckpoint(true)
+        .join(closure, Seq("src", "dst"), "left_anti"))
       if (next.isEmpty) growing = false
       else {
-        closure = closure.union(next).localCheckpoint(true)
+        closure = barrier(closure.union(next))
         frontier = next
       }
       iter += 1

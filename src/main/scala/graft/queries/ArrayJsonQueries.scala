@@ -333,7 +333,7 @@ object ArrayJsonQueries {
         |  CASE WHEN starts_with(h, 'www.') THEN h[5:]
         |       WHEN starts_with(h, 'm.') THEN h[3:] ELSE h END AS host,
         |  NULLIF(regexp_extract(url, '^([^:]+):', 1), '') AS scheme,
-        |  COALESCE(NULLIF(regexp_extract(url, '^[^:]+:/+[^/]+([^#?]+)', 1), ''), '/') AS path,
+        |  COALESCE(NULLIF(regexp_extract(url, '^[^:]+:/+[^/]+([^#?]+)?', 1), ''), '/') AS path,
         |  NULLIF(regexp_extract(url, '[^#]*\?([^#]+)', 1), '') AS query,
         |  NULLIF(regexp_extract(url, '#(.*)', 1), '') AS fragment,
         |  TRY_CAST(NULLIF(regexp_extract(
