@@ -59,14 +59,31 @@ object TextDedup {
     }: _*)
 
   /** Candidate near-dup pairs via banded MinHash-LSH. Returns
-    * (doc_a, doc_b) with doc_a < doc_b, distinct. */
+    * (doc_a, doc_b) with doc_a < doc_b, distinct.
+    *
+    * Shape: explode shingles → k seeded hashes per shingle row →
+    * groupBy(doc) min per seed (one shuffle, map-side combined) → band
+    * keys → equi-join on (band, key). The explode materializes each
+    * shingle string exactly once; computing the signature as k
+    * `transform`s over an inlined shingle expression instead re-evaluates
+    * the shingling k times (Catalyst collapses the projection), which is
+    * a k× CPU regression — measured, not hypothetical. */
   def minhashCandidates(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
-    val sig = docs.select(col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol)), k).as("sig"))
-    val banded = sig.select(col("id"),
-      explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+    require(rows * bands == k, "k must be divisible by bands")
+    val exploded = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol))).as("sh"))
+    val hashed = exploded.select(col("id") +:
+      (0 until k).map(s => xxhash64(col("sh"), lit(s)).as(s"h$s")): _*)
+    val sig = hashed.groupBy("id")
+      .agg(min(col("h0")).as("m0"),
+        (1 until k).map(s => min(col(s"h$s")).as(s"m$s")): _*)
+    val banded = sig.select(col("id"), explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(((b * rows) until ((b + 1) * rows)).map(i => col(s"m$i")) :+ lit(b): _*)
+          .as("key"))
+    }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val a = banded.alias("a"); val b = banded.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

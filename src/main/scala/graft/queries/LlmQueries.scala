@@ -55,8 +55,12 @@ object LlmQueries {
     // MinHash-LSH candidate pairs (banded; no all-pairs join anywhere) —
     // approximate by design → rows-only check. Shape: sig (linear) →
     // band explode (×bands) → equi-join on (band, key) → distinct pairs.
+    // Band selectivity matters: rowsPerBand = k/bands sets the jaccard
+    // threshold (P[collide] = j^rows per band). rows=8 targets j≳0.8;
+    // fewer rows over a small-vocabulary corpus floods buckets and the
+    // in-bucket pair expansion goes quadratic.
     "q72_minhash_lsh" -> ((s, dir) => {
-      TextDedup.minhashCandidates(t(s, dir, "documents"), k = 16, bands = 8)
+      TextDedup.minhashCandidates(t(s, dir, "documents"), k = 32, bands = 4)
         .orderBy("doc_a", "doc_b")
     }),
 
