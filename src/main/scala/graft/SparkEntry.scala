@@ -19,12 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ WindowQueries.queries ++
       ArrayJsonQueries.queries ++ StatQueries.queries ++ LlmQueries.queries ++
-      InfraQueries.queries
+      InfraQueries.queries ++ SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ WindowQueries.oracles ++
       ArrayJsonQueries.oracles ++ StatQueries.oracles ++ LlmQueries.oracles ++
-      InfraQueries.oracles
+      InfraQueries.oracles ++ SourceQueries.oracles
 }

@@ -79,4 +79,16 @@ object BqShims {
 
   /** NULLIF(a, b) */
   def nullIf(a: Column, b: Column): Column = when(a === b, lit(null)).otherwise(a)
+
+  /** u64 wraparound correction (F5): DAP/VDAF counters are unsigned
+    * 64-bit; values above 2^63 are negative deltas wrapped around
+    * (reference: jobs/ads-incrementality-dap-collector/.../helpers.py:
+    * 196-203 `correct_wraparound`: if n > MAX/2 then n - 2^64). Input is
+    * the unsigned value as Decimal(20,0). */
+  def correctU64Wraparound(c: Column): Column = {
+    val half = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(63))
+    val full = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64))
+    when(c > lit(half), (c - lit(full)).cast(DecimalType(21, 0)))
+      .otherwise(c.cast(DecimalType(21, 0)))
+  }
 }

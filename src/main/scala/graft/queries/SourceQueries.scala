@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Encoders, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.util.Tables._
+
+/** Sources/sinks + remaining operator coverage (SURVEY §2.1 S3/S5-S7/
+  * S13/S14/S16, §2.3 J6, §2.4 A16/A17, §2.9 F8): CSV/TSV-gz/JSON round
+  * trips, scoped temp tables, catalog-driven constants, array-literal
+  * laterals, pivot-wide, dedup-min-wins, per-segment model fitting.
+  */
+object SourceQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  val queries: Map[String, Q] = Map(
+    // S5/S6 — schema'd CSV source with header, overwrite-by-run semantics
+    // (Tranco CSV import etl/siterank.py:138-159; AMO CSV load
+    // extensions/main.py:683-747): parquet → csv → csv-read → aggregate.
+    "q96_csv_roundtrip" -> ((s, dir) => {
+      val path = tmpDir("graft_csv")
+      t(s, dir, "customer").write.mode(SaveMode.Overwrite)
+        .option("header", "true").csv(path)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType)))
+      s.read.option("header", "true").schema(schema).csv(path)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // S7 — gzipped TSV source (pg_dump_to_parquet.py:104-112: read
+    // *.dat.gz tab-separated with explicit schema).
+    "q97_tsv_gz" -> ((s, dir) => {
+      val path = tmpDir("graft_tsv")
+      t(s, dir, "nation")
+        .select(col("n_nationkey").cast(StringType), col("n_name"))
+        .write.mode(SaveMode.Overwrite)
+        .option("sep", "\t").option("compression", "gzip").csv(path)
+      val schema = StructType(Seq(
+        StructField("key", LongType), StructField("name", StringType)))
+      s.read.option("sep", "\t").schema(schema).csv(path)
+        .orderBy("key")
+    }),
+
+    // S3/S13 — JSON-rows load (driver rows + explicit schema,
+    // bqhelpers.py:564-593) unioned with table data, through a JSON
+    // sink round-trip (experiments-monitoring export.py:70-90).
+    "q98_json_rows" -> ((s, dir) => {
+      val path = tmpDir("graft_json")
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType), StructField("n_name", StringType)))
+      val driverRows = s.createDataFrame(
+        java.util.List.of(
+          org.apache.spark.sql.Row(100, "ATLANTIS"),
+          org.apache.spark.sql.Row(101, "ELDORADO")),
+        schema)
+      t(s, dir, "nation").select("n_nationkey", "n_name")
+        .unionByName(driverRows)
+        .write.mode(SaveMode.Overwrite).json(path)
+      s.read.schema(schema).json(path).orderBy("n_nationkey")
+    }),
+
+    // S16 — scoped temp table lifetime (bqhelpers.py:843-909): register,
+    // consume, drop; the result must survive the drop (materialized by
+    // the driver write), the view must be gone after.
+    "q99_temp_table" -> ((s, dir) => {
+      val name = "tmp_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      t(s, dir, "region").createOrReplaceTempView(name)
+      val out = s.table(name).groupBy().agg(count(lit(1)).as("n_regions"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(name)
+      require(!s.catalog.tableExists(name), "temp view must be dropped")
+      out
+    }),
+
+    // S14 — catalog listing drives a constant (CRUX latest-month probe,
+    // etl/siterank.py:77-94 over INFORMATION_SCHEMA.TABLES): register
+    // month-suffixed views, resolve the latest via the catalog.
+    "q100_catalog_probe" -> ((s, dir) => {
+      Seq(202407L, 202409L, 202408L).foreach { m =>
+        t(s, dir, "region").limit(1).createOrReplaceTempView(s"crux_$m")
+      }
+      val latest = s.catalog.listTables()
+        .filter(col("name").startsWith("crux_"))
+        .select(regexp_extract(col("name"), "crux_(\\d+)", 1).cast(LongType).as("yyyymm"))
+        .agg(max("yyyymm").as("yyyymm"))
+      latest
+    }),
+
+    // J6 — array-literal lateral join (etl/siterank.py:170-179:
+    // JOIN UNNEST(["global","us",...]) USING(country_code)).
+    "q101_array_literal_join" -> ((s, dir) => {
+      val wanted = s.range(1).select(explode(array(
+        lit("REGION_0"), lit("REGION_2"), lit("NOWHERE"))).as("r_name"))
+      val r = t(s, dir, "region")
+      wanted.join(r, Seq("r_name"), "left")
+        .select(col("r_name"), col("r_regionkey"))
+        .orderBy("r_name")
+    }),
+
+    // A16 — pivot-wide with first() (prophet_forecast.py:300-321 legacy
+    // wide format: one column per measure).
+    "q102_pivot_first" -> ((s, dir) => {
+      val long = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).cast(DoubleType).as("value"))
+      long.groupBy("day")
+        .pivot("event_type", Seq("click", "purchase"))
+        .agg(first(col("value")))
+        .orderBy("day")
+    }),
+
+    // A17 — dedup-by-key min-wins + join back the FULL first row
+    // (webcompat_user_reports/views/user_reports_dedupe/view.sql:1-6).
+    "q103_dedup_min_join_back" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val firstTs = e.groupBy(col("user_id").as("uid"))
+        .agg(min(col("ts")).as("first_ts"))
+      e.join(firstTs, e("user_id") === firstTs("uid") && e("ts") === firstTs("first_ts"))
+        .groupBy(col("uid"))
+        .agg(min(col("event_id")).as("first_event_id"))
+        .orderBy("uid")
+    }),
+
+    // F8 — per-segment model fit via typed groups (the applyInPandas
+    // boundary, funnel_forecast.py:75-155: independent models per
+    // segment). Closed-form OLS of value on hour-of-day per event_type;
+    // exact decimal sums inside the group function keep it
+    // order-independent and oracle-comparable.
+    "q104_segment_models" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      val e = t(s, dir, "events")
+        .select(col("event_type"), hour(col("ts")).as("x"), col("value").as("y"))
+      val grouped = e.groupByKey(r => r.getString(0))(Encoders.STRING)
+      val out = grouped.mapGroups { (key, rows) =>
+        var n = 0L
+        var sx = BigDecimal(0); var sy = BigDecimal(0)
+        var sxx = BigDecimal(0); var sxy = BigDecimal(0)
+        rows.foreach { r =>
+          val x = BigDecimal(r.getInt(1))
+          val y = BigDecimal.valueOf(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          n += 1; sx += x; sy += y; sxx += x * x; sxy += x * y
+        }
+        // switch to double for the final arithmetic, fixed op order
+        val (dn, dsx, dsy, dsxx, dsxy) =
+          (n.toDouble, sx.toDouble, sy.toDouble, sxx.toDouble, sxy.toDouble)
+        val slope = (dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx)
+        val intercept = (dsy - slope * dsx) / dn
+        (key, n, slope, intercept)
+      }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+        Encoders.scalaDouble, Encoders.scalaDouble))
+        .toDF("event_type", "n", "slope", "intercept")
+      out.select(col("event_type"), col("n"),
+          round(col("slope"), 8).as("slope"), round(col("intercept"), 8).as("intercept"))
+        .orderBy("event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q96_csv_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q97_tsv_gz" ->
+      "SELECT CAST(n_nationkey AS BIGINT) AS key, n_name AS name FROM nation ORDER BY key",
+    "q98_json_rows" ->
+      """SELECT * FROM (
+        |  SELECT n_nationkey, n_name FROM nation
+        |  UNION ALL SELECT * FROM (VALUES (100, 'ATLANTIS'), (101, 'ELDORADO')))
+        |ORDER BY n_nationkey""".stripMargin,
+    "q99_temp_table" ->
+      "SELECT COUNT(*) AS n_regions FROM region",
+    "q100_catalog_probe" ->
+      "SELECT CAST(202409 AS BIGINT) AS yyyymm",
+    "q101_array_literal_join" ->
+      """SELECT w.r_name, r.r_regionkey
+        |FROM (VALUES ('REGION_0'), ('REGION_2'), ('NOWHERE')) w(r_name)
+        |LEFT JOIN region r ON r.r_name = w.r_name
+        |ORDER BY w.r_name""".stripMargin,
+    "q102_pivot_first" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count_if(event_type = 'click') AS DOUBLE) AS click,
+        |  CAST(count_if(event_type = 'purchase') AS DOUBLE) AS purchase
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q103_dedup_min_join_back" ->
+      """SELECT user_id AS uid, MIN(event_id) AS first_event_id
+        |FROM events e
+        |JOIN (SELECT user_id AS u2, MIN(ts) AS first_ts FROM events GROUP BY 1) f
+        |  ON e.user_id = f.u2 AND e.ts = f.first_ts
+        |GROUP BY user_id ORDER BY uid""".stripMargin,
+    "q104_segment_models" ->
+      """WITH sums AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(hour(ts) AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(hour(ts) AS DECIMAL(18,2)) * CAST(hour(ts) AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(hour(ts) AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM events GROUP BY event_type),
+        |fit AS (
+        |  SELECT event_type, n,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope, sx, sy
+        |  FROM sums)
+        |SELECT event_type, n,
+        |  ROUND(slope, 8) AS slope,
+        |  ROUND((sy - slope * sx) / n, 8) AS intercept
+        |FROM fit ORDER BY event_type""".stripMargin
+  )
+}
