@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Physical-plan audits: the properties that keep these plans viable at
+  * 100 TB, asserted so regressions fail loudly. (SURVEY §4: pushdown and
+  * pruning must reach the parquet scan; small dims must broadcast; LSH
+  * paths must never produce a cartesian product.) */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String =
+    plan(SparkEntry.queries(name)(spark, sfDir))
+
+  test("filter pushdown reaches the parquet scan (q01)") {
+    val p = formatted("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$p")
+  }
+
+  test("column pruning: q01 reads only the needed lineitem columns") {
+    val p = formatted("q01_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"unpruned scan: $readSchema")
+    assert(readSchema.contains("l_quantity"))
+  }
+
+  test("small dimensions broadcast (q19 nation join)") {
+    val p = formatted("q19_global_order")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"nation join did not broadcast:\n$p")
+  }
+
+  test("partial aggregation (map-side combine) present in q01") {
+    val p = formatted("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no partial aggregation:\n$p")
+  }
+
+  test("whole-stage codegen covers the q01 pipeline") {
+    // AQE finalizes the plan (and its codegen spans) only on execution
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("WholeStageCodegen"), s"no codegen spans:\n$p")
+  }
+
+  test("semi/anti joins plan as semi/anti, not inner+distinct (q11/q12)") {
+    assert(formatted("q11_semi_join").contains("LeftSemi"))
+    assert(formatted("q12_anti_join").contains("LeftAnti"))
+  }
+
+  test("MinHash-LSH candidate generation has no cartesian product") {
+    val p = formatted("q72_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), s"cartesian in LSH plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in LSH plan:\n$p")
+  }
+
+  test("LSH ANN joins on the bucket key, no cartesian product") {
+    val p = formatted("q75_ann_lsh")
+    assert(!p.contains("CartesianProduct"), s"cartesian in ANN plan:\n$p")
+  }
+
+  test("interval join (q47) is linear explode+agg, not a nested loop") {
+    val p = formatted("q47_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"quadratic interval join:\n$p")
+    assert(p.contains("Generate explode"), s"missing explode rewrite:\n$p")
+  }
+
+  test("nested struct-field predicate pushes down (P7 shape)") {
+    // P7: predicate on a nested field reaches the scan as a pushed filter
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), struct(col("label").as("l")).as("m"))
+      .filter(col("m.l") > 5)
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(label), GreaterThan(label,5)]"),
+      s"nested predicate not pushed:\n$p")
+  }
+}
