@@ -46,7 +46,9 @@ class PlanAuditSpec extends SparkTestBase {
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
     df.collect()
     val p = plan(df)
-    assert(p.contains("WholeStageCodegen"), s"no codegen spans:\n$p")
+    // simpleString renders WholeStageCodegen spans as "*(n)" prefixes
+    assert(p.contains("WholeStageCodegen") || p.contains("*(1)"),
+      s"no codegen spans:\n$p")
   }
 
   test("semi/anti joins plan as semi/anti, not inner+distinct (q11/q12)") {
