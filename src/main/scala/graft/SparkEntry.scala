@@ -13,18 +13,18 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q105_webcompat_flagship")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ WindowQueries.queries ++
       ArrayJsonQueries.queries ++ StatQueries.queries ++ LlmQueries.queries ++
-      InfraQueries.queries ++ SourceQueries.queries
+      InfraQueries.queries ++ SourceQueries.queries ++ FlagshipQuery.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ WindowQueries.oracles ++
       ArrayJsonQueries.oracles ++ StatQueries.oracles ++ LlmQueries.oracles ++
-      InfraQueries.oracles ++ SourceQueries.oracles
+      InfraQueries.oracles ++ SourceQueries.oracles ++ FlagshipQuery.oracles
 }
