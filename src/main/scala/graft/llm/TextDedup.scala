@@ -72,8 +72,21 @@ object TextDedup {
       idCol: String = "doc_id", k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
     require(rows * bands == k, "k must be divisible by bands")
-    val exploded = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol))).as("sh"))
+    // Shingles never materialize as strings: a shingle is the xxhash64 of
+    // its word triple, and the k signature hashes reseed that long. Pure
+    // integer arithmetic per row after the split — no per-shingle string
+    // allocation (which dominated CPU/GC in the string-shingle variant).
+    val w = 3
+    val words = split(col(textCol), " ")
+    val exploded = docs
+      .select(col(idCol).as("id"), words.as("ws"))
+      .select(col("id"),
+        explode(sequence(lit(0), greatest(size(col("ws")) - w, lit(0)))).as("i"),
+        col("ws"))
+      .select(col("id"), xxhash64(
+        try_element_at(col("ws"), col("i") + 1),
+        try_element_at(col("ws"), col("i") + 2),
+        try_element_at(col("ws"), col("i") + 3)).as("sh"))
     val hashed = exploded.select(col("id") +:
       (0 until k).map(s => xxhash64(col("sh"), lit(s)).as(s"h$s")): _*)
     val sig = hashed.groupBy("id")

@@ -46,7 +46,14 @@ object LlmQueries {
       val inter = size(array_intersect(col("a.toks"), col("b.toks")))
       val j = inter.cast(DoubleType) /
         (size(col("a.toks")) + size(col("b.toks")) - inter).cast(DoubleType)
-      a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      // length prune: jaccard ≥ t implies min(|A|,|B|) ≥ t·max(|A|,|B|),
+      // so this cheap predicate cannot change the result set but skips
+      // the O(|A|+|B|) intersect for most candidate pairs.
+      val lengthCompatible =
+        size(col("a.toks")).cast(DoubleType) >= lit(0.95) * size(col("b.toks")) &&
+          size(col("b.toks")).cast(DoubleType) >= lit(0.95) * size(col("a.toks"))
+      a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id") &&
+          lengthCompatible)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), j.as("jaccard"))
         .filter(col("jaccard") >= 0.95)
         .orderBy("doc_a", "doc_b")
