@@ -44,4 +44,46 @@ object StreamOps {
     spark.table(queryName)
       .select(to_date(col("window.start")).as("day"), col("event_type"), col("n"))
   }
+
+  final case class SessionEvent(user_id: Long, ts_micros: Long, event_type: String)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
+      n_events: Long)
+
+  /** Custom per-key state: gap-based sessionization via
+    * flatMapGroupsWithState (SURVEY: KeyValueGroupedDataset custom
+    * state). Events for a user belong to one session while gaps stay
+    * under `gapMicros`; a larger gap closes the session and emits it.
+    * Works identically over a stream (Append mode + timeout) or, as
+    * here, a bounded batch driven synchronously.
+    *
+    * Scale: state is O(1) per active user key, partitioned by user —
+    * the standard streaming-sessionization layout.
+    */
+  def sessionize(spark: SparkSession, events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapMicros: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+        val sorted = rows.toSeq.sortBy(_.ts_micros)
+        val out = scala.collection.mutable.ListBuffer[SessionOut]()
+        var st = state.getOption
+        sorted.foreach { e =>
+          st match {
+            case Some(s) if e.ts_micros - s.last <= gapMicros =>
+              st = Some(s.copy(last = e.ts_micros, n = s.n + 1))
+            case Some(s) =>
+              out += SessionOut(user, s.start, s.last, s.n)
+              st = Some(SessionState(e.ts_micros, e.ts_micros, 1))
+            case None =>
+              st = Some(SessionState(e.ts_micros, e.ts_micros, 1))
+          }
+        }
+        st.foreach(state.update)
+        out.iterator
+      }
+  }
 }

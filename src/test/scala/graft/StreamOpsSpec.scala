@@ -1,0 +1,23 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{SessionEvent, SessionOut}
+
+class StreamOpsSpec extends SparkTestBase {
+
+  test("sessionize: gap-based sessions per user via flatMapGroupsWithState") {
+    import spark.implicits._
+    val m = 1000000L // 1s in micros
+    val events = Seq(
+      SessionEvent(1L, 0 * m, "a"), SessionEvent(1L, 5 * m, "b"),
+      SessionEvent(1L, 100 * m, "c"), SessionEvent(1L, 103 * m, "d"),
+      SessionEvent(1L, 300 * m, "e"), // still open at end → not emitted
+      SessionEvent(2L, 0 * m, "x"), SessionEvent(2L, 500 * m, "y")).toDS()
+    val sessions = StreamOps.sessionize(spark, events, gapMicros = 30 * m)
+      .collect().sortBy(s => (s.user_id, s.session_start)).toSeq
+    assert(sessions == Seq(
+      SessionOut(1L, 0 * m, 5 * m, 2),
+      SessionOut(1L, 100 * m, 103 * m, 2),
+      SessionOut(2L, 0 * m, 0 * m, 1)))
+  }
+}
