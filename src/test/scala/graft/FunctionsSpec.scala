@@ -112,6 +112,13 @@ class FunctionsSpec extends SparkTestBase {
     assert(got == Seq(15.0, 10.0, 7.5, 15.0, 1.0))
   }
 
+  test("pg-array translate → JSON array (pg_dump_to_parquet.py:172-173)") {
+    val got = spark.range(1)
+      .select(translate(lit("{1,2,3}"), "{}", "[]").as("j"))
+      .collect().head.getString(0)
+    assert(got == "[1,2,3]")
+  }
+
   test("shims: weekSunday / safeDivide / safeOffset") {
     assert(one[java.sql.Date](BqShims.weekSunday(lit(java.sql.Date.valueOf("2024-01-10"))))
       == java.sql.Date.valueOf("2024-01-07"))
