@@ -129,6 +129,19 @@ object SourceQueries {
         .orderBy("uid")
     }),
 
+    // Approximate scale-path variants (SURVEY §2.4 note: absent in the
+    // reference — exact everywhere — but the free Spark upgrade for
+    // 100 TB). Approximate ⇒ no DuckDB oracle; rows-only check.
+    "q106_approx_variants" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          approx_count_distinct(col("o_custkey")).as("approx_cust"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_p50"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
     // F8 — per-segment model fit via typed groups (the applyInPandas
     // boundary, funnel_forecast.py:75-155: independent models per
     // segment). Closed-form OLS of value on hour-of-day per event_type;
