@@ -39,7 +39,11 @@ object LlmQueries {
     // by source (deterministic, oracle-expressible). The LSH variant
     // below is the scale path; this is the exactness gate.
     "q71_jaccard_neardup" -> ((s, dir) => {
+      // Exactness gate on a block subset (5 sources): the LSH variant
+      // (q72) is the full-corpus scale path; this verifies jaccard math
+      // exactly on a bounded block.
       val d = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
         .select(col("doc_id"), col("source"),
           array_distinct(split(col("text"), " ")).as("toks"))
       val a = d.alias("a"); val b = d.alias("b")
@@ -162,7 +166,8 @@ object LlmQueries {
         |FROM g GROUP BY n_copies ORDER BY n_copies""".stripMargin,
     "q71_jaccard_neardup" ->
       """WITH s AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
-        |           FROM documents)
+        |           FROM documents
+        |           WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4'))
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard

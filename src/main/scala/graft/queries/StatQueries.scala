@@ -96,6 +96,29 @@ object StatQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    // A6+A3 — the update-orphaning longitudinal shape (UO summary.sql:
+    // 39-55): per client, the ordered+limited recent-history array, then
+    // funnel classification over it (latest vs any-recent), then bucket
+    // counts. One shuffle for the per-user collect, one for the funnel.
+    "q66_longitudinal_funnel" -> ((s, dir) => {
+      import graft.operators.Collect
+      val recent = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(Collect.orderedLimitedCollect(
+          struct((-unix_micros(col("ts"))).as("nts"), col("event_id").as("tid")),
+          col("value"), 3).as("vals"))
+      recent
+        .withColumn("latest", element_at(col("vals"), 1))
+        .withColumn("any_high", exists(col("vals"), v => v >= 150))
+        .withColumn("category",
+          when(col("latest") >= 150, lit("high"))
+            .when(col("any_high"), lit("recently_high"))
+            .otherwise(lit("low")))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("category")
+    }),
+
     // A13 — period floor + aggregate (pandas_extras.py:15-57 to_period).
     "q65_period_rollup" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -174,6 +197,24 @@ object StatQueries {
         |  COALESCE(CAST(SUM(CASE WHEN bucket = 0 THEN n END)
         |    OVER (PARTITION BY event_type) AS BIGINT), 0) AS count_at0
         |FROM h ORDER BY event_type, bucket""".stripMargin,
+    "q66_longitudinal_funnel" ->
+      """WITH recent AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+        |  FROM events),
+        |per_user AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN rn = 1 THEN value END) AS latest,
+        |    bool_or(value >= 150) AS any_high
+        |  FROM recent WHERE rn <= 3 GROUP BY user_id),
+        |classified AS (
+        |  SELECT user_id,
+        |    CASE WHEN latest >= 150 THEN 'high'
+        |         WHEN any_high THEN 'recently_high'
+        |         ELSE 'low' END AS category
+        |  FROM per_user)
+        |SELECT category, COUNT(*) AS n_users FROM classified
+        |GROUP BY category ORDER BY category""".stripMargin,
     "q65_period_rollup" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
