@@ -98,6 +98,44 @@ object WindowQueries {
         .orderBy("bucket", "rn")
     }),
 
+    // W4 full search-alert shape (search-alert/main.py:203-230, 255-257):
+    // dod/wow lag ratios, their own lags, ratio-of-ratios, and the alert
+    // rule (previous value floor + dod cliff). Integer counts → exact
+    // ratio doubles on both engines.
+    "q37_search_alerts" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("dod", col("n").cast(DoubleType) / lag(col("n"), 1).over(w))
+        .withColumn("wow", col("n").cast(DoubleType) / lag(col("n"), 7).over(w))
+        .withColumn("dod_prevd", lag(col("dod"), 1).over(w))
+        .withColumn("wow_in_dod", col("dod") / lag(col("dod"), 7).over(w))
+        .withColumn("n_prev", lag(col("n"), 1).over(w))
+        .withColumn("is_cliff", col("n_prev") > 50 && col("dod") < 0.7)
+        .withColumn("is_spike", col("wow") > 1.4)
+        .orderBy("event_type", "day")
+    }),
+
+    // A22/U1 full MAU rollup shape (desktop_mau/mau_dau.sql:1-56):
+    // per-country + Global + Tier1/RoW fan-out via UNION ALL, presented
+    // ordered. (q24 shows the native GROUPING SETS collapse of the same
+    // pattern — one shuffle instead of three.)
+    "q38_tier_rollup" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("day", to_date(col("ts")))
+      val tier1 = Seq("click", "purchase")
+      def agg(c: org.apache.spark.sql.Column) =
+        e.groupBy(col("day"), c.as("segment"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+      val perType = agg(col("event_type"))
+      val global = agg(lit("Global"))
+      val tiers = agg(when(col("event_type").isin(tier1: _*), lit("Tier1"))
+        .otherwise(lit("RoW")))
+      perType.unionByName(global).unionByName(tiers)
+        .orderBy("day", "segment")
+    }),
+
     // W7 — moving-average band check: flag days whose count falls below
     // 0.5× the trailing 7-day mean (search-term-data-validation-v2
     // data_validation.py:156-334 shape, simplified band).
@@ -160,6 +198,38 @@ object WindowQueries {
         |SELECT p.bucket, p.rn, p.purchase_id, g.signup_id
         |FROM p LEFT JOIN g USING (bucket, rn)
         |ORDER BY bucket, rn""".stripMargin,
+    "q37_search_alerts" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT day, event_type, n,
+        |    CAST(n AS DOUBLE) / lag(n, 1) OVER w AS dod,
+        |    CAST(n AS DOUBLE) / lag(n, 7) OVER w AS wow,
+        |    CAST(lag(n, 1) OVER w AS BIGINT) AS n_prev
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |l2 AS (
+        |  SELECT *,
+        |    lag(dod, 1) OVER w AS dod_prevd,
+        |    dod / lag(dod, 7) OVER w AS wow_in_dod
+        |  FROM l WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT day, event_type, n, dod, wow, dod_prevd, wow_in_dod, n_prev,
+        |  n_prev > 50 AND dod < 0.7 AS is_cliff,
+        |  wow > 1.4 AS is_spike
+        |FROM l2 ORDER BY event_type, day""".stripMargin,
+    "q38_tier_rollup" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type, user_id FROM events)
+        |SELECT * FROM (
+        |  SELECT day, event_type AS segment, COUNT(*) AS n,
+        |    COUNT(DISTINCT user_id) AS users FROM e GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT day, 'Global' AS segment, COUNT(*) AS n,
+        |    COUNT(DISTINCT user_id) AS users FROM e GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT day,
+        |    CASE WHEN event_type IN ('click', 'purchase') THEN 'Tier1' ELSE 'RoW' END AS segment,
+        |    COUNT(*) AS n, COUNT(DISTINCT user_id) AS users FROM e GROUP BY 1, 2)
+        |ORDER BY day, segment""".stripMargin,
     "q36_band_check" ->
       """SELECT day, event_type, n, trail_mean, n < trail_mean * 0.5 AS is_low
         |FROM (
