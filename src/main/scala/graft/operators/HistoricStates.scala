@@ -17,7 +17,8 @@ import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
   */
 object HistoricStates {
 
-  final case class BugState(status: String, keywords: Seq[String], userStory: String)
+  final case class BugState(status: String, product: String, component: String,
+      keywords: Seq[String], url: String, userStory: String)
   final case class FieldChange(field: String, removed: String, added: String)
   final case class BugChange(changeTime: String, changes: Seq[FieldChange])
   final case class BugHistory(number: Long, current: BugState, changes: Seq[BugChange])
@@ -32,6 +33,11 @@ object HistoricStates {
       fc.field match {
         case "status" =>
           if (fc.removed.nonEmpty) st.copy(status = fc.removed) else st
+        case "product" =>
+          if (fc.removed.nonEmpty) st.copy(product = fc.removed) else st
+        case "component" =>
+          if (fc.removed.nonEmpty) st.copy(component = fc.removed) else st
+        case "url" => st.copy(url = fc.removed)
         case "keywords" =>
           val afterRemove = st.keywords.filterNot(splitList(fc.added).contains)
           st.copy(keywords = (afterRemove ++ splitList(fc.removed)).distinct)

@@ -5,8 +5,9 @@ import graft.operators.HistoricStates._
 
 class HistoricStatesSpec extends SparkTestBase {
 
-  private val current = BugState("RESOLVED",
+  private val current = BugState("RESOLVED", "Web Compatibility", "Site Reports",
     Seq("webcompat:platform-bug", "webcompat:sitepatch-applied"),
+    "https://example.com",
     "impact:severe\nplatform:windows\n")
 
   // chronological: NEW→ASSIGNED added keyword; later ASSIGNED→RESOLVED +
@@ -25,9 +26,11 @@ class HistoricStatesSpec extends SparkTestBase {
     val states = HistoricStates.reconstruct(current, changes)
     assert(states.length == 3)
     assert(states.head == current)
-    assert(states(1) == BugState("ASSIGNED", Seq("webcompat:platform-bug"),
+    assert(states(1) == BugState("ASSIGNED", "Web Compatibility", "Site Reports",
+      Seq("webcompat:platform-bug"), "https://example.com",
       "impact:severe\nplatform:linux\n"))
-    assert(states(2) == BugState("NEW", Seq.empty, "impact:severe\nplatform:linux\n"))
+    assert(states(2) == BugState("NEW", "Web Compatibility", "Site Reports",
+      Seq.empty, "https://example.com", "impact:severe\nplatform:linux\n"))
   }
 
   test("consecutive duplicate change rows are deduplicated (metric_changes.py:253-257)") {
@@ -41,10 +44,10 @@ class HistoricStatesSpec extends SparkTestBase {
     import spark.implicits._
     val ds = Seq(
       BugHistory(1L, current, changes),
-      BugHistory(2L, BugState("NEW", Seq.empty, ""), Seq.empty)).toDS()
+      BugHistory(2L, BugState("NEW", "Core", "Layout", Seq.empty, "", ""), Seq.empty)).toDS()
     val out = HistoricStates.historicStates(spark, ds).collect()
       .map(b => b.number -> b.states).toMap
     assert(out(1L).length == 3)
-    assert(out(2L) == Seq(BugState("NEW", Seq.empty, "")))
+    assert(out(2L) == Seq(BugState("NEW", "Core", "Layout", Seq.empty, "", "")))
   }
 }
