@@ -119,19 +119,18 @@ object Webcompat {
       .agg(min("global_rank").as("global_rank"), min("core_rank").as("core_rank"),
         min("local_rank").as("local_rank"))
 
-    val computed = siteReports
+    // computed_scores merged into the main pass (one fewer scan of the
+    // fact table than the reference's separate CTE — the per-row F2
+    // expression and the broadcast rank join don't need their own scan)
+    siteReports
       .withColumn("webcompat_host", Routines.webcompatHost(col("url")))
       .join(broadcast(hostRanks), Seq("webcompat_host"), "left")
+      .join(scores, Seq("number"))
       .withColumn("triage_score_no_rank", triageNoRank)
       .withColumn("site_rank_score",
         Routines.siteRankModifier(col("global_rank"), col("core_rank"), col("local_rank"),
           Routines.extractArray(col("user_story"), "$.site-rank-override")))
-      .select(col("number"), col("webcompat_host"), col("triage_score_no_rank"),
-        col("site_rank_score"))
-
-    siteReports
-      .join(scores, Seq("number"))
-      .join(computed, Seq("number"))
+      .drop("global_rank", "core_rank", "local_rank")
       .withColumn("triage_score",
         (col("triage_score_no_rank") * col("site_rank_score")).cast(DecimalType(38, 9)))
   }
