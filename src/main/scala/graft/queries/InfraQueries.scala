@@ -110,6 +110,22 @@ object InfraQueries {
         .orderBy("day", "event_type")
     }),
 
+    // Custom-state sessionization (flatMapGroupsWithState) checked
+    // against the SQL islands formulation: closed gap-based sessions per
+    // user. The stateful operator leaves each user's last session open,
+    // so the oracle drops the final island per user.
+    "q107_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamOps
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_micros"),
+          col("event_type"))
+        .as[StreamOps.SessionEvent]
+      StreamOps.sessionize(s, ev, gapMicros = 86400L * 1000000L)
+        .toDF()
+        .orderBy("user_id", "session_start")
+    }),
+
     // I4/I6 — reconciliation anti-join + snapshot-skip gates, surfaced as
     // a relational result: users with events but no "processed" record.
     "q95_reconciliation" -> ((s, dir) => {
@@ -161,6 +177,26 @@ object InfraQueries {
     "q94_stream_window" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q107_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsm, event_type FROM events),
+        |m AS (
+        |  SELECT user_id, tsm,
+        |    CASE WHEN lag(tsm) OVER w IS NULL
+        |           OR tsm - lag(tsm) OVER w > 86400000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm)),
+        |s AS (
+        |  SELECT user_id, tsm,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsm
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, sid, MIN(tsm) AS session_start, MAX(tsm) AS session_end,
+        |    COUNT(*) AS n_events
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM sess
+        |QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)
+        |ORDER BY user_id, session_start""".stripMargin,
     "q95_reconciliation" ->
       """SELECT DISTINCT user_id FROM events
         |WHERE user_id NOT IN (SELECT DISTINCT user_id FROM events WHERE event_id % 97 = 0)

@@ -28,9 +28,10 @@ object StreamOps {
     val reader = spark.readStream.schema(schema)
     val events = globFilter.fold(reader)(g => reader.option("pathGlobFilter", g))
       .parquet(srcDir)
-    val tsCol = if (schema.fieldNames.contains("ts")) col("ts") else col("timestamp")
+    val tsName = if (schema.fieldNames.contains("ts")) "ts" else "timestamp"
     val agg = events
-      .withColumn("ts_ts", timestamp_micros(floor(tsCol.cast("double") / 1000).cast("long")))
+      // integer `div`: epoch-nanos overflow double precision
+      .withColumn("ts_ts", timestamp_micros(expr(s"$tsName div 1000")))
       .withWatermark("ts_ts", "1 hour")
       .groupBy(window(col("ts_ts"), windowDur), col("event_type"))
       .agg(count(lit(1)).as("n"))

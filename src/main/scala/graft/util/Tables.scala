@@ -26,8 +26,10 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      // integer `div`, not `/`: epoch-nanos (~1.7e18) overflow double
+      // precision, so float division is off by up to ±128 µs
       case Some(_) => df.withColumn("ts",
-        timestamp_micros(floor(col("ts") / 1000).cast(LongType)))
+        timestamp_micros(expr("ts div 1000")))
       case None => df
     }
   }
