@@ -119,6 +119,22 @@ object StatQueries {
         .orderBy("category")
     }),
 
+    // Short-circuiting funnel counts in one pass (UO processing.py
+    // categorize; each stage tallies outcomes over clients that passed
+    // all prior stages).
+    "q67_funnel_stages" -> ((s, dir) => {
+      import graft.operators.Funnel
+      val perUser = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          count_if(col("event_type") === "purchase").as("n_purchase"))
+      Funnel.funnelCounts(perUser, Seq(
+        "active" -> (col("n_events") >= 40),
+        "buyer" -> (col("n_purchase") >= 5),
+        "high_value" -> (col("total_value") > 5000)))
+    }),
+
     // A13 — period floor + aggregate (pandas_extras.py:15-57 to_period).
     "q65_period_rollup" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -215,6 +231,24 @@ object StatQueries {
         |  FROM per_user)
         |SELECT category, COUNT(*) AS n_users FROM classified
         |GROUP BY category ORDER BY category""".stripMargin,
+    "q67_funnel_stages" ->
+      """WITH per_user AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |    count_if(event_type = 'purchase') AS n_purchase
+        |  FROM events GROUP BY user_id),
+        |f AS (
+        |  SELECT
+        |    count_if(n_events >= 40)::BIGINT AS active_t,
+        |    count_if(NOT n_events >= 40)::BIGINT AS active_f,
+        |    count_if(n_events >= 40 AND n_purchase >= 5)::BIGINT AS buyer_t,
+        |    count_if(n_events >= 40 AND NOT n_purchase >= 5)::BIGINT AS buyer_f,
+        |    count_if(n_events >= 40 AND n_purchase >= 5 AND total_value > 5000)::BIGINT AS hv_t,
+        |    count_if(n_events >= 40 AND n_purchase >= 5 AND NOT total_value > 5000)::BIGINT AS hv_f
+        |  FROM per_user)
+        |SELECT 'active' AS stage, active_t AS n_true, active_f AS n_false FROM f
+        |UNION ALL SELECT 'buyer', buyer_t, buyer_f FROM f
+        |UNION ALL SELECT 'high_value', hv_t, hv_f FROM f""".stripMargin,
     "q65_period_rollup" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
