@@ -100,6 +100,24 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Embedding-cosine near-dup dedup: label-blocked exact cosine pairs
+    // (the brief's "embedding-cosine near-dup" method; blocking plays the
+    // LSH-bucket role — q75 is the unblocked approximate path). Decimal
+    // dot products → engine-identical values.
+    "q81_embedding_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          Ann.norm2Decimal(col("embedding")).as("n2"))
+      val a = e.alias("a"); val b = e.alias("b")
+      a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("dot", Ann.dotDecimal(col("a.embedding"), col("b.embedding")))
+        .withColumn("cosine", Ann.cosineFrom(col("dot"), col("a.n2"), col("b.n2")))
+        .filter(col("cosine") >= 0.3)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.label").as("label"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // Text quality metrics per document (token counts, mean token len,
     // stopword/punct ratios, composite score).
     "q76_text_quality" -> ((s, dir) => {
@@ -196,6 +214,25 @@ object LlmQueries {
         |  SELECT qid, cid, cosine,
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
         |  FROM scored) WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q81_embedding_neardup" ->
+      """WITH norms AS (
+        |  SELECT vec_id, SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS n2
+        |  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY vec_id),
+        |el AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
+        |    unnest(a.embedding) AS av, unnest(b.embedding) AS bv
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id),
+        |dots AS (
+        |  SELECT va, vb, label,
+        |    SUM(CAST(CAST(av AS DOUBLE) * CAST(bv AS DOUBLE) AS DECIMAL(30,15))) AS dot
+        |  FROM el GROUP BY va, vb, label),
+        |scored AS (
+        |  SELECT d.va, d.vb, d.label,
+        |    CAST(d.dot AS DOUBLE) / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) AS cosine
+        |  FROM dots d JOIN norms na ON na.vec_id = d.va JOIN norms nb ON nb.vec_id = d.vb)
+        |SELECT va AS vec_a, vb AS vec_b, label, ROUND(cosine, 6) AS cosine
+        |FROM scored WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
     "q76_text_quality" ->
       """SELECT doc_id,
         |  len(string_split_regex(text, '\s+')) AS n_tokens,
