@@ -27,6 +27,13 @@ object Ann {
 
   private val dec = DecimalType(30, 15)
 
+  /** Fast (order-dependent, ±ulp) double dot product — use as a
+    * prefilter with a margin, never for final values. */
+  def dotDouble(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
   /** Exact order-independent dot product of two float-array columns. */
   def dotDecimal(a: Column, b: Column): Column =
     aggregate(

@@ -110,6 +110,13 @@ object LlmQueries {
           Ann.norm2Decimal(col("embedding")).as("n2"))
       val a = e.alias("a"); val b = e.alias("b")
       a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        // two-phase: cheap double cosine prunes ~99% of pairs (margin
+        // 1e-6 ≫ the ~1e-12 double-vs-decimal drift, so no survivor of
+        // the exact filter can be lost); exact decimal only on survivors
+        .withColumn("cos_fast",
+          Ann.dotDouble(col("a.embedding"), col("b.embedding")) /
+            (sqrt(col("a.n2").cast(DoubleType)) * sqrt(col("b.n2").cast(DoubleType))))
+        .filter(col("cos_fast") >= 0.3 - 1e-6)
         .withColumn("dot", Ann.dotDecimal(col("a.embedding"), col("b.embedding")))
         .withColumn("cosine", Ann.cosineFrom(col("dot"), col("a.n2"), col("b.n2")))
         .filter(col("cosine") >= 0.3)
