@@ -81,6 +81,51 @@ object Ann {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
+  /** IVF-style ANN: corpus assigned once to the nearest of `nCells`
+    * centroid vectors (deterministic: the lowest-id corpus vectors serve
+    * as centroids — a k-means step can refine them without changing the
+    * query path); each query probes its `nProbe` nearest cells only and
+    * exact cosine re-ranks within them.
+    *
+    * Scale: assignment is one broadcast pass over the corpus (centroids
+    * are tiny); probing turns all-pairs search into an equi-join on
+    * cell id over ~nProbe/nCells of the corpus. The inverted-file layout
+    * is the same partition-pruning idea as partitioned parquet — a query
+    * touches only its cells.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = corpus.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"),
+        norm2Decimal(col("embedding")).as("centn2"))
+    def nearestCells(side: DataFrame, idCol: String, embCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("cell_cos").desc, col("cell"))
+      side.crossJoin(broadcast(centroids))
+        .withColumn("cell_cos",
+          dotDouble(col(embCol), col("centroid")) /
+            (sqrt(norm2Decimal(col(embCol)).cast(DoubleType)) *
+              sqrt(col("centn2").cast(DoubleType))))
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= n)
+        .drop("centroid", "centn2", "cell_cos", "cell_rank")
+    }
+    val assigned = nearestCells(
+      corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        norm2Decimal(col("embedding")).as("cn2")), "cid", "ce", 1)
+    val probed = nearestCells(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm2Decimal(col("embedding")).as("qn2")), "qid", "qe", nProbe)
+    val scored = assigned.join(probed, Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("dot", dotDecimal(col("qe"), col("ce")))
+      .withColumn("cosine", cosineFrom(col("dot"), col("qn2"), col("cn2")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** LSH-bucketed ANN: equi-join on the signature bucket, exact cosine
     * re-rank within buckets, top-k per query. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8): DataFrame = {

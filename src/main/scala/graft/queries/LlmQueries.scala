@@ -100,6 +100,14 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // ANN scale path #2: IVF centroid cells + nProbe probing.
+    // Approximate recall → rows-only check.
+    "q82_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 3, nCells = 16, nProbe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     // Embedding-cosine near-dup dedup: label-blocked exact cosine pairs
     // (the brief's "embedding-cosine near-dup" method; blocking plays the
     // LSH-bucket role — q75 is the unblocked approximate path). Decimal
