@@ -65,6 +65,30 @@ class DialectSpec extends SparkTestBase {
     assert(got == Seq(("u1", "first"), ("u2", "only")))
   }
 
+  test("features_latest view runs verbatim (struct ORDER BY + scalar subquery, view.sql:1-8)") {
+    Seq(("124.0", (124, 0, 1)), ("125.0", (125, 0, 0)), ("123.9", (123, 9, 9)))
+      .toDF("name", "version")
+      .select(col("name"), struct(
+        col("version._1").as("major"), col("version._2").as("minor"),
+        col("version._3").as("patch")).as("version"))
+      .createOrReplaceTempView("releases")
+    Seq(("css-grid", "125.0"), ("flexbox", "124.0"), ("subgrid", "125.0"))
+      .toDF("feature", "release").createOrReplaceTempView("features")
+    val body =
+      """SELECT *
+        |FROM {{ ref('features') }} as features
+        |WHERE features.release = (
+        |  SELECT name
+        |  FROM {{ ref('releases') }} as releases
+        |  ORDER BY releases.version.major DESC, releases.version.minor DESC, releases.version.patch DESC
+        |  LIMIT 1
+        |)""".stripMargin
+    ViewDag.deploy(spark, Seq(ViewDef("features_latest", Dialect.translate(body))))
+    val got = spark.table("features_latest").select("feature")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("css-grid", "subgrid"))
+  }
+
   test("translated date functions execute (metric spine shape)") {
     val sql = Dialect.translate(
       "SELECT DATE_TRUNC(DATE '2024-02-14', MONTH) AS m, " +
