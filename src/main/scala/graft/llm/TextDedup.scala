@@ -40,24 +40,6 @@ object TextDedup {
       .otherwise(array(array_join(words, " ")))
   }
 
-  /** MinHash signature: for each of `k` hash seeds, the minimum
-    * xxhash64(shingle, seed) over the document's shingles. */
-  def minhashSignature(shingleArr: Column, k: Int = 16): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(shingleArr, sh => xxhash64(sh, lit(seed))))
-    }: _*)
-
-  /** LSH band keys: signature split into `bands` rows of `rowsPerBand`,
-    * each rendered to a single joinable key (band index + hash of the
-    * band slice). */
-  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
-            e => e.cast(StringType)))).as("key"))
-    }: _*)
-
   /** Candidate near-dup pairs via banded MinHash-LSH. Returns
     * (doc_a, doc_b) with doc_a < doc_b, distinct.
     *

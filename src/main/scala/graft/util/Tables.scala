@@ -37,10 +37,6 @@ object Tables {
   /** Exact order-independent sum of a 2-decimal (currency-like) column. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
 
-  /** Exact order-independent sum of a derived double expression, quantized
-    * at 10 decimal places (enough for price*discount products). */
-  def dsum10(c: Column): Column = sum(c.cast(DecimalType(28, 10))).cast(DoubleType)
-
   /** SUM(price * (1 - disc)) computed entirely in decimal: the source
     * columns are 2-decimal currency values, so casting the *inputs* (not a
     * double product) to decimal is exact, and the whole sum is
@@ -57,9 +53,4 @@ object Tables {
   /** Exact mean: decimal sum then a single IEEE double division. */
   def dmean(c: Column): Column =
     sum(c.cast(DecimalType(28, 10))).cast(DoubleType) / count(c)
-
-  /** Oracle-side fragments mirroring the helpers above (DuckDB SQL). */
-  def oDsum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
-  def oDsum10(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(28,10))) AS DOUBLE)"
-  def oDmean(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(28,10))) AS DOUBLE) / COUNT($e)"
 }

@@ -112,6 +112,24 @@ class FunctionsSpec extends SparkTestBase {
     assert(got == Seq(15.0, 10.0, 7.5, 15.0, 1.0))
   }
 
+  test("shims: dateArray / containsSubstr / safeCastLong / farmFingerprint") {
+    val arr = spark.range(1).select(BqShims.dateArray(
+      lit(java.sql.Date.valueOf("2024-01-01")),
+      lit(java.sql.Date.valueOf("2024-01-05")), 2).as("a"))
+      .collect().head.getSeq[java.sql.Date](0)
+    assert(arr.map(_.toString) == Seq("2024-01-01", "2024-01-03", "2024-01-05"))
+    val r = spark.range(1).select(
+      BqShims.containsSubstr(lit("Hello World"), "WORLD").as("c1"),
+      BqShims.containsSubstr(lit("Hello"), "nope").as("c2"),
+      BqShims.safeCastLong(lit("123")).as("ok"),
+      BqShims.safeCastLong(lit("12x")).as("bad"),
+      BqShims.farmFingerprint(lit("abc")).as("h1"),
+      BqShims.farmFingerprint(lit("abc")).as("h2")).collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getLong(2) == 123L && r.isNullAt(3))
+    assert(r.getLong(4) == r.getLong(5)) // stable hash
+  }
+
   test("pg-array translate → JSON array (pg_dump_to_parquet.py:172-173)") {
     val got = spark.range(1)
       .select(translate(lit("{1,2,3}"), "{}", "[]").as("j"))
