@@ -145,16 +145,4 @@ object Routines {
       .otherwise(lit(BigDecimal(1)))
       .cast(DecimalType(38, 9))
   }
-
-  /** Register the SQL-string-callable subset for spark.sql use. */
-  def registerAll(spark: SparkSession): Unit = {
-    spark.udf.register("webcompat_host",
-      (url: String) => Option(url).map { u =>
-        val h = try new java.net.URI(u).getHost catch { case _: Exception => null }
-        if (h == null) null
-        else if (h.startsWith("www.")) h.substring(4)
-        else if (h.startsWith("m.")) h.substring(2)
-        else h
-      }.orNull)
-  }
 }
