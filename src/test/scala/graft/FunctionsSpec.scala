@@ -112,6 +112,18 @@ class FunctionsSpec extends SparkTestBase {
     assert(got == Seq(15.0, 10.0, 7.5, 15.0, 1.0))
   }
 
+  test("cruxDataset: default wins; falls back to latest import run; errors empty") {
+    assert(Routines.cruxDataset(None) == 202409L)
+    val runs = Seq(202401L, 202406L, 202403L).toDF("yyyymm")
+    assert(Routines.cruxDataset(Some(runs), default = None) == 202406L)
+    assert(Routines.cruxDataset(Some(runs.filter(col("yyyymm") > 999999L)),
+      default = Some(202409L)) == 202409L)
+    intercept[RuntimeException](
+      Routines.cruxDataset(Some(runs.filter(col("yyyymm") > 999999L)), default = None))
+    val y = spark.range(1).select(Routines.webcompatMetricYyyymm()).collect().head.getLong(0)
+    assert(y == 202603L)
+  }
+
   test("shims: dateArray / containsSubstr / safeCastLong / farmFingerprint") {
     val arr = spark.range(1).select(BqShims.dateArray(
       lit(java.sql.Date.valueOf("2024-01-01")),
