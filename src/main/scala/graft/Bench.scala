@@ -23,9 +23,11 @@ object Bench {
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
     // min of 2 runs per query: reports steady-state cost, not whichever
-    // query happened to absorb a GC pause / JIT recompile.
+    // query happened to absorb a GC pause / JIT recompile. On small
+    // executors (slow total runtime) fall back to a single pass.
+    val runs = if (cpus.toInt >= 16) 2 else 1
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
