@@ -57,6 +57,11 @@ object Dialect {
     s = s.replaceAll("(?i)\\bDATE_TRUNC\\s*\\(\\s*([^,()]+(?:\\([^()]*\\))?[^,()]*)\\s*,\\s*(WEEK|MONTH|YEAR|DAY|QUARTER|HOUR|MINUTE|SECOND)\\s*\\)",
       "CAST(date_trunc('$2', $1) AS DATE)")
 
+    // SPLIT(x) single-arg → split(x, ',') (BigQuery defaults the
+    // delimiter to comma; Spark requires it)
+    s = s.replaceAll("(?i)\\bSPLIT\\s*\\(\\s*([^,()]+(?:\\([^()]*\\))?[^,()]*)\\s*\\)",
+      "split($1, ',')")
+
     // x IN UNNEST(arr) / x NOT IN UNNEST(arr) → [NOT] array_contains(arr, x)
     s = s.replaceAll("(?i)([\\w`.\"']+(?:\\([^()]*\\))?)\\s+NOT\\s+IN\\s+UNNEST\\s*\\(\\s*([^)]+)\\)",
       "NOT array_contains($2, $1)")

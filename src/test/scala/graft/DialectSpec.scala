@@ -27,6 +27,11 @@ class DialectSpec extends SparkTestBase {
       .contains("""array_contains(keywords, "kw")"""))
     assert(Dialect.translate("WHERE x NOT IN UNNEST(arr)")
       .contains("NOT array_contains(arr, x)"))
+    // single-arg SPLIT gets BigQuery's default comma delimiter
+    assert(Dialect.translate("SELECT SPLIT(platforms)")
+      .contains("split(platforms, ',')"))
+    // two-arg SPLIT untouched
+    assert(Dialect.translate("SELECT SPLIT(x, '-')").contains("SPLIT(x, '-')"))
   }
 
   test("QUALIFY dedup translates and executes (graphics_dashboard.sql:165-169 shape)") {

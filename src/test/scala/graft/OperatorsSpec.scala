@@ -25,6 +25,13 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == Seq(Seq("a", "b"), Seq("z")))
   }
 
+  test("Collect.topKPerKeyWindow agrees with orderedLimitedCollect membership") {
+    val df = Seq((1, 3, "c"), (1, 1, "a"), (1, 2, "b"), (2, 9, "z")).toDF("g", "ord", "v")
+    val got = Collect.topKPerKeyWindow(df, Seq("g"), Seq(col("ord").asc), 2)
+      .orderBy("g", "ord").collect().map(r => (r.getInt(0), r.getString(2))).toSeq
+    assert(got == Seq((1, "a"), (1, "b"), (2, "z")))
+  }
+
   test("ViewDag: refs, topo sort, cycle detection, tree hash, short-circuit") {
     assert(ViewDag.extractRefs("SELECT * FROM {{ ref('a') }} JOIN {{ref(\"b\")}}") ==
       Seq("a", "b"))
