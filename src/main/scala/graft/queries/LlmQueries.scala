@@ -113,23 +113,28 @@ object LlmQueries {
     // LSH-bucket role — q75 is the unblocked approximate path). Decimal
     // dot products → engine-identical values.
     "q81_embedding_neardup" -> ((s, dir) => {
+      graft.functions.DotProductF32.register(s)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding"),
           Ann.norm2Decimal(col("embedding")).as("n2"))
-      val a = e.alias("a"); val b = e.alias("b")
-      a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        // two-phase: cheap double cosine prunes ~99% of pairs (margin
-        // 1e-6 ≫ the ~1e-12 double-vs-decimal drift, so no survivor of
-        // the exact filter can be lost); exact decimal only on survivors
+      val a = e.select(col("vec_id").as("va"), col("label"),
+        col("embedding").as("ea"), col("n2").as("na"))
+      val b = e.select(col("vec_id").as("vb"), col("label"),
+        col("embedding").as("eb"), col("n2").as("nb"))
+      a.join(b, Seq("label")).filter(col("va") < col("vb"))
+        // two-phase: the native codegen'd dot (bit-identical to the HOF
+        // double fold) prunes ~99% of pairs with a 1e-6 margin (≫ the
+        // ~1e-12 double-vs-decimal drift, so no exact-filter survivor is
+        // lost); exact decimal only on survivors
         .withColumn("cos_fast",
-          Ann.dotDouble(col("a.embedding"), col("b.embedding")) /
-            (sqrt(col("a.n2").cast(DoubleType)) * sqrt(col("b.n2").cast(DoubleType))))
+          expr("dot_f32(ea, eb)") /
+            (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
         .filter(col("cos_fast") >= 0.3 - 1e-6)
-        .withColumn("dot", Ann.dotDecimal(col("a.embedding"), col("b.embedding")))
-        .withColumn("cosine", Ann.cosineFrom(col("dot"), col("a.n2"), col("b.n2")))
+        .withColumn("dot", Ann.dotDecimal(col("ea"), col("eb")))
+        .withColumn("cosine", Ann.cosineFrom(col("dot"), col("na"), col("nb")))
         .filter(col("cosine") >= 0.3)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          col("a.label").as("label"), round(col("cosine"), 6).as("cosine"))
+        .select(col("va").as("vec_a"), col("vb").as("vec_b"),
+          col("label"), round(col("cosine"), 6).as("cosine"))
         .orderBy("vec_a", "vec_b")
     }),
 
