@@ -13,9 +13,6 @@ package graft.dag
   */
 object Dialect {
 
-  private val qualifyPattern =
-    """(?is)^(.*\bFROM\b.*?)\bQUALIFY\b(.*?)((?:\)|GROUP BY|ORDER BY|LIMIT|$).*)$""".r
-
   def translate(sql: String): String = {
     var s = sql
 
@@ -28,6 +25,16 @@ object Dialect {
 
     // SAFE_CAST(x AS T) → try_cast(x AS T)
     s = s.replaceAll("(?i)\\bSAFE_CAST\\s*\\(", "try_cast(")
+
+    // BigQuery type names in cast targets → Spark type names
+    // (INT64/FLOAT64/NUMERIC/BIGNUMERIC/BYTES/BOOL are not Spark types;
+    // NUMERIC is BigQuery's fixed DECIMAL(38,9))
+    s = s.replaceAll("(?i)\\bAS\\s+INT64\\b", "AS BIGINT")
+    s = s.replaceAll("(?i)\\bAS\\s+FLOAT64\\b", "AS DOUBLE")
+    s = s.replaceAll("(?i)\\bAS\\s+NUMERIC\\b", "AS DECIMAL(38,9)")
+    s = s.replaceAll("(?i)\\bAS\\s+BIGNUMERIC\\b", "AS DECIMAL(38,9)")
+    s = s.replaceAll("(?i)\\bAS\\s+BYTES\\b", "AS BINARY")
+    s = s.replaceAll("(?i)\\bAS\\s+BOOL\\b", "AS BOOLEAN")
 
     // SAFE_DIVIDE(a, b) → try_divide(a, b)
     s = s.replaceAll("(?i)\\bSAFE_DIVIDE\\s*\\(", "try_divide(")
@@ -51,11 +58,29 @@ object Dialect {
     s = s.replaceAll("(?i)\\bDATE_TRUNC\\s*\\(\\s*([^,]+?)\\s*,\\s*WEEK\\s*\\(\\s*SUNDAY\\s*\\)\\s*\\)",
       "date_sub($1, dayofweek($1) - 1)")
 
+    // DATE_TRUNC(d, WEEK) — bare WEEK is WEEK(SUNDAY) in BigQuery
+    // (Sunday-start), while Spark's date_trunc('WEEK', d) is
+    // Monday-start; use the same Sunday-start form as above.
+    s = s.replaceAll("(?i)\\bDATE_TRUNC\\s*\\(\\s*([^,()]+(?:\\([^()]*\\))?[^,()]*)\\s*,\\s*WEEK\\s*\\)",
+      "date_sub($1, dayofweek($1) - 1)")
+
     // DATE_TRUNC(d, unit) → CAST(date_trunc('unit', d) AS DATE)
     // (BigQuery arg order; BigQuery DATE_TRUNC takes/returns DATE while
-    // Spark's date_trunc returns TIMESTAMP)
-    s = s.replaceAll("(?i)\\bDATE_TRUNC\\s*\\(\\s*([^,()]+(?:\\([^()]*\\))?[^,()]*)\\s*,\\s*(WEEK|MONTH|YEAR|DAY|QUARTER|HOUR|MINUTE|SECOND)\\s*\\)",
+    // Spark's date_trunc returns TIMESTAMP). WEEK is handled above —
+    // keep it out of this list.
+    s = s.replaceAll("(?i)\\bDATE_TRUNC\\s*\\(\\s*([^,()]+(?:\\([^()]*\\))?[^,()]*)\\s*,\\s*(MONTH|YEAR|DAY|QUARTER|HOUR|MINUTE|SECOND)\\s*\\)",
       "CAST(date_trunc('$2', $1) AS DATE)")
+
+    // SPLIT(x, 'd') two-arg with string-literal delimiter: BigQuery
+    // splits on the LITERAL delimiter; Spark's split treats it as a
+    // regex — escape regex metacharacters (SPLIT(v, '.') would
+    // otherwise return all-empty strings). Explicit limit -1 keeps
+    // trailing empties, matching BigQuery.
+    s = splitLiteralPattern.replaceAllIn(s, m => {
+      val expr = m.group(1)
+      val delim = regexEscapeForSqlLiteral(m.group(2))
+      java.util.regex.Matcher.quoteReplacement(s"split($expr, '$delim', -1)")
+    })
 
     // SPLIT(x) single-arg → split(x, ',') (BigQuery defaults the
     // delimiter to comma; Spark requires it)
@@ -94,8 +119,21 @@ object Dialect {
     require(fromIdx >= 0, "QUALIFY SELECT without FROM")
     val inner = sel.substring(0, fromIdx) + s", ${pred.trim} AS __qualify " +
       sel.substring(fromIdx)
-    s"${before.substring(0, selIdx)}SELECT * EXCEPT(__qualify) FROM ($inner) WHERE __qualify$rest"
+    s"${before.substring(0, selIdx)}SELECT * EXCEPT(__qualify) FROM ($inner) WHERE __qualify $rest"
   }
+
+  private val splitLiteralPattern =
+    """(?i)\bSPLIT\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*'([^']*)'\s*\)""".r
+
+  /** Escape a literal delimiter so it survives both Spark's SQL string
+    * parser (backslash-escaped) and Java-regex interpretation in
+    * `split`: each regex metacharacter becomes `\\c` in the SQL text,
+    * which the SQL parser reduces to `\c`. */
+  private def regexEscapeForSqlLiteral(d: String): String =
+    d.flatMap {
+      case c if "\\^$.|?*+()[]{}".indexOf(c) >= 0 => "\\\\" + c
+      case c => c.toString
+    }
 
   /** Index of a top-level (paren-depth-0) keyword, case-insensitive. */
   private def indexOfTopLevel(s: String, kw: String): Int = {
@@ -137,11 +175,17 @@ object Dialect {
     found
   }
 
-  /** Split at the end of the current clause: the first top-level ')' or
-    * ',' (CTE boundary) or end of string. */
+  /** Clause keywords that terminate a QUALIFY predicate when seen at
+    * top level (a trailing ORDER BY / LIMIT after QUALIFY belongs to
+    * the enclosing query, not the predicate). */
+  private val clauseEnders = Seq("ORDER", "LIMIT", "GROUP", "HAVING", "WINDOW", "UNION")
+
+  /** Split at the end of the current clause: the first top-level ')',
+    * ',' (CTE boundary), clause keyword, or end of string. */
   private def splitAtTopLevelEnd(s: String): (String, String) = {
     var depth = 0
     var i = 0
+    val upper = s.toUpperCase
     while (i < s.length) {
       s.charAt(i) match {
         case '(' => depth += 1
@@ -149,6 +193,11 @@ object Dialect {
         case ')' => depth -= 1
         case ',' if depth == 0 => return (s.substring(0, i), s.substring(i))
         case _ =>
+          if (depth == 0 && (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+            clauseEnders.exists { kw =>
+              upper.startsWith(kw, i) &&
+                (i + kw.length >= s.length || !Character.isLetterOrDigit(s.charAt(i + kw.length)))
+            }) return (s.substring(0, i), s.substring(i))
       }
       i += 1
     }

@@ -47,18 +47,22 @@ object HistoricStates {
       }
     }
 
-  /** Current state + chronological changes → all states, newest first
-    * (the reference's layout: head = current, tail = prior states in
-    * chronological order of becoming stale). Consecutive identical
-    * change rows are deduplicated first. */
+  /** Current state + changes → all states, newest first (the
+    * reference's layout: head = current, tail = prior states in
+    * chronological order of becoming stale). Changes are sorted
+    * chronologically FIRST, then consecutive identical rows of the
+    * sorted history are deduplicated (metric_changes.py:253-257 dedups
+    * the sorted history — the same operation on unordered input keeps
+    * a different set of rows). */
   def reconstruct(current: BugState, changes: Seq[BugChange]): Seq[BugState] = {
-    val deduped = changes.foldRight(List.empty[BugChange]) { (c, acc) =>
+    val sorted = changes.sortBy(_.changeTime)
+    val deduped = sorted.foldRight(List.empty[BugChange]) { (c, acc) =>
       acc match {
         case h :: _ if h.changes == c.changes => acc
         case _ => c :: acc
       }
     }
-    deduped.sortBy(_.changeTime).reverse
+    deduped.reverse
       .foldLeft(List(current)) { (states, change) =>
         states :+ unapply(states.last, change)
       }

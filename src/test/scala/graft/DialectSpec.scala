@@ -11,8 +11,13 @@ class DialectSpec extends SparkTestBase {
   test("function shims translate") {
     assert(Dialect.translate("SELECT COUNTIF(x > 1) FROM t")
       .contains("count_if(x > 1)"))
+    // SAFE_CAST also maps BigQuery type names to Spark's
     assert(Dialect.translate("SELECT SAFE_CAST(v AS INT64) FROM t")
-      .contains("try_cast(v AS INT64)"))
+      .contains("try_cast(v AS BIGINT)"))
+    assert(Dialect.translate("SELECT SAFE_CAST(v AS FLOAT64)")
+      .contains("try_cast(v AS DOUBLE)"))
+    assert(Dialect.translate("SELECT CAST(v AS NUMERIC)")
+      .contains("CAST(v AS DECIMAL(38,9))"))
     assert(Dialect.translate("SELECT SAFE_DIVIDE(a, b)").contains("try_divide(a, b)"))
     assert(Dialect.translate("SELECT JSON_VALUE(j, '$.k')")
       .contains("get_json_object(j, '$.k')"))
@@ -23,6 +28,10 @@ class DialectSpec extends SparkTestBase {
       .contains("CAST(date_trunc('MONTH', d) AS DATE)"))
     assert(Dialect.translate("SELECT DATE_TRUNC(d, WEEK(SUNDAY))")
       .contains("date_sub(d, dayofweek(d) - 1)"))
+    // bare WEEK is Sunday-start in BigQuery — must NOT become Spark's
+    // Monday-start date_trunc('WEEK', ...)
+    assert(Dialect.translate("SELECT DATE_TRUNC(d, WEEK)")
+      .contains("date_sub(d, dayofweek(d) - 1)"))
     assert(Dialect.translate("""SELECT "kw" IN UNNEST(keywords)""")
       .contains("""array_contains(keywords, "kw")"""))
     assert(Dialect.translate("WHERE x NOT IN UNNEST(arr)")
@@ -30,8 +39,31 @@ class DialectSpec extends SparkTestBase {
     // single-arg SPLIT gets BigQuery's default comma delimiter
     assert(Dialect.translate("SELECT SPLIT(platforms)")
       .contains("split(platforms, ',')"))
-    // two-arg SPLIT untouched
-    assert(Dialect.translate("SELECT SPLIT(x, '-')").contains("SPLIT(x, '-')"))
+    // two-arg SPLIT: literal delimiter regex-escaped (BigQuery splits
+    // on the literal; Spark's split takes a regex)
+    assert(Dialect.translate("SELECT SPLIT(x, '.')")
+      .contains("split(x, '\\\\.', -1)"))
+    assert(Dialect.translate("SELECT SPLIT(x, '-')").contains("split(x, '-', -1)"))
+  }
+
+  test("translated SAFE_CAST and literal SPLIT execute (graphics_dashboard.sql:131,156 shapes)") {
+    val sql = Dialect.translate(
+      "SELECT SAFE_CAST('12' AS INT64) AS i, SAFE_CAST('x' AS FLOAT64) AS f, " +
+        "SPLIT('124.0.6367', '.') AS parts FROM (SELECT 1)")
+    val r = spark.sql(sql).collect().head
+    assert(r.getLong(0) == 12L)
+    assert(r.isNullAt(1)) // try_cast of non-numeric → NULL, no error
+    assert(r.getSeq[String](2) == Seq("124", "0", "6367"))
+  }
+
+  test("QUALIFY followed by ORDER BY / LIMIT keeps them outside the predicate") {
+    Seq((1, 3), (1, 1), (2, 5), (2, 4)).toDF("k", "v").createOrReplaceTempView("ql")
+    val sql = Dialect.translate(
+      """SELECT k, v FROM ql
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) = 1
+        |ORDER BY k DESC LIMIT 1""".stripMargin)
+    val got = spark.sql(sql).collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got == Seq((2, 5)))
   }
 
   test("QUALIFY dedup translates and executes (graphics_dashboard.sql:165-169 shape)") {
