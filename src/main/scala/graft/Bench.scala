@@ -37,7 +37,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver captures only a stdout *tail*, which truncates the one-line
+    // JSON mid-string; persist the full payload to a file it can read whole.
+    val out = java.nio.file.Path.of(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json"))
+    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    println(json)
+    println(s"bench_out=${out.toAbsolutePath}")
     spark.stop()
   }
 }

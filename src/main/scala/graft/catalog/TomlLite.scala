@@ -6,8 +6,9 @@ import scala.collection.mutable
   * files use (jobs/webcompat-kb/webcompat_kb/projectdata.py:455-562 reads
   * them with Python's `tomllib`): top-level and dotted `[section]`
   * headers, `key = value` pairs with string / integer / boolean / array
-  * values, and `#` comments. No date/inline-table/multi-line support —
-  * the corpus doesn't use them.
+  * values (arrays may span lines, with trailing commas), and `#`
+  * comments. No date/inline-table/multi-line-string support — the
+  * corpus doesn't use them.
   *
   * Parsed shape: an ordered list of (sectionPath, key -> value) so
   * callers can preserve declaration order (the reference relies on field
@@ -39,7 +40,7 @@ object TomlLite {
     val root = mutable.LinkedHashMap[String, Value]()
     val sections = mutable.ArrayBuffer[Section]()
     var current: Option[Section] = None
-    for (rawLine <- text.linesIterator) {
+    for (rawLine <- logicalLines(text)) {
       val line = stripComment(rawLine).trim
       if (line.nonEmpty) {
         if (line.startsWith("[")) {
@@ -61,6 +62,31 @@ object TomlLite {
       }
     }
     Doc(root, sections.toSeq)
+  }
+
+  /** Join physical lines whose `[` array brackets haven't balanced yet
+    * (TOML multi-line arrays, e.g. the corpus's `etl = [` blocks). */
+  private def logicalLines(text: String): Iterator[String] = new Iterator[String] {
+    private val lines = text.linesIterator
+    def hasNext: Boolean = lines.hasNext
+    def next(): String = {
+      var acc = lines.next()
+      while (bracketDepth(acc) > 0 && lines.hasNext) acc = acc + " " + lines.next()
+      acc
+    }
+    private def bracketDepth(s: String): Int = {
+      val stripped = stripComment(s)
+      var depth = 0; var inStr = false; var q = ' '
+      // a `[section]` header line is not an array opener
+      if (stripped.trim.startsWith("[")) return 0
+      for (c <- stripped) {
+        if (inStr) { if (c == q) inStr = false }
+        else if (c == '"' || c == '\'') { inStr = true; q = c }
+        else if (c == '[') depth += 1
+        else if (c == ']') depth -= 1
+      }
+      depth
+    }
   }
 
   private def unquoteKey(k: String): String =

@@ -1,0 +1,484 @@
+package graft.dag
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.catalog.{TomlLite, TomlSchema}
+import JinjaLite.{V, VFunc, VStr}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Loader for the reference's on-disk SQL corpus — the analog of
+  * `load_templates` + `TableSchemaCreator` (projectdata.py:455-562) and
+  * the deploy pass of update_schema.py: walk
+  * `sql/<dataset>/{tables,views,routines}/<name>/`, render each template
+  * through JinjaLite with the metrics/ranks context (projectdata.py:
+  * 463-469 `template_globals`), then
+  *
+  *   - tables:   table.toml → [[TomlSchema.tableSchema]] → empty typed
+  *               DataFrame registered as a temp view (schema-only stand-in
+  *               for the warehouse table — enough for full analysis),
+  *   - routines: routine.sql (BigQuery `CREATE OR REPLACE FUNCTION …
+  *               AS (body)`) → Spark SQL UDF DDL (`… RETURN body`),
+  *   - views:    view.sql → [[Dialect.translate]] → temp view,
+  *
+  * in DFS-postorder over `ref()` dependencies. BigQuery's
+  * `dataset.name` two-level namespace is flattened to `dataset__name`
+  * (Spark temp views/functions are single-level); `ref` is bound as a
+  * Jinja *function* in the context so both the literal `ref('x')` form
+  * and the routine-template `ref(name)` variable form resolve.
+  *
+  * Registering a view = one `spark.sql(...).createOrReplaceTempView` —
+  * lazy logical plans, so the whole 160-object corpus deploys in
+  * milliseconds and Catalyst optimizes across view boundaries when a
+  * consumer runs (the scale win over materialize-per-view).
+  */
+object CorpusLoader {
+
+  final case class CorpusObject(
+      dataset: String, name: String, kind: String, // "table" | "view" | "routine"
+      template: String, metaToml: Option[String]) {
+    def qualName: String = qual(dataset, name)
+  }
+
+  final case class DeployOutcome(dataset: String, name: String, kind: String,
+      ok: Boolean, error: Option[String], note: Option[String] = None)
+
+  final case class CorpusResult(objects: Seq[CorpusObject], outcomes: Seq[DeployOutcome]) {
+    def failures: Seq[DeployOutcome] = outcomes.filterNot(_.ok)
+  }
+
+  def qual(dataset: String, name: String): String = s"${dataset}__$name"
+
+  /** Resolve a `ref()` target seen from `dataset`: a bare name is
+    * same-dataset, a dotted name is dataset-qualified, and a three-part
+    * `project.dataset.table` name is an external-project table
+    * (projectdata.py SchemaId resolution + schema_id_mapper). All forms
+    * flatten to a single-level identifier (`-` in project ids is not
+    * temp-view-safe). */
+  def resolveRef(dataset: String, target: String): String =
+    target.split('.') match {
+      case Array(name) => qual(dataset, name)
+      case parts => parts.map(_.replace('-', '_')).mkString("__")
+    }
+
+  /** Schemas for tables the corpus reads from OUTSIDE the project —
+    * pre-existing in the reference's warehouse, so the deploy only needs
+    * a typed stand-in. Columns are the ones the corpus actually touches:
+    * user_reports_dedupe/view.sql (uuid, reported_at + SELECT *) and
+    * etl/user_reports_aggregate.py:36-43 (url, app_name, app_version,
+    * breakage_category). */
+  val externalSchemas: Map[String, org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    Map(
+      "moz_fx_data_shared_prod__org_mozilla_broken_site_report__user_reports" ->
+        StructType(Seq(
+          StructField("uuid", StringType),
+          StructField("reported_at", TimestampType),
+          StructField("url", StringType),
+          StructField("comments", StringType),
+          StructField("details", StringType),
+          StructField("app_name", StringType),
+          StructField("app_version", StringType),
+          StructField("breakage_category", StringType))),
+      // Maintained by a separate pipeline, not the SQL corpus; columns
+      // are the ones its 5 consumer views join/select
+      // (e.g. site_reports/view.sql:33, core_bug_states/view.sql:12).
+      "webcompat_knowledge_base__bugzilla_components_ownership" ->
+        StructType(Seq(
+          StructField("bugzilla_product", StringType),
+          StructField("bugzilla_component", StringType),
+          StructField("team", StringType),
+          StructField("manager", StringType))),
+      // Score-weight lookup dim (scored_site_reports/view.sql:20-60 and
+      // the WEBCOMPAT_METRIC_SCORE_* routines read lookup_type,
+      // lookup_value, score).
+      "webcompat_knowledge_base__dim_bug_score" ->
+        StructType(Seq(
+          StructField("lookup_type", StringType),
+          StructField("lookup_value", StringType),
+          StructField("score", DecimalType(38, 9)))),
+      // Platform feature planning table (platform_priorities/view.sql
+      // and the priority-scores pair read these; all value columns are
+      // compared against string literals there, so STRING throughout).
+      "webcompat_knowledge_base__platform_features" ->
+        StructType(Seq(
+          StructField("bug", LongType),
+          StructField("name", StringType),
+          StructField("feature", StringType),
+          // size_estimate deliberately absent: bugzilla_bugs provides it
+          // (platform_priorities selects it bare — ambiguous otherwise)
+          StructField("has_polyfill", StringType),
+          StructField("cosmetic_only", StringType),
+          StructField("partner_request", StringType),
+          StructField("a11y_impact", StringType),
+          StructField("privacy_impact", StringType),
+          StructField("performance_impact", StringType),
+          StructField("gecko_priority", StringType),
+          StructField("state_of", StringType),
+          StructField("chrome_use_counter_override", StringType),
+          StructField("other_dev_interest", StringType))),
+      // Spreadsheet-imported risk table (parity_chrome_safari_bugs/
+      // view.sql reads these columns verbatim).
+      "webcompat_risks__chrome_safari_parity" ->
+        StructType(Seq(
+          StructField("Bugzilla_Bug_Number", LongType),
+          StructField("Risk_Priority", StringType),
+          StructField("Standards_Position", StringType),
+          StructField("interop_risk", StringType),
+          StructField("chrome_counters", StringType),
+          StructField("Github_usage_query", StringType),
+          StructField("Likely_Dev_Frustration_When_Encountered", StringType),
+          StructField("Has_Fallbacks__Polyfills__Workarounds_", StringType),
+          StructField("Likely_Greatest_User_Impact", StringType))))
+  }
+
+  // ---- filesystem walk -------------------------------------------------
+
+  private def readIfExists(p: Path): Option[String] =
+    if (Files.isRegularFile(p)) Some(Files.readString(p)) else None
+
+  /** Walk the corpus tree (load_templates, projectdata.py:515-562). */
+  def scan(sqlRoot: Path): Seq[CorpusObject] = {
+    val datasets = Files.list(sqlRoot).iterator().asScala.toSeq
+      .filter(d => Files.isDirectory(d) && Files.isRegularFile(d.resolve("meta.toml")))
+      .sortBy(_.getFileName.toString)
+    datasets.flatMap { datasetDir =>
+      val dsName = TomlSchema.tableName(Files.readString(datasetDir.resolve("meta.toml")))
+        .getOrElse(datasetDir.getFileName.toString)
+      Seq("tables" -> "table", "views" -> "view", "routines" -> "routine").flatMap {
+        case (subdir, kind) =>
+          val dir = datasetDir.resolve(subdir)
+          val objDirs =
+            if (Files.isDirectory(dir))
+              Files.list(dir).iterator().asScala.toSeq.filter(Files.isDirectory(_))
+                .sortBy(_.getFileName.toString)
+            else Nil
+          objDirs.flatMap { objDir =>
+            val meta = readIfExists(objDir.resolve("meta.toml"))
+            val name = meta.flatMap(TomlSchema.tableName)
+              .getOrElse(objDir.getFileName.toString)
+            val templateFile = kind match {
+              case "table" => "table.toml"
+              case "view" => "view.sql"
+              case "routine" => "routine.sql"
+            }
+            readIfExists(objDir.resolve(templateFile))
+              .map(t => CorpusObject(dsName, name, kind, t, meta))
+          }
+      }
+    }
+  }
+
+  // ---- Jinja rendering -------------------------------------------------
+
+  /** Per-object ref pinning: archive snapshots were captured against the
+    * routine signatures of their day and are never redeployed (the
+    * reference's treehash short-circuit), so a snapshot may call a
+    * routine whose CURRENT signature no longer matches. Pin such refs to
+    * the archived contemporaneous variant. */
+  val refRemaps: Map[(String, String), String] = Map(
+    // calls SITE_RANK_MODIFIER with the pre-202505 (url, yyyymm) arity
+    ("webcompat_knowledge_base_archive__scored_site_reports_before_rescore_crux_202512",
+      "webcompat_knowledge_base.WEBCOMPAT_METRIC_SCORE_SITE_RANK_MODIFIER") ->
+      "webcompat_knowledge_base.WEBCOMPAT_METRIC_SCORE_SITE_RANK_MODIFER_before_202505201534")
+
+  /** Ref resolution for one object, remap-aware. */
+  def resolveRefFor(obj: CorpusObject, target: String): String =
+    resolveRef(obj.dataset, refRemaps.getOrElse((obj.qualName, target), target))
+
+  /** Template context for one object: the shared metrics/ranks globals
+    * plus per-object `name`/`dataset` bindings and `ref` as a resolving
+    * function. */
+  def templateContext(base: Map[String, V], obj: CorpusObject): Map[String, V] =
+    base ++ Map(
+      "name" -> VStr(obj.name),
+      "dataset" -> VStr(obj.dataset),
+      "ref" -> VFunc { args =>
+        VStr(resolveRefFor(obj, args.head match {
+          case VStr(s) => s
+          case other => sys.error(s"ref() expects a string, got $other")
+        }))
+      })
+
+  /** Load the shared Jinja globals from the metrics.toml / ranks.toml
+    * pair under `data/metrics` (projectdata.py:463-469). */
+  def metricsContext(dataRoot: Path): Map[String, V] = {
+    val metrics = MetricDefs.loadMetrics(Files.readString(dataRoot.resolve("metrics/metrics.toml")))
+    val ranks = MetricDefs.loadRanks(Files.readString(dataRoot.resolve("metrics/ranks.toml")))
+    MetricDefs.context(metrics, ranks)
+  }
+
+  // ---- routine DDL translation ----------------------------------------
+
+  private val createFnPattern =
+    """(?is)\s*CREATE\s+OR\s+REPLACE\s+FUNCTION\s+`?([\w.]+)`?\s*\(""".r
+
+  /** BigQuery `CREATE OR REPLACE FUNCTION f(args) RETURNS T AS (body);`
+    * → Spark `CREATE OR REPLACE TEMPORARY FUNCTION f(args) RETURNS T'
+    * RETURN body` (Spark 4 SQL UDFs inline into the calling plan). The
+    * body goes through [[Dialect.translate]] like any view SQL, unless
+    * an [[routineOverrides]] body replaces it. */
+  def translateRoutine(rendered: String, overrideBody: Option[String] = None): String = {
+    val m = createFnPattern.findFirstMatchIn(rendered)
+      .getOrElse(sys.error(s"Routine does not parse as CREATE OR REPLACE FUNCTION: ${rendered.take(120)}"))
+    val fnName = m.group(1)
+    val argsStart = m.end // just after '('
+    val argsEnd = matchParen(rendered, argsStart - 1)
+    val args = rendered.substring(argsStart, argsEnd)
+    val rest = rendered.substring(argsEnd + 1)
+    val asIdx = topLevelAsIndex(rest)
+    require(asIdx >= 0, s"Routine missing AS (body): ${rendered.take(120)}")
+    val returns = rest.substring(0, asIdx).trim
+    require(returns.toUpperCase.startsWith("RETURNS"),
+      s"Routine missing RETURNS clause: ${rendered.take(120)}")
+    val afterAs = rest.substring(asIdx + 2)
+    val bodyStart = afterAs.indexOf('(')
+    require(bodyStart >= 0, s"Routine AS not followed by (body): ${rendered.take(120)}")
+    val bodyEnd = matchParen(afterAs, bodyStart)
+    val body = afterAs.substring(bodyStart + 1, bodyEnd)
+    val sparkArgs = translateTypes(args)
+    val sparkReturns = translateTypes(returns)
+    val sparkBody = overrideBody.getOrElse(Dialect.translate(body))
+    s"CREATE OR REPLACE TEMPORARY FUNCTION `$fnName`($sparkArgs)\n$sparkReturns\nRETURN $sparkBody"
+  }
+
+  /** BigQuery type spellings in arg lists / RETURNS clauses → Spark.
+    * JSON has no Spark type — the corpus stores JSON columns as STRING
+    * and reads them with JSON_VALUE (get_json_object), so STRING is the
+    * faithful mapping. */
+  private def translateTypes(s: String): String = {
+    var t = s
+    t = t.replaceAll("(?i)\\bINT64\\b", "BIGINT")
+    t = t.replaceAll("(?i)\\bFLOAT64\\b", "DOUBLE")
+    t = t.replaceAll("(?i)\\bNUMERIC\\b", "DECIMAL(38,9)")
+    t = t.replaceAll("(?i)\\bBIGNUMERIC\\b", "DECIMAL(38,9)")
+    t = t.replaceAll("(?i)\\bJSON\\b", "STRING")
+    t = t.replaceAll("(?i)\\bBYTES\\b", "BINARY")
+    t = t.replaceAll("(?i)\\bBOOL\\b", "BOOLEAN")
+    t = t.replaceAll("(?i)\\bDATETIME\\b", "TIMESTAMP_NTZ")
+    t
+  }
+
+  /** Spark bodies for routines whose BigQuery form — a scalar subquery
+    * correlated on the function's own arguments — has no Spark SQL UDF
+    * equivalent (Spark rejects outer references inside UDF subqueries,
+    * and subqueries inside higher-order functions). Two classes:
+    *
+    *   - WEBCOMPAT_HOST / BUG_ID_FROM_BUGZILLA_URL use the subquery only
+    *     to name intermediate expressions → inlined here with IDENTICAL
+    *     semantics (these match graft.functions.Routines, asserted by
+    *     SqlRoutinesSpec).
+    *   - The WEBCOMPAT_METRIC_SCORE_* family aggregates over warehouse
+    *     tables per call. The engine's scalable translation is the
+    *     decorrelated join (jobs/Webcompat.scala, oracle-checked q105);
+    *     the UDF here carries the argument-only branches plus the value
+    *     the original returns when the dim tables are empty — exactly
+    *     what this deploy's schema-only stand-in tables would produce —
+    *     so every call site type-checks and analyzes faithfully.
+    *
+    * Keys are routine names (meta.toml `name`); bodies are Spark SQL
+    * placed after RETURN verbatim. Cross-routine calls use flattened
+    * deployed names. */
+  val routineOverrides: Map[String, String] = {
+    val extractArray = "`webcompat_knowledge_base__EXTRACT_ARRAY`"
+    // argument-only branches of WEBCOMPAT_METRIC_SCORE_SITE_RANK_MODIFIER
+    // (routine.sql: the `site_rank_override.ranks` arms of the CASE, in
+    // original order; rank-table arms are NULL on empty host_min_ranks)
+    def overrideCase(ranks: String): String =
+      s"""CAST(CASE
+         |  WHEN array_contains($ranks, 'global-1k') THEN 15
+         |  WHEN array_contains($ranks, 'core-1k') THEN 10
+         |  WHEN array_contains($ranks, 'global-10k') THEN 7.5
+         |  WHEN array_contains($ranks, 'local-1k') THEN 5
+         |  WHEN array_contains($ranks, 'core-10k') THEN 5
+         |  WHEN array_contains($ranks, 'local-10k') THEN 2.5
+         |  ELSE 1 END AS DECIMAL(38,9))""".stripMargin
+    Map(
+      // routines/WEBCOMPAT_HOST/routine.sql — www./m. prefix strip
+      "WEBCOMPAT_HOST" ->
+        """CASE WHEN startswith(parse_url(url, 'HOST'), 'www.')
+          |       THEN substring(parse_url(url, 'HOST'), 5)
+          |     WHEN startswith(parse_url(url, 'HOST'), 'm.')
+          |       THEN substring(parse_url(url, 'HOST'), 3)
+          |     ELSE parse_url(url, 'HOST') END""".stripMargin,
+      // routines/BUG_ID_FROM_BUGZILLA_URL/routine.sql — id= param extract
+      "BUG_ID_FROM_BUGZILLA_URL" ->
+        """try_cast(nullif(regexp_extract(
+          |  regexp_extract(url, 'https://bugzilla\\.mozilla\\.org/show_bug\\.cgi\\?(.+)', 1),
+          |  '(?:^|&)id=([^&#]+)', 1), '') AS BIGINT)""".stripMargin,
+      // product of sums over dim_bug_score → NULL over the empty dim
+      "WEBCOMPAT_METRIC_SCORE_NO_SITE_RANK" -> "CAST(NULL AS DECIMAL(38,9))",
+      "WEBCOMPAT_METRIC_SCORE_NO_SITE_RANK_before_202505201534" -> "CAST(NULL AS DECIMAL(38,9))",
+      "WEBCOMPAT_METRIC_SCORE_SITE_RANK_MODIFIER" ->
+        overrideCase(s"$extractArray(user_story, '$$.site-rank-override')"),
+      // pre-202505 signature (url, crux_yyyymm): IFNULL(agg-over-empty, 1)
+      "WEBCOMPAT_METRIC_SCORE_SITE_RANK_MODIFER_before_202505201534" -> "CAST(1 AS DECIMAL(38,9))",
+      "WEBCOMPAT_METRIC_SCORE_SITE_RANK_MODIFIER_BEFORE_RESCORE_SITE_RANKS_UPDATE_202603" -> "CAST(1 AS DECIMAL(38,9))")
+  }
+
+  /** Index of the ')' matching the '(' at `open`. */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    sys.error(s"Unbalanced parens from $open in: ${s.take(120)}")
+  }
+
+  /** First top-level `AS` keyword (outside parens/angle-brackets, so
+    * `RETURNS STRUCT<a: STRING>` survives). */
+  private def topLevelAsIndex(s: String): Int = {
+    var depth = 0
+    var i = 0
+    val upper = s.toUpperCase
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' | '<' => depth += 1
+        case ')' | '>' => depth -= 1
+        case _ =>
+          if (depth == 0 && upper.startsWith("AS", i) &&
+            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+            (i + 2 >= s.length || !Character.isLetterOrDigit(s.charAt(i + 2))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  // ---- deploy ----------------------------------------------------------
+
+  /** Deploy the whole corpus into the session: every table as an empty
+    * schema-typed temp view, every routine as a SQL UDF, every view as a
+    * temp view, in dependency order. Never throws on a per-object
+    * failure — failures are returned in the outcomes for the sweep spec
+    * to assert on. */
+  def deploy(spark: SparkSession, dataRoot: Path): CorpusResult = {
+    val objects = scan(dataRoot.resolve("sql"))
+    val base = metricsContext(dataRoot)
+    val outcomes = mutable.ArrayBuffer[DeployOutcome]()
+
+    // 1. Tables: schema-only stand-ins. No dependencies.
+    val tables = objects.filter(_.kind == "table")
+    tables.foreach { obj =>
+      outcomes += attempt(obj) {
+        val rendered = JinjaLite.render(obj.template, templateContext(base, obj))
+        val schema = TomlSchema.tableSchema(rendered, obj.metaToml).toStructType
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+          .createOrReplaceTempView(obj.qualName)
+      }
+    }
+
+    // 2. External-project tables: typed stand-ins for refs that resolve
+    // outside the corpus (the reference's schema_id_mapper boundary).
+    val knownQuals = objects.map(_.qualName).toSet
+    val externalRefs = objects.flatMap(o =>
+      ViewDag.extractRefs(o.template).map(resolveRefFor(o, _))).distinct
+      .filterNot(knownQuals.contains)
+    externalRefs.foreach { q =>
+      val schema = externalSchemas.getOrElse(q,
+        sys.error(s"No stand-in schema for external ref '$q'"))
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+        .createOrReplaceTempView(q)
+    }
+
+    // 3. Routines + views, DFS-postorder over ref() edges extracted from
+    // the *raw* templates (quoted-literal refs only; the routine
+    // self-ref `ref(name)` carries no dependency).
+    val deployable = objects.filterNot(_.kind == "table")
+    val byQual = deployable.map(o => o.qualName -> o).toMap
+    val deps: Map[String, Seq[String]] = deployable.map { o =>
+      o.qualName -> ViewDag.extractRefs(o.template).map(resolveRefFor(o, _))
+        .filter(q => byQual.contains(q) && q != o.qualName)
+    }.toMap
+    val order = topoOrder(deployable.map(_.qualName), deps)
+
+    order.map(byQual).foreach { obj =>
+      val overrideBody = if (obj.kind == "routine") routineOverrides.get(obj.name) else None
+      val note = overrideBody.map(_ => "spark-native override body (see routineOverrides)")
+      outcomes += attempt(obj, note) {
+        val rendered = JinjaLite.render(obj.template, templateContext(base, obj))
+        obj.kind match {
+          case "routine" =>
+            spark.sql(translateRoutine(rendered, overrideBody))
+          case "view" =>
+            val sql = Dialect.translate(rendered)
+            // CREATE TEMP VIEW stores the *parsed* plan, so every
+            // reference re-analyzes with fresh expression ids — a
+            // DataFrame-plan temp view would reuse ids and trip
+            // lateral-join deduplication when a view with laterals is
+            // joined twice. Analysis of the body runs at CREATE, so a
+            // broken view still fails here, not at first use.
+            try {
+              spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `${obj.qualName}` AS $sql")
+            } catch {
+              // archive snapshots may expose duplicate output columns
+              // (their base views gained the column after archival);
+              // BigQuery kept the stored schema — a DataFrame-plan view
+              // tolerates the duplicate the same way
+              case e: Exception if Option(e.getMessage).exists(_.contains("COLUMN_ALREADY_EXISTS")) =>
+                spark.sql(sql).createOrReplaceTempView(obj.qualName)
+            }
+            spark.table(obj.qualName).queryExecution.analyzed
+        }
+      }
+    }
+    CorpusResult(objects, outcomes.toSeq)
+  }
+
+  private def attempt(obj: CorpusObject, note: Option[String] = None)(f: => Unit): DeployOutcome =
+    try { f; DeployOutcome(obj.dataset, obj.name, obj.kind, ok = true, None, note) }
+    catch {
+      case e: Throwable =>
+        DeployOutcome(obj.dataset, obj.name, obj.kind, ok = false,
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500)), note)
+    }
+
+  /** DFS-postorder topological sort with explicit edges (the flattened-
+    * namespace sibling of [[ViewDag.topoSort]]); cycles error. */
+  def topoOrder(names: Seq[String], deps: Map[String, Seq[String]]): Seq[String] = {
+    val visiting = mutable.Set[String]()
+    val done = mutable.LinkedHashSet[String]()
+    def visit(n: String): Unit = {
+      if (done.contains(n)) return
+      if (!deps.contains(n)) return
+      if (!visiting.add(n)) sys.error(s"Cycle detected at '$n'")
+      deps(n).foreach(visit)
+      visiting.remove(n)
+      done.add(n)
+    }
+    names.foreach(visit)
+    done.toSeq
+  }
+
+  /** Fully rendered+translated SQL per deployable object (debugging /
+    * lint surface; tables are schema TOML, not SQL). */
+  def renderedSql(dataRoot: Path): Map[String, String] = {
+    val objects = scan(dataRoot.resolve("sql"))
+    val base = metricsContext(dataRoot)
+    objects.filterNot(_.kind == "table").map { o =>
+      o.qualName -> (try {
+        val r = JinjaLite.render(o.template, templateContext(base, o))
+        if (o.kind == "routine") translateRoutine(r, routineOverrides.get(o.name))
+        else Dialect.translate(r)
+      } catch { case e: Throwable => s"-- render error: ${e.getMessage}" })
+    }.toMap
+  }
+
+  /** Per-dataset sweep summary as a DataFrame — the q108 surface. */
+  def sweepSummary(spark: SparkSession, result: CorpusResult): DataFrame = {
+    import spark.implicits._
+    val rows = result.outcomes
+      .groupBy(o => (o.dataset, o.kind))
+      .map { case ((ds, kind), os) =>
+        (ds, kind, os.size.toLong, os.count(_.ok).toLong)
+      }.toSeq.sortBy(r => (r._1, r._2))
+    rows.toDF("dataset", "kind", "n_objects", "n_ok")
+  }
+}

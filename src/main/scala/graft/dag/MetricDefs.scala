@@ -47,6 +47,9 @@ object MetricDefs {
     def name: String
     def fieldType: String
     def metricTypeField: Option[String]
+    /** Which ETL contexts include this type (metric.py/backfill_metric.py
+      * filter metric types by context; platform_score is history-only). */
+    def contexts: Set[String] = Set("history", "daily")
     def aggFunction(table: String, metric: Metric, includeMetricCondition: Boolean): String
     def condition(table: String, metric: Metric, includeMetricCondition: Boolean): String = {
       val conds = metricTypeField.map(f => s"$table.$f").toSeq ++
@@ -62,18 +65,20 @@ object MetricDefs {
       else s"COUNTIF(${condition(table, metric, includeMetricCondition)})"
   }
 
-  final case class SumMetricType(name: String, metricTypeField: Option[String]) extends MetricType {
+  final case class SumMetricType(name: String, metricTypeField: Option[String],
+      override val contexts: Set[String] = Set("history", "daily")) extends MetricType {
     val fieldType = "NUMERIC"
     def aggFunction(table: String, metric: Metric, includeMetricCondition: Boolean): String =
       s"SUM(IF(${condition(table, metric, includeMetricCondition)}, $table.score, 0))"
   }
 
-  /** metrics.py:252-262 `_metric_types`, verbatim. */
+  /** metrics.py:252-262 `_metric_types`, verbatim (platform_score
+    * carries contexts={"history"} there). */
   val metricTypes: Seq[MetricType] = Seq(
     CountMetricType("bug_count", None),
     SumMetricType("needs_diagnosis_score", Some("metric_type_needs_diagnosis")),
     SumMetricType("not_supported_score", Some("metric_type_firefox_not_supported")),
-    SumMetricType("platform_score", Some("metric_type_platform_bug")),
+    SumMetricType("platform_score", Some("metric_type_platform_bug"), contexts = Set("history")),
     SumMetricType("total_score", None))
 
   final case class RankDef(name: String)

@@ -23,7 +23,7 @@ final case class DagResult(order: Seq[String], deployed: Seq[String], skipped: B
 
 object ViewDag {
 
-  private val refPattern = """\{\{\s*ref\(\s*['"]([^'"]+)['"]\s*\)\s*\}\}""".r
+  private val refPattern = """\{\{\s*ref\s*\(\s*['"]([^'"]+)['"]\s*\)\s*\}\}""".r
 
   /** Extract `ref()` targets from a template body. */
   def extractRefs(sql: String): Seq[String] =
