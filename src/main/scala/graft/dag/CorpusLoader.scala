@@ -406,6 +406,9 @@ object CorpusLoader {
         val rendered = JinjaLite.render(obj.template, templateContext(base, obj))
         obj.kind match {
           case "routine" =>
+            // reference refuses malformed routines (update_schema.py:254)
+            val shapeErrors = CorpusLint.validateRoutineSql(obj.qualName, rendered)
+            require(shapeErrors.isEmpty, shapeErrors.mkString("; "))
             spark.sql(translateRoutine(rendered, overrideBody))
           case "view" =>
             val sql = Dialect.translate(rendered)

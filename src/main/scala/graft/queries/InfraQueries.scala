@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.util.Tables._
 import graft.catalog.MutableTable
-import graft.dag.{ViewDag, ViewDef}
+import graft.dag.{CorpusLoader, ViewDag, ViewDef}
 import graft.operators.{Closure, Incremental}
 import graft.streaming.StreamOps
 
@@ -135,6 +135,18 @@ object InfraQueries {
       Incremental.unprocessed(
           e.select("user_id").distinct(), processed, Seq("user_id"))
         .orderBy("user_id")
+    }),
+
+    // D6 at full scale — deploy the reference's entire SQL corpus
+    // (80 tables, 16 routines, 64 views across 13 datasets) through
+    // JinjaLite + Dialect + dependency-ordered registration, every view
+    // analyzer-validated. Result = per-dataset inventory with deploy
+    // success counts; the oracle pins the corpus's golden inventory and
+    // n_ok = n_objects (zero failures).
+    "q108_corpus_sweep" -> ((s, _) => {
+      val root = java.nio.file.Path.of("/root/reference/jobs/webcompat-kb/data")
+      val result = CorpusLoader.deploy(s, root)
+      CorpusLoader.sweepSummary(s, result).orderBy("dataset", "kind")
     })
   )
 
@@ -200,6 +212,33 @@ object InfraQueries {
     "q95_reconciliation" ->
       """SELECT DISTINCT user_id FROM events
         |WHERE user_id NOT IN (SELECT DISTINCT user_id FROM events WHERE event_id % 97 = 0)
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+    // Golden inventory of /root/reference/jobs/webcompat-kb/data/sql —
+    // fixed corpus content, so the expected counts are literals; n_ok
+    // must equal n_objects (a deploy/analysis failure breaks the match).
+    "q108_corpus_sweep" ->
+      """SELECT dataset, kind, n_objects::BIGINT AS n_objects, n_ok::BIGINT AS n_ok
+        |FROM (VALUES
+        |  ('autowebcompat', 'table', 3, 3),
+        |  ('autowebcompat', 'view', 1, 1),
+        |  ('chrome_use_counters', 'table', 2, 2),
+        |  ('crux_imported', 'table', 4, 4),
+        |  ('interop', 'table', 2, 2),
+        |  ('interventions', 'table', 3, 3),
+        |  ('metadata', 'table', 1, 1),
+        |  ('standards_positions', 'table', 3, 3),
+        |  ('tranco_imported', 'table', 1, 1),
+        |  ('web_features', 'table', 7, 7),
+        |  ('web_features', 'view', 1, 1),
+        |  ('webcompat_knowledge_base', 'routine', 13, 13),
+        |  ('webcompat_knowledge_base', 'table', 53, 53),
+        |  ('webcompat_knowledge_base', 'view', 57, 57),
+        |  ('webcompat_knowledge_base_archive', 'routine', 3, 3),
+        |  ('webcompat_knowledge_base_archive', 'view', 2, 2),
+        |  ('webcompat_risks', 'view', 1, 1),
+        |  ('webcompat_user_reports', 'table', 1, 1),
+        |  ('webcompat_user_reports', 'view', 2, 2)
+        |) AS t(dataset, kind, n_objects, n_ok)
+        |ORDER BY dataset, kind""".stripMargin
   )
 }
