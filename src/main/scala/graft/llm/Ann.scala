@@ -81,43 +81,72 @@ object Ann {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
-  /** IVF-style ANN: corpus assigned once to the nearest of `nCells`
-    * centroid vectors (deterministic: the lowest-id corpus vectors serve
-    * as centroids — a k-means step can refine them without changing the
-    * query path); each query probes its `nProbe` nearest cells only and
-    * exact cosine re-ranks within them.
+  /** Nearest `n` centroid cells per row. The side's squared norm is the
+    * PRECOMPUTED `n2Col` (computing it inside this broadcast join would
+    * redo the decimal array fold once per centroid). Cell assignment is
+    * an approximate routing decision, so double arithmetic is enough. */
+  private def nearestCells(side: DataFrame, idCol: String, embCol: String,
+      n2Col: String, n: Int, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col("cell_cos").desc, col("cell"))
+    side.crossJoin(broadcast(centroids))
+      .withColumn("cell_cos",
+        dotDouble(col(embCol), col("centroid")) /
+          (sqrt(col(n2Col).cast(DoubleType)) * sqrt(col("centn2"))))
+      .withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= n)
+      .drop("centroid", "centn2", "cell_cos", "cell_rank")
+  }
+
+  /** One Lloyd refinement: assign the corpus to the current centroids,
+    * recompute each cell's mean vector. Bounds the cell skew that
+    * arbitrary (lowest-id) seeding produces. */
+  private def lloydStep(c: DataFrame, centroids: DataFrame): DataFrame = {
+    val assigned = nearestCells(c, "cid", "ce", "cn2", 1, centroids)
+    assigned
+      .select(col("cell"), posexplode(col("ce")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("v").cast(DoubleType)).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("centroid"))
+      .withColumn("centn2", dotDouble(col("centroid"), col("centroid")))
+  }
+
+  /** IVF-style ANN: `nCells` centroids seeded from the lowest-id corpus
+    * vectors and refined with `kmeansIters` Lloyd steps; the corpus is
+    * assigned once to its nearest cell, each query probes its `nProbe`
+    * nearest cells, and candidates are re-ranked two-phase (double
+    * prefilter keeps top k+8 per query — ≫ the ~1e-12 double/decimal
+    * drift — then exact decimal on survivors, the q81 scheme).
     *
-    * Scale: assignment is one broadcast pass over the corpus (centroids
-    * are tiny); probing turns all-pairs search into an equi-join on
-    * cell id over ~nProbe/nCells of the corpus. The inverted-file layout
-    * is the same partition-pruning idea as partitioned parquet — a query
-    * touches only its cells.
+    * Scale: centroid build is bounded work (broadcast assignments, one
+    * elementwise-mean shuffle per iteration); probing turns all-pairs
+    * search into an equi-join on cell id over ~nProbe/nCells of the
+    * corpus. The inverted-file layout is the same partition-pruning idea
+    * as partitioned parquet — a query touches only its cells.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    val centroids = corpus.orderBy("vec_id").limit(nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("centroid"),
-        norm2Decimal(col("embedding")).as("centn2"))
-    def nearestCells(side: DataFrame, idCol: String, embCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(idCol).orderBy(col("cell_cos").desc, col("cell"))
-      side.crossJoin(broadcast(centroids))
-        .withColumn("cell_cos",
-          dotDouble(col(embCol), col("centroid")) /
-            (sqrt(norm2Decimal(col(embCol)).cast(DoubleType)) *
-              sqrt(col("centn2").cast(DoubleType))))
-        .withColumn("cell_rank", row_number().over(w))
-        .filter(col("cell_rank") <= n)
-        .drop("centroid", "centn2", "cell_cos", "cell_rank")
-    }
-    val assigned = nearestCells(
-      corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        norm2Decimal(col("embedding")).as("cn2")), "cid", "ce", 1)
+      nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 1): DataFrame = {
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      norm2Decimal(col("embedding")).as("cn2"))
+    val seed = corpus.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cell"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("centroid"))
+      .withColumn("centn2", dotDouble(col("centroid"), col("centroid")))
+    val centroids = (1 to kmeansIters).foldLeft(seed)((cur, _) => lloydStep(c, cur))
+    val assigned = nearestCells(c, "cid", "ce", "cn2", 1, centroids)
     val probed = nearestCells(
       queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        norm2Decimal(col("embedding")).as("qn2")), "qid", "qe", nProbe)
-    val scored = assigned.join(probed, Seq("cell"))
+        norm2Decimal(col("embedding")).as("qn2")), "qid", "qe", "qn2", nProbe, centroids)
+    val joined = assigned.join(probed, Seq("cell"))
       .filter(col("cid") =!= col("qid"))
+      .withColumn("cos_fast",
+        dotDouble(col("qe"), col("ce")) /
+          (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
+    val wFast = Window.partitionBy("qid").orderBy(col("cos_fast").desc, col("cid"))
+    val pruned = joined.withColumn("fast_rank", row_number().over(wFast))
+      .filter(col("fast_rank") <= k + 8)
+    val scored = pruned
       .withColumn("dot", dotDecimal(col("qe"), col("ce")))
       .withColumn("cosine", cosineFrom(col("dot"), col("qn2"), col("cn2")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
@@ -126,15 +155,35 @@ object Ann {
       .select(col("qid"), col("rank"), col("cid"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Signature bits that keep expected bucket occupancy near
+    * `targetBucket` as the corpus grows (log₂(n / target)); more bits =
+    * smaller buckets, with multi-probe recovering the recall. */
+  def autoBits(corpusCount: Long, targetBucket: Int = 1024): Int =
+    math.max(4, math.ceil(math.log(math.max(1.0, corpusCount.toDouble / targetBucket)) / math.log(2.0)).toInt)
+
   /** LSH-bucketed ANN: equi-join on the signature bucket, exact cosine
-    * re-rank within buckets, top-k per query. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8): DataFrame = {
+    * re-rank within buckets, top-k per query. With `multiProbe` the
+    * query side also probes every Hamming-distance-1 bucket (nBits+1
+    * probes), recovering most of the recall a near-boundary vector loses
+    * to a single sign flip — which is what makes HIGHER nBits (smaller
+    * buckets, from [[autoBits]]) usable at scale: candidate volume per
+    * query stays ~(nBits+1)·occupancy instead of one giant bucket. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8,
+      multiProbe: Boolean = true): DataFrame = {
     val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"),
       norm2Decimal(col("embedding")).as("cn2"),
       lshSignature(col("embedding"), nBits).as("bucket"))
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+    val qBase = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
       norm2Decimal(col("embedding")).as("qn2"),
-      lshSignature(col("embedding"), nBits).as("bucket"))
+      lshSignature(col("embedding"), nBits).as("sig"))
+    val probes =
+      if (multiProbe)
+        array(col("sig") +: (0 until nBits).map(i => col("sig").bitwiseXOR(lit(1L << i))): _*)
+      else array(col("sig"))
+    val q = qBase.select(col("qid"), col("qe"), col("qn2"),
+      explode(probes).as("bucket"))
+    // a corpus row lives in exactly one bucket and the probe set is
+    // distinct, so each (cid, qid) pair joins at most once
     val scored = c.join(q, Seq("bucket"))
       .filter(col("cid") =!= col("qid"))
       .withColumn("dot", dotDecimal(col("qe"), col("ce")))
@@ -145,4 +194,11 @@ object Ann {
       .select(col("qid"), col("bucket"), col("rank"), col("cid"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  /** [[lshTopK]] with nBits sized from the actual corpus count — the
+    * shape to use when the corpus size is not known a priori (one cheap
+    * count job against the, typically columnar-pruned, id column). */
+  def lshTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
+      targetBucket: Int = 1024): DataFrame =
+    lshTopK(corpus, queries, k, autoBits(corpus.count(), targetBucket))
 }

@@ -51,24 +51,26 @@ object TextDedup {
     * the shingling k times (Catalyst collapses the projection), which is
     * a k× CPU regression — measured, not hypothetical. */
   def minhashCandidates(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", k: Int = 16, bands: Int = 4): DataFrame = {
+      idCol: String = "doc_id", k: Int = 16, bands: Int = 4,
+      shingleW: Int = 3): DataFrame = {
     val rows = k / bands
     require(rows * bands == k, "k must be divisible by bands")
     // Shingles never materialize as strings: a shingle is the xxhash64 of
-    // its word triple, and the k signature hashes reseed that long. Pure
+    // its word w-tuple, and the k signature hashes reseed that long. Pure
     // integer arithmetic per row after the split — no per-shingle string
     // allocation (which dominated CPU/GC in the string-shingle variant).
-    val w = 3
+    // shingleW=3 blocks on word ORDER (document near-dup); shingleW=1 is
+    // token-set minhash — the right blocking when the verifier is
+    // token-set Jaccard (reordered near-dups share tokens, not shingles).
+    val w = shingleW
     val words = split(col(textCol), " ")
     val exploded = docs
       .select(col(idCol).as("id"), words.as("ws"))
       .select(col("id"),
         explode(sequence(lit(0), greatest(size(col("ws")) - w, lit(0)))).as("i"),
         col("ws"))
-      .select(col("id"), xxhash64(
-        try_element_at(col("ws"), col("i") + 1),
-        try_element_at(col("ws"), col("i") + 2),
-        try_element_at(col("ws"), col("i") + 3)).as("sh"))
+      .select(col("id"),
+        xxhash64((1 to w).map(o => try_element_at(col("ws"), col("i") + o)): _*).as("sh"))
     val hashed = exploded.select(col("id") +:
       (0 until k).map(s => xxhash64(col("sh"), lit(s)).as(s"h$s")): _*)
     val sig = hashed.groupBy("id")

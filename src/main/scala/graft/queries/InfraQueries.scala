@@ -121,7 +121,7 @@ object InfraQueries {
         .select(col("user_id"), unix_micros(col("ts")).as("ts_micros"),
           col("event_type"))
         .as[StreamOps.SessionEvent]
-      StreamOps.sessionize(s, ev, gapMicros = 86400L * 1000000L)
+      StreamOps.sessionizeBatch(s, ev, gapMicros = 86400L * 1000000L)
         .toDF()
         .orderBy("user_id", "session_start")
     }),

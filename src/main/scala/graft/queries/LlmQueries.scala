@@ -35,31 +35,27 @@ object LlmQueries {
         .orderBy("n_copies")
     }),
 
-    // Near-dup discovery verified with exact token-set Jaccard, blocked
-    // by source (deterministic, oracle-expressible). The LSH variant
-    // below is the scale path; this is the exactness gate.
+    // Near-dup pipeline end-to-end: MinHash-LSH candidate generation
+    // (q72's scale path — banded equi-join, never all-pairs) followed by
+    // exact token-set Jaccard VERIFICATION of only those candidates.
+    // The oracle is the all-pairs ground truth on the same 5-source
+    // block, so a green hash also certifies 100% candidate recall at
+    // J ≥ 0.95 on this corpus. Blocking uses TOKEN-level minhash
+    // (shingleW=1 — the verifier is token-set Jaccard, and reordered
+    // near-dups share tokens, not 3-shingles) with bands=8/rows=4:
+    // P[miss | J=0.95] = (1-0.95⁴)⁸ ≈ 1e-6 per pair, 0 for identical
+    // token sets.
     "q71_jaccard_neardup" -> ((s, dir) => {
-      // Exactness gate on a block subset (5 sources): the LSH variant
-      // (q72) is the full-corpus scale path; this verifies jaccard math
-      // exactly on a bounded block.
       val d = t(s, dir, "documents")
         .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
-        .select(col("doc_id"), col("source"),
-          array_distinct(split(col("text"), " ")).as("toks"))
-      val a = d.alias("a"); val b = d.alias("b")
-      val inter = size(array_intersect(col("a.toks"), col("b.toks")))
-      val j = inter.cast(DoubleType) /
-        (size(col("a.toks")) + size(col("b.toks")) - inter).cast(DoubleType)
-      // length prune: jaccard ≥ t implies min(|A|,|B|) ≥ t·max(|A|,|B|),
-      // so this cheap predicate cannot change the result set but skips
-      // the O(|A|+|B|) intersect for most candidate pairs.
-      val lengthCompatible =
-        size(col("a.toks")).cast(DoubleType) >= lit(0.95) * size(col("b.toks")) &&
-          size(col("b.toks")).cast(DoubleType) >= lit(0.95) * size(col("a.toks"))
-      a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id") &&
-          lengthCompatible)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), j.as("jaccard"))
+      val toks = d.select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      TextDedup.minhashCandidates(d, k = 32, bands = 8, shingleW = 1)
+        .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+        .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
+        .withColumn("jaccard", TextDedup.jaccard(col("ta"), col("tb")))
         .filter(col("jaccard") >= 0.95)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -202,14 +198,17 @@ object LlmQueries {
         |  FROM documents GROUP BY 1)
         |SELECT n_copies, COUNT(*) AS n_groups, MIN(keeper) AS first_keeper
         |FROM g GROUP BY n_copies ORDER BY n_copies""".stripMargin,
+    // ALL-PAIRS ground truth over the 5-source block (tractable in
+    // DuckDB at oracle scale): the Spark side must recover every one of
+    // these pairs from LSH candidates alone.
     "q71_jaccard_neardup" ->
-      """WITH s AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+      """WITH s AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
         |           FROM documents
         |           WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4'))
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
-        |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.95
         |ORDER BY doc_a, doc_b""".stripMargin,

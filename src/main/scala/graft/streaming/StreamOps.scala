@@ -15,12 +15,14 @@ import org.apache.spark.sql.types.StructType
 object StreamOps {
 
   /** Windowed event counts as a stream: tumbling window + watermark for
-    * late data, memory sink, driven to completion synchronously.
-    * Returns the final result as a DataFrame (window bounds flattened).
+    * late data, Trigger.AvailableNow, parquet result via foreachBatch.
+    * Returns the final result read back from disk (window bounds
+    * flattened).
     *
-    * At scale this is readStream over an append-only table/dir with
-    * Trigger.AvailableNow and a real sink; the aggregation/watermark
-    * semantics are identical.
+    * The sink is an executor-side parquet write per trigger (complete
+    * mode snapshots the aggregate), NOT a driver-side memory sink — the
+    * aggregate state and the write both stay distributed, so the same
+    * code runs against an unbounded append-only table at scale.
     */
   def windowedCountsAvailableNow(spark: SparkSession, srcDir: String,
       schema: StructType, windowDur: String = "1 day",
@@ -35,14 +37,16 @@ object StreamOps {
       .withWatermark("ts_ts", "1 hour")
       .groupBy(window(col("ts_ts"), windowDur), col("event_type"))
       .agg(count(lit(1)).as("n"))
+    val outDir = java.nio.file.Files.createTempDirectory(queryName).toString
     val q = agg.writeStream
       .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
       .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
+    q.awaitTermination()
+    spark.read.parquet(outDir)
       .select(to_date(col("window.start")).as("day"), col("event_type"), col("n"))
   }
 
@@ -51,15 +55,48 @@ object StreamOps {
   final case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
       n_events: Long)
 
+  /** Gap-based sessionization for BOUNDED batches via window functions —
+    * the scale path: a sort-based window (spill-aware, fully
+    * distributed) marks session starts with lag(), numbers sessions
+    * with a running sum, aggregates bounds per (user, session), and
+    * drops each user's still-open last session (matching the streaming
+    * form, which only emits closed sessions). No per-user history is
+    * ever collected on one executor beyond the window sort's spillable
+    * run. */
+  def sessionizeBatch(spark: SparkSession, events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapMicros: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_micros")
+    val sessions = events.toDF()
+      .withColumn("new_s",
+        when(lag(col("ts_micros"), 1).over(byUser).isNull
+          .or(col("ts_micros") - lag(col("ts_micros"), 1).over(byUser) > gapMicros), 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_micros")).as("session_start"),
+        max(col("ts_micros")).as("session_end"),
+        count(lit(1)).as("n_events"))
+    sessions
+      .withColumn("max_sid", max(col("sid")).over(Window.partitionBy("user_id")))
+      .filter(col("sid") < col("max_sid"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .as[SessionOut]
+  }
+
   /** Custom per-key state: gap-based sessionization via
     * flatMapGroupsWithState (SURVEY: KeyValueGroupedDataset custom
     * state). Events for a user belong to one session while gaps stay
     * under `gapMicros`; a larger gap closes the session and emits it.
-    * Works identically over a stream (Append mode + timeout) or, as
-    * here, a bounded batch driven synchronously.
+    * Works identically over a stream (Append mode + timeout) or over a
+    * bounded batch driven synchronously.
     *
-    * Scale: state is O(1) per active user key, partitioned by user —
-    * the standard streaming-sessionization layout.
+    * Scale: state is O(1) per active user key, partitioned by user. The
+    * per-invocation sort buffers ONE GROUP'S rows for ONE TRIGGER —
+    * bounded by the micro-batch in streaming use (StreamOpsSpec asserts
+    * the bounded-batch precondition); unbounded batch sessionization
+    * should use [[sessionizeBatch]] instead.
     */
   def sessionize(spark: SparkSession, events: org.apache.spark.sql.Dataset[SessionEvent],
       gapMicros: Long): org.apache.spark.sql.Dataset[SessionOut] = {

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Ann
+
+/** Recall properties of the approximate ANN paths against the exact
+  * brute-force baseline, on the sf0.001 embeddings fixture. The data
+  * and all hashing are deterministic, so these are exact assertions,
+  * not statistical ones.
+  */
+class AnnRecallSpec extends SparkTestBase {
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("qid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def recall(approx: Set[(Long, Long)], truth: Set[(Long, Long)]): Double =
+    if (truth.isEmpty) 1.0 else approx.intersect(truth).size.toDouble / truth.size
+
+  test("LSH multi-probe recall >= single-probe recall (and both nonzero)") {
+    val queries = emb.filter(col("vec_id") < 50)
+    val truth = pairs(Ann.bruteForceTopK(emb, queries, k = 3))
+    val single = recall(pairs(Ann.lshTopK(emb, queries, k = 3, nBits = 6, multiProbe = false)), truth)
+    val multi = recall(pairs(Ann.lshTopK(emb, queries, k = 3, nBits = 6, multiProbe = true)), truth)
+    assert(multi >= single, s"multi-probe recall $multi < single-probe $single")
+    assert(multi > 0.0)
+  }
+
+  test("autoBits scales bucket count with corpus size") {
+    assert(Ann.autoBits(1024L * 1024, targetBucket = 1024) == 10)
+    assert(Ann.autoBits(100, targetBucket = 1024) == 4) // floor
+    assert(Ann.autoBits(1L << 40, targetBucket = 1024) == 30)
+  }
+
+  test("IVF with a Lloyd step returns top-k candidates with positive recall") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val truth = pairs(Ann.bruteForceTopK(emb, queries, k = 3))
+    val ivf = pairs(Ann.ivfTopK(emb, queries, k = 3, nCells = 16, nProbe = 4))
+    assert(recall(ivf, truth) > 0.0)
+    // every query got answers (probing never empties a query's candidate set)
+    val qids = Ann.ivfTopK(emb, queries, k = 3).select("qid").distinct().count()
+    assert(qids == queries.count())
+  }
+}

@@ -74,6 +74,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("Generate explode"), s"missing explode rewrite:\n$p")
   }
 
+  test("no driver-side memory sink anywhere in src/main") {
+    // the streaming rollup must write through a distributed sink; a
+    // format("memory") sink materializes the aggregate on the driver
+    val srcRoot = java.nio.file.Path.of("src/main/scala")
+    val offenders = java.nio.file.Files.walk(srcRoot).iterator()
+    val bad = scala.jdk.CollectionConverters.IteratorHasAsScala(offenders).asScala
+      .filter(_.toString.endsWith(".scala"))
+      .filter(p => java.nio.file.Files.readString(p).contains("format(\"memory\")"))
+      .toList
+    assert(bad.isEmpty, s"memory sink found in: ${bad.mkString(", ")}")
+  }
+
   test("nested struct-field predicate pushes down (P7 shape)") {
     // P7: predicate on a nested field reaches the scan as a pushed filter
     val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
