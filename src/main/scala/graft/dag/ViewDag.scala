@@ -19,7 +19,12 @@ import scala.collection.mutable
   */
 final case class ViewDef(name: String, sql: String)
 
-final case class DagResult(order: Seq[String], deployed: Seq[String], skipped: Boolean)
+/** `deployed` actually re-registered this call; `unchanged` skipped
+  * because their rendered text matches what the session already has
+  * (the per-object diff of update_schema.py:374-421 `needs_update`);
+  * `skipped` = the whole tree short-circuited on `lastHash`. */
+final case class DagResult(order: Seq[String], deployed: Seq[String], skipped: Boolean,
+    unchanged: Seq[String] = Nil)
 
 object ViewDag {
 
@@ -62,23 +67,45 @@ object ViewDag {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** Per-session record of each view's deployed rendered text — the
+    * "live catalog" side of the needs_update diff. Weak keys: dropping a
+    * session drops its registry. */
+  private val deployedTexts =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, mutable.Map[String, String]]())
+
   /** Deploy: register every view as a temp view in topo order. `resolve`
     * maps external ref names to existing table/view identifiers (the
-    * staging mapper hook). `lastHash` short-circuits unchanged trees. */
+    * staging mapper hook). `lastHash` short-circuits whole unchanged
+    * trees; below that, a per-object diff against the session's
+    * previously-deployed text skips no-op re-registrations
+    * (update_schema.py:374-421 `needs_update`). Views register from SQL
+    * TEXT (`CREATE OR REPLACE TEMPORARY VIEW`), so references re-resolve
+    * by name at use — a redeployed dependency propagates to unchanged
+    * dependents without re-registering them. */
   def deploy(spark: SparkSession, views: Seq[ViewDef],
       resolve: String => String = identity,
       lastHash: Option[String] = None): DagResult = {
     val hash = treeHash(views)
     if (lastHash.contains(hash)) return DagResult(Nil, Nil, skipped = true)
+    val registry = deployedTexts.synchronized {
+      deployedTexts.computeIfAbsent(spark, _ => mutable.Map[String, String]())
+    }
     val byName = views.map(v => v.name -> v).toMap
     val order = topoSort(views)
-    val deployed = order.map { name =>
+    val deployed = mutable.ArrayBuffer[String]()
+    val unchanged = mutable.ArrayBuffer[String]()
+    order.foreach { name =>
       val rendered = render(byName(name).sql,
         ref => if (byName.contains(ref)) ref else resolve(ref))
-      spark.sql(rendered).createOrReplaceTempView(name)
-      name
+      if (registry.get(name).contains(rendered)) unchanged += name
+      else {
+        spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$name` AS $rendered")
+        registry(name) = rendered
+        deployed += name
+      }
     }
-    DagResult(order, deployed, skipped = false)
+    DagResult(order, deployed.toSeq, skipped = false, unchanged.toSeq)
   }
 
   /** Run a deployed view to a DataFrame. */
