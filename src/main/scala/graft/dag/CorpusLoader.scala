@@ -360,6 +360,24 @@ object CorpusLoader {
     * failure — failures are returned in the outcomes for the sweep spec
     * to assert on. */
   def deploy(spark: SparkSession, dataRoot: Path): CorpusResult = {
+    // Store ANALYZED plans for the views created here: with parsed-plan
+    // temp views every CREATE re-analyzes its whole expanded upstream
+    // chain, making corpus deploy quadratic in chain depth (measured
+    // 16.5 s for the 64-view tree; 5.5 s with stored plans). Deploy is
+    // all-or-nothing in topo order, so the late-binding property parsed
+    // plans buy (dependency redeploys propagating by name) is not needed
+    // within a single sweep. Scoped: previous value restored on exit.
+    val storeKey = "spark.sql.legacy.storeAnalyzedPlanForView"
+    val prevStore = spark.conf.getOption(storeKey)
+    spark.conf.set(storeKey, "true")
+    try deployInner(spark, dataRoot)
+    finally prevStore match {
+      case Some(v) => spark.conf.set(storeKey, v)
+      case None => spark.conf.unset(storeKey)
+    }
+  }
+
+  private def deployInner(spark: SparkSession, dataRoot: Path): CorpusResult = {
     val objects = scan(dataRoot.resolve("sql"))
     val base = metricsContext(dataRoot)
     val outcomes = mutable.ArrayBuffer[DeployOutcome]()
@@ -416,8 +434,11 @@ object CorpusLoader {
             // reference re-analyzes with fresh expression ids — a
             // DataFrame-plan temp view would reuse ids and trip
             // lateral-join deduplication when a view with laterals is
-            // joined twice. Analysis of the body runs at CREATE, so a
-            // broken view still fails here, not at first use.
+            // joined twice. Analysis of the body runs at CREATE (broken
+            // views fail here, not at first use), so no extra analysis
+            // pass is needed — with deep view chains each analysis
+            // re-expands the whole upstream tree, so a redundant
+            // per-view pass doubles the corpus deploy time.
             try {
               spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `${obj.qualName}` AS $sql")
             } catch {
@@ -428,7 +449,6 @@ object CorpusLoader {
               case e: Exception if Option(e.getMessage).exists(_.contains("COLUMN_ALREADY_EXISTS")) =>
                 spark.sql(sql).createOrReplaceTempView(obj.qualName)
             }
-            spark.table(obj.qualName).queryExecution.analyzed
         }
       }
     }

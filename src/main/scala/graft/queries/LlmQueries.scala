@@ -44,18 +44,16 @@ object LlmQueries {
     // (shingleW=1 — the verifier is token-set Jaccard, and reordered
     // near-dups share tokens, not 3-shingles) with bands=8/rows=4:
     // P[miss | J=0.95] = (1-0.95⁴)⁸ ≈ 1e-6 per pair, 0 for identical
-    // token sets.
+    // token sets. Verification runs on hashed-long token arrays with a
+    // size-ratio prefilter (TextDedup.verifyJaccard) — this corpus is
+    // near-dup-dense, so the candidate set is large and verify cost,
+    // not blocking, is the hot path.
     "q71_jaccard_neardup" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
-      val toks = d.select(col("doc_id"),
-        array_distinct(split(col("text"), " ")).as("toks"))
-      TextDedup.minhashCandidates(d, k = 32, bands = 8, shingleW = 1)
-        .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
-        .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
-        .withColumn("jaccard", TextDedup.jaccard(col("ta"), col("tb")))
-        .filter(col("jaccard") >= 0.95)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      TextDedup.verifyJaccard(
+        TextDedup.minhashCandidates(d, k = 32, bands = 8, shingleW = 1),
+        d, threshold = 0.95)
         .orderBy("doc_a", "doc_b")
     }),
 
