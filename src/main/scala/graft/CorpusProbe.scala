@@ -16,9 +16,22 @@ object CorpusProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val result = CorpusLoader.deploy(spark, root)
+    val rowsPerTable = args.lift(1).map(_.toInt).getOrElse(0)
+    val result = CorpusLoader.deploy(spark, root, rowsPerTable)
     val byKind = result.outcomes.groupBy(_.kind)
     byKind.foreach { case (k, os) => println(s"$k: ${os.count(_.ok)}/${os.size} ok") }
+    if (rowsPerTable > 0) {
+      val t0 = System.nanoTime()
+      val execs = CorpusLoader.executeAll(spark, result)
+      println(f"exec: ${execs.count(_.ok)}/${execs.size} ok, " +
+        s"${execs.count(_.rows > 0)} nonempty, ${math.round((System.nanoTime() - t0) / 1e8) / 10.0} s")
+      execs.filterNot(_.ok).foreach { e =>
+        println(s"EXECFAIL ${e.dataset}.${e.name}: ${e.error.getOrElse("?").replace('\n', ' ').take(400)}")
+      }
+      execs.filter(_.ok).sortBy(-_.rows).take(10).foreach(e => println(s"  ${e.rows} rows  ${e.dataset}.${e.name}"))
+      println("slowest:")
+      execs.sortBy(-_.millis).take(12).foreach(e => println(s"  ${e.millis} ms  ${e.dataset}.${e.name}"))
+    }
     val sqls = CorpusLoader.renderedSql(root)
     val dumpDir = java.nio.file.Path.of("/tmp/corpus_fail")
     java.nio.file.Files.createDirectories(dumpDir)

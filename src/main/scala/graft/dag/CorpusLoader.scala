@@ -294,26 +294,82 @@ object CorpusLoader {
          |  WHEN array_contains($ranks, 'local-10k') THEN 2.5
          |  ELSE 1 END AS DECIMAL(38,9))""".stripMargin
     Map(
-      // routines/WEBCOMPAT_HOST/routine.sql — www./m. prefix strip
+      // routines/WEBCOMPAT_HOST/routine.sql — www./m. prefix strip.
+      // NET.HOST is best-effort on scheme-less input (crux host_min_ranks
+      // stores bare hostnames), so default a scheme in before parse_url.
       "WEBCOMPAT_HOST" ->
-        """CASE WHEN startswith(parse_url(url, 'HOST'), 'www.')
-          |       THEN substring(parse_url(url, 'HOST'), 5)
-          |     WHEN startswith(parse_url(url, 'HOST'), 'm.')
-          |       THEN substring(parse_url(url, 'HOST'), 3)
-          |     ELSE parse_url(url, 'HOST') END""".stripMargin,
+        """CASE WHEN startswith(parse_url(IF(contains(url, '://'), url, concat('http://', url)), 'HOST'), 'www.')
+          |       THEN substring(parse_url(IF(contains(url, '://'), url, concat('http://', url)), 'HOST'), 5)
+          |     WHEN startswith(parse_url(IF(contains(url, '://'), url, concat('http://', url)), 'HOST'), 'm.')
+          |       THEN substring(parse_url(IF(contains(url, '://'), url, concat('http://', url)), 'HOST'), 3)
+          |     ELSE parse_url(IF(contains(url, '://'), url, concat('http://', url)), 'HOST') END""".stripMargin,
       // routines/BUG_ID_FROM_BUGZILLA_URL/routine.sql — id= param extract
       "BUG_ID_FROM_BUGZILLA_URL" ->
         """try_cast(nullif(regexp_extract(
           |  regexp_extract(url, 'https://bugzilla\\.mozilla\\.org/show_bug\\.cgi\\?(.+)', 1),
           |  '(?:^|&)id=([^&#]+)', 1), '') AS BIGINT)""".stripMargin,
-      // product of sums over dim_bug_score → NULL over the empty dim
+      // NO_SITE_RANK pair: replaced per-deploy by [[dimScoreOverrides]]
+      // (dim-inlined real bodies when dim_bug_score has rows); these
+      // entries only document the empty-dim value.
       "WEBCOMPAT_METRIC_SCORE_NO_SITE_RANK" -> "CAST(NULL AS DECIMAL(38,9))",
-      "WEBCOMPAT_METRIC_SCORE_NO_SITE_RANK_before_202505201534" -> "CAST(NULL AS DECIMAL(38,9))",
+      "WEBCOMPAT_METRIC_SCORE_NO_SITE_RANK_before_202505201534" -> "CAST(NULL AS DOUBLE)",
       "WEBCOMPAT_METRIC_SCORE_SITE_RANK_MODIFIER" ->
         overrideCase(s"$extractArray(user_story, '$$.site-rank-override')"),
       // pre-202505 signature (url, crux_yyyymm): IFNULL(agg-over-empty, 1)
       "WEBCOMPAT_METRIC_SCORE_SITE_RANK_MODIFER_before_202505201534" -> "CAST(1 AS DECIMAL(38,9))",
       "WEBCOMPAT_METRIC_SCORE_SITE_RANK_MODIFIER_BEFORE_RESCORE_SITE_RANKS_UPDATE_202603" -> "CAST(1 AS DECIMAL(38,9))")
+  }
+
+  /** Real bodies for the WEBCOMPAT_METRIC_SCORE_NO_SITE_RANK pair,
+    * built at deploy time by INLINING dim_bug_score's rows as a literal
+    * array and folding it with `aggregate()` lambdas over the function
+    * args. The originals (routines/WEBCOMPAT_METRIC_SCORE_NO_SITE_RANK/
+    * routine.sql) are a product of conditional SUMs over dim_bug_score
+    * correlated on the args — Spark SQL UDFs reject correlated
+    * subqueries AND subqueries inside higher-order functions, but a dim
+    * folded as a literal needs neither. dim_bug_score is a config dim
+    * (dozens of rows at any corpus scale — it scores severities and
+    * impact levels, not data), so the inlined body stays small; this is
+    * deploy-time constant-broadcasting, the same trade a warehouse
+    * deploy makes when it snapshots a routine against its day's config.
+    * Over an empty dim the originals return NULL (SUM over zero rows),
+    * matching the schema-only analyze deploys. */
+  private def dimScoreOverrides(spark: SparkSession): Map[String, String] = {
+    val noRank = "WEBCOMPAT_METRIC_SCORE_NO_SITE_RANK"
+    val noRankOld = "WEBCOMPAT_METRIC_SCORE_NO_SITE_RANK_before_202505201534"
+    val dim = qual("webcompat_knowledge_base", "dim_bug_score")
+    val rows =
+      if (spark.catalog.tableExists(dim))
+        spark.table(dim)
+          .selectExpr("lookup_type", "lookup_value", "CAST(score AS DECIMAL(38,9)) AS score")
+          .filter("lookup_type IS NOT NULL AND lookup_value IS NOT NULL AND score IS NOT NULL")
+          .collect()
+      else Array.empty[Row]
+    if (rows.isEmpty)
+      Map(noRank -> "CAST(NULL AS DECIMAL(38,9))", noRankOld -> "CAST(NULL AS DOUBLE)")
+    else {
+      def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+      val lit = rows.map { r =>
+        s"named_struct('t', '${esc(r.getString(0))}', 'v', '${esc(r.getString(1))}', " +
+          s"'s', CAST(${r.getDecimal(2).toPlainString} AS DECIMAL(38,9)))"
+      }.mkString("array(", ", ", ")")
+      // decimal addition widens (38,9)+(38,9) → (38,8), so the fold
+      // result must be cast back to the accumulator's type
+      def term(cond: String) =
+        s"aggregate($lit, CAST(0 AS DECIMAL(38,9)), (acc, w) -> CAST(acc + IF($cond, w.s, CAST(0 AS DECIMAL(38,9))) AS DECIMAL(38,9)))"
+      val d = "$" // JSON paths, kept out of the interpolator
+      val impact = term(s"w.t = 'impact' AND w.v = get_json_object(user_story, '$d.impact')")
+      val platform = term(s"w.t = 'platform' AND array_contains(split(get_json_object(user_story, '$d.platform'), ','), w.v)")
+      val config = term(s"w.t = 'configuration' AND w.v = IFNULL(get_json_object(user_story, '$d.configuration'), 'general')")
+      val affects = term(s"w.t = 'users_affected' AND w.v = IFNULL(get_json_object(user_story, '$d.affects'), 'all')")
+      val patch = term("w.t = 'patch_applied' AND w.v = IF(array_contains(keywords, 'webcompat:sitepatch-applied'), " +
+        "IF(array_contains(keywords, 'webcompat:platform-bug'), 'platform-bug', 'site-bug'), 'none')")
+      val branch = term(s"w.t = 'branch' AND w.v = IFNULL(get_json_object(user_story, '$d.branch'), 'release')")
+      val patchOld = term("w.t = 'patch_applied' AND w.v = IF(array_contains(keywords, 'webcompat:sitepatch-applied'), '1', '0')")
+      Map(
+        noRank -> s"CAST($impact * $platform * $config * $affects * $patch * $branch AS DECIMAL(38,9))",
+        noRankOld -> s"CAST($impact * $platform * $config * $affects * $patchOld AS DOUBLE)")
+    }
   }
 
   /** Index of the ')' matching the '(' at `open`. */
@@ -354,42 +410,52 @@ object CorpusLoader {
 
   // ---- deploy ----------------------------------------------------------
 
-  /** Deploy the whole corpus into the session: every table as an empty
-    * schema-typed temp view, every routine as a SQL UDF, every view as a
-    * temp view, in dependency order. Never throws on a per-object
-    * failure — failures are returned in the outcomes for the sweep spec
-    * to assert on. */
-  def deploy(spark: SparkSession, dataRoot: Path): CorpusResult = {
-    // Store ANALYZED plans for the views created here: with parsed-plan
-    // temp views every CREATE re-analyzes its whole expanded upstream
-    // chain, making corpus deploy quadratic in chain depth (measured
-    // 16.5 s for the 64-view tree; 5.5 s with stored plans). Deploy is
-    // all-or-nothing in topo order, so the late-binding property parsed
-    // plans buy (dependency redeploys propagating by name) is not needed
-    // within a single sweep. Scoped: previous value restored on exit.
+  /** Deploy the whole corpus into the session: every table as a
+    * schema-typed temp view (empty by default, or `rowsPerTable`
+    * [[SyntheticRows]] each for the execution sweep), every routine as a
+    * SQL UDF, every view as a temp view, in dependency order. Never
+    * throws on a per-object failure — failures are returned in the
+    * outcomes for the sweep spec to assert on.
+    *
+    * `storeAnalyzed = true` (the fast path for the ANALYZE-ONLY q108
+    * sweep — 5.5 s vs 16.5 s for the 64-view tree, because parsed-plan
+    * temp views re-analyze their whole expanded upstream chain at every
+    * CREATE, quadratic in chain depth) is NOT execution-safe: when a
+    * stored-analyzed view chain embeds nested `WithCTE` nodes, Spark's
+    * `InlineCTE`/`DeduplicateRelations` crash at optimization time
+    * ("Invalid call to exprId on unresolved object" on the corpus;
+    * `key not found` on a 3-view minimal repro — a Spark 4.1 bug).
+    * Any deploy whose views will be EXECUTED (q109, CorpusExecSpec)
+    * must use `storeAnalyzed = false`; with `rowsPerTable > 0` the
+    * stand-ins carry [[SyntheticRows]] data either way. */
+  def deploy(spark: SparkSession, dataRoot: Path, rowsPerTable: Int = 0,
+      storeAnalyzed: Boolean = false): CorpusResult = {
+    // Scoped: previous value restored on exit.
     val storeKey = "spark.sql.legacy.storeAnalyzedPlanForView"
     val prevStore = spark.conf.getOption(storeKey)
-    spark.conf.set(storeKey, "true")
-    try deployInner(spark, dataRoot)
+    spark.conf.set(storeKey, storeAnalyzed.toString)
+    try deployInner(spark, dataRoot, rowsPerTable)
     finally prevStore match {
       case Some(v) => spark.conf.set(storeKey, v)
       case None => spark.conf.unset(storeKey)
     }
   }
 
-  private def deployInner(spark: SparkSession, dataRoot: Path): CorpusResult = {
+  private def deployInner(spark: SparkSession, dataRoot: Path, rowsPerTable: Int): CorpusResult = {
     val objects = scan(dataRoot.resolve("sql"))
     val base = metricsContext(dataRoot)
     val outcomes = mutable.ArrayBuffer[DeployOutcome]()
+    def standIn(qual: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+      if (rowsPerTable > 0) SyntheticRows.df(spark, qual, schema, rowsPerTable)
+      else spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
 
-    // 1. Tables: schema-only stand-ins. No dependencies.
+    // 1. Tables: schema-typed stand-ins. No dependencies.
     val tables = objects.filter(_.kind == "table")
     tables.foreach { obj =>
       outcomes += attempt(obj) {
         val rendered = JinjaLite.render(obj.template, templateContext(base, obj))
         val schema = TomlSchema.tableSchema(rendered, obj.metaToml).toStructType
-        spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-          .createOrReplaceTempView(obj.qualName)
+        standIn(obj.qualName, schema).createOrReplaceTempView(obj.qualName)
       }
     }
 
@@ -402,13 +468,15 @@ object CorpusLoader {
     externalRefs.foreach { q =>
       val schema = externalSchemas.getOrElse(q,
         sys.error(s"No stand-in schema for external ref '$q'"))
-      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-        .createOrReplaceTempView(q)
+      standIn(q, schema).createOrReplaceTempView(q)
     }
 
     // 3. Routines + views, DFS-postorder over ref() edges extracted from
     // the *raw* templates (quoted-literal refs only; the routine
-    // self-ref `ref(name)` carries no dependency).
+    // self-ref `ref(name)` carries no dependency). Overrides are
+    // resolved now — the dim-inlined score routines read the
+    // just-registered dim_bug_score stand-in.
+    val overrides = routineOverrides ++ dimScoreOverrides(spark)
     val deployable = objects.filterNot(_.kind == "table")
     val byQual = deployable.map(o => o.qualName -> o).toMap
     val deps: Map[String, Seq[String]] = deployable.map { o =>
@@ -418,7 +486,7 @@ object CorpusLoader {
     val order = topoOrder(deployable.map(_.qualName), deps)
 
     order.map(byQual).foreach { obj =>
-      val overrideBody = if (obj.kind == "routine") routineOverrides.get(obj.name) else None
+      val overrideBody = if (obj.kind == "routine") overrides.get(obj.name) else None
       val note = overrideBody.map(_ => "spark-native override body (see routineOverrides)")
       outcomes += attempt(obj, note) {
         val rendered = JinjaLite.render(obj.template, templateContext(base, obj))
@@ -492,6 +560,61 @@ object CorpusLoader {
         else Dialect.translate(r)
       } catch { case e: Throwable => s"-- render error: ${e.getMessage}" })
     }.toMap
+  }
+
+  // ---- execution sweep -------------------------------------------------
+
+  final case class ExecOutcome(dataset: String, name: String, ok: Boolean,
+      rows: Long, error: Option[String], millis: Long = 0L)
+
+  /** Execute every successfully deployed view end-to-end (runs the whole
+    * physical plan, unlike the analysis pass at CREATE). With
+    * `deploy(…, rowsPerTable > 0)` this exercises the runtime surface
+    * analysis can't reach: UDF bodies, casts under ANSI, regexes, JSON
+    * paths, date parsing. Never throws; failures come back as outcomes.
+    *
+    * Views are MATERIALIZED bottom-up: outcomes arrive in deploy
+    * (= topological) order, and after a view executes, its temp view is
+    * replaced by its collected result, so every consumer reads a local
+    * relation instead of re-running the upstream chain — the same shape
+    * as a warehouse deploy materializing each object, and the difference
+    * between O(views) and O(views × chain-size) work (the corpus's
+    * priority-score views carry 7 decorrelated EXISTS + 4 scalar
+    * subqueries each; live-chained they alone take >100 s at 40-row
+    * fixtures). Requires a parsed-plan deploy (`storeAnalyzed = false`,
+    * the default) so consumers re-bind to the materialized stand-in by
+    * name. After the sweep the session's view names hold data snapshots;
+    * redeploy to get live views back. `capRows` bounds each collect
+    * against runaway results (a view exceeding it fails its outcome). */
+  def executeAll(spark: SparkSession, result: CorpusResult,
+      capRows: Int = 100000): Seq[ExecOutcome] =
+    result.outcomes.filter(o => o.kind == "view" && o.ok).map { o =>
+      val t0 = System.nanoTime()
+      val q = qual(o.dataset, o.name)
+      try {
+        val df = spark.table(q)
+        val rows = df.limit(capRows + 1).collect()
+        require(rows.length <= capRows, s"result exceeded $capRows rows")
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+          .createOrReplaceTempView(q)
+        ExecOutcome(o.dataset, o.name, ok = true, rows.length.toLong, None,
+          (System.nanoTime() - t0) / 1000000)
+      } catch {
+        case e: Throwable => ExecOutcome(o.dataset, o.name, ok = false, -1L,
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500)),
+          (System.nanoTime() - t0) / 1000000)
+      }
+    }
+
+  /** Per-dataset execution summary — the q109 surface. `n_nonempty`
+    * (views returning rows over the synthetic fixture) is deterministic
+    * because [[SyntheticRows]] is, and guards against an all-empty
+    * "success" where every join silently mismatches. */
+  def execSummary(spark: SparkSession, execs: Seq[ExecOutcome]): DataFrame = {
+    import spark.implicits._
+    execs.groupBy(_.dataset).toSeq.map { case (ds, os) =>
+      (ds, os.size.toLong, os.count(_.ok).toLong, os.count(_.rows > 0).toLong)
+    }.sortBy(_._1).toDF("dataset", "n_views", "n_exec_ok", "n_nonempty")
   }
 
   /** Per-dataset sweep summary as a DataFrame — the q108 surface. */

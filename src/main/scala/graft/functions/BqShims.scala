@@ -75,7 +75,12 @@ object BqShims {
     lower(h).contains(lit(needle.toLowerCase))
 
   /** NET.HOST(url) — registrable host of a URL (no port). */
-  def netHost(url: Column): Column = parse_url(url, lit("HOST"))
+  /** NET.HOST is best-effort on scheme-less input ("www.abc.xyz" →
+    * "www.abc.xyz" per the BigQuery docs) — the corpus relies on this,
+    * calling WEBCOMPAT_HOST on bare crux hostnames. Spark's parse_url
+    * returns NULL without a scheme, so default one in. */
+  def netHost(url: Column): Column =
+    parse_url(when(url.contains("://"), url).otherwise(concat(lit("http://"), url)), lit("HOST"))
 
   /** NULLIF(a, b) */
   def nullIf(a: Column, b: Column): Column = when(a === b, lit(null)).otherwise(a)

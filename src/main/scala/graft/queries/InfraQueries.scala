@@ -145,8 +145,26 @@ object InfraQueries {
     // n_ok = n_objects (zero failures).
     "q108_corpus_sweep" -> ((s, _) => {
       val root = java.nio.file.Path.of("/root/reference/jobs/webcompat-kb/data")
-      val result = CorpusLoader.deploy(s, root)
+      // analyze-only sweep: stored-analyzed plans are safe here and 3x
+      // faster (see CorpusLoader.deploy's contract); q109 executes and
+      // therefore uses parsed plans
+      val result = CorpusLoader.deploy(s, root, storeAnalyzed = true)
       CorpusLoader.sweepSummary(s, result).orderBy("dataset", "kind")
+    }),
+
+    // The corpus EXECUTION sweep: deploy with a deterministic 64-row
+    // SyntheticRows fixture in every table stand-in, then run all 64
+    // views end-to-end bottom-up (each materialized before its
+    // consumers — see CorpusLoader.executeAll). Analysis proves the SQL
+    // translates; this proves it RUNS: UDF bodies, ANSI casts, regexes,
+    // JSON paths, date arithmetic all execute on real rows, and every
+    // view must come back non-empty (the fixture's vocabularies are
+    // tuned so each view's filters/joins keep rows). Oracle pins the
+    // golden per-dataset outcome.
+    "q109_corpus_exec" -> ((s, _) => {
+      val root = java.nio.file.Path.of("/root/reference/jobs/webcompat-kb/data")
+      val result = CorpusLoader.deploy(s, root, rowsPerTable = 64)
+      CorpusLoader.execSummary(s, CorpusLoader.executeAll(s, result)).orderBy("dataset")
     })
   )
 
@@ -239,6 +257,20 @@ object InfraQueries {
         |  ('webcompat_user_reports', 'table', 1, 1),
         |  ('webcompat_user_reports', 'view', 2, 2)
         |) AS t(dataset, kind, n_objects, n_ok)
-        |ORDER BY dataset, kind""".stripMargin
+        |ORDER BY dataset, kind""".stripMargin,
+    // Golden execution outcome: every deployed view executes over the
+    // 64-row fixture AND returns rows (n_views = n_exec_ok = n_nonempty).
+    "q109_corpus_exec" ->
+      """SELECT dataset, n_views::BIGINT AS n_views, n_exec_ok::BIGINT AS n_exec_ok,
+        |       n_nonempty::BIGINT AS n_nonempty
+        |FROM (VALUES
+        |  ('autowebcompat', 1, 1, 1),
+        |  ('web_features', 1, 1, 1),
+        |  ('webcompat_knowledge_base', 57, 57, 57),
+        |  ('webcompat_knowledge_base_archive', 2, 2, 2),
+        |  ('webcompat_risks', 1, 1, 1),
+        |  ('webcompat_user_reports', 2, 2, 2)
+        |) AS t(dataset, n_views, n_exec_ok, n_nonempty)
+        |ORDER BY dataset""".stripMargin
   )
 }

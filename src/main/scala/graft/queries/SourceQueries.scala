@@ -87,8 +87,10 @@ object SourceQueries {
       Seq(202407L, 202409L, 202408L).foreach { m =>
         t(s, dir, "region").limit(1).createOrReplaceTempView(s"crux_$m")
       }
+      // exact month-suffix match: the session catalog may also hold the
+      // q109 corpus deploy's crux_imported__* views, which are not probes
       val latest = s.catalog.listTables()
-        .filter(col("name").startsWith("crux_"))
+        .filter(col("name").rlike("^crux_\\d+$"))
         .select(regexp_extract(col("name"), "crux_(\\d+)", 1).cast(LongType).as("yyyymm"))
         .agg(max("yyyymm").as("yyyymm"))
       latest

@@ -18,7 +18,7 @@ class CorpusSweepSpec extends SparkTestBase {
 
   test("full corpus deploys: 80 tables, 16 routines, 64 views, zero failures") {
     assume(available, "reference corpus not present")
-    val result = CorpusLoader.deploy(spark, dataRoot)
+    val result = CorpusLoader.deploy(spark, dataRoot, storeAnalyzed = true)
     val byKind = result.outcomes.groupBy(_.kind).view.mapValues(_.size).toMap
     assert(byKind("table") == 80, s"tables: $byKind")
     assert(byKind("routine") == 16, s"routines: $byKind")
@@ -37,7 +37,7 @@ class CorpusSweepSpec extends SparkTestBase {
 
   test("sweep summary matches the corpus's golden inventory") {
     assume(available, "reference corpus not present")
-    val result = CorpusLoader.deploy(spark, dataRoot)
+    val result = CorpusLoader.deploy(spark, dataRoot, storeAnalyzed = true)
     val rows = CorpusLoader.sweepSummary(spark, result)
       .orderBy("dataset", "kind").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
