@@ -445,9 +445,22 @@ object CorpusLoader {
     val objects = scan(dataRoot.resolve("sql"))
     val base = metricsContext(dataRoot)
     val outcomes = mutable.ArrayBuffer[DeployOutcome]()
-    def standIn(qual: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
-      if (rowsPerTable > 0) SyntheticRows.df(spark, qual, schema, rowsPerTable)
-      else spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    // Stand-in schemas are registered fully-nullable (fields nullable,
+    // array elements containsNull) even though the generator honors the
+    // strict schema's REQUIRED modes: temp views pin their CREATE-time
+    // schema and add compensation casts on re-resolution, and parquet
+    // reads force-widen nullability — a strict CREATE-time schema would
+    // make every post-materialization consumer fail its cast back
+    // (CANNOT_UP_CAST on byte-identical types differing only in
+    // nullability). Warehouse tables are nullable-typed for the same
+    // reason.
+    def standIn(qual: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      val wide = widen(schema).asInstanceOf[org.apache.spark.sql.types.StructType]
+      if (rowsPerTable > 0)
+        spark.createDataFrame(
+          java.util.Arrays.asList(SyntheticRows.rows(qual, schema, rowsPerTable): _*), wide)
+      else spark.createDataFrame(java.util.Collections.emptyList[Row](), wide)
+    }
 
     // 1. Tables: schema-typed stand-ins. No dependencies.
     val tables = objects.filter(_.kind == "table")
@@ -497,7 +510,8 @@ object CorpusLoader {
             require(shapeErrors.isEmpty, shapeErrors.mkString("; "))
             spark.sql(translateRoutine(rendered, overrideBody))
           case "view" =>
-            val sql = Dialect.translate(rendered)
+            val sql0 = Dialect.translate(rendered)
+            val sql = if (rowsPerTable > 0) widenViewSql(spark, sql0) else sql0
             // CREATE TEMP VIEW stores the *parsed* plan, so every
             // reference re-analyzes with fresh expression ids — a
             // DataFrame-plan temp view would reuse ids and trip
@@ -521,6 +535,47 @@ object CorpusLoader {
       }
     }
     CorpusResult(objects, outcomes.toSeq)
+  }
+
+  /** Recursively nullable-widened type (array containsNull, struct field
+    * nullability, map valueContainsNull). Nullability inside a DataType
+    * is what view schema binding casts on — top-level StructField
+    * nullability is not. */
+  def widen(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StructType(fs) =>
+        StructType(fs.map(f => f.copy(dataType = widen(f.dataType), nullable = true)).toSeq)
+      case ArrayType(e, _) => ArrayType(widen(e), containsNull = true)
+      case MapType(k, v, _) => MapType(widen(k), widen(v), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  /** For execution deploys: wrap view SQL so outputs with strict nested
+    * nullability (collect_list/array() produce containsNull=false) are
+    * cast to their nullable-wide DDL form. Temp views pin their
+    * CREATE-time schema and cast back on re-resolution, and parquet
+    * materialization force-widens nullability — so a consumer of a
+    * materialized view would otherwise fail CANNOT_UP_CAST on types
+    * differing only in nested nullability. Costs one extra analysis per
+    * view (only when the deploy will execute). Views with duplicate
+    * output names (archive snapshots) are left unwrapped. */
+  private def widenViewSql(spark: SparkSession, sql: String): String = {
+    val schema = spark.sql(sql).schema
+    if (schema.fieldNames.distinct.length != schema.fieldNames.length) sql
+    else {
+      val needed = schema.fields.exists(f => widen(f.dataType) != f.dataType)
+      if (!needed) sql
+      else {
+        val cols = schema.fields.map { f =>
+          if (widen(f.dataType) != f.dataType)
+            s"CAST(`${f.name}` AS ${f.dataType.sql}) AS `${f.name}`"
+          else s"`${f.name}`"
+        }.mkString(", ")
+        s"SELECT $cols FROM (\n$sql\n)"
+      }
+    }
   }
 
   private def attempt(obj: CorpusObject, note: Option[String] = None)(f: => Unit): DeployOutcome =
@@ -584,20 +639,56 @@ object CorpusLoader {
     * fixtures). Requires a parsed-plan deploy (`storeAnalyzed = false`,
     * the default) so consumers re-bind to the materialized stand-in by
     * name. After the sweep the session's view names hold data snapshots;
-    * redeploy to get live views back. `capRows` bounds each collect
-    * against runaway results (a view exceeding it fails its outcome). */
+    * redeploy to get live views back.
+    *
+    * Materialization has two modes:
+    *   - `persistDir = None` (fixture mode): collect to a local
+    *     relation, bounded by `capRows` (a view exceeding it fails its
+    *     outcome). Right for the synthetic gate; rows never leave the
+    *     driver otherwise.
+    *   - `persistDir = Some(dir)` (warehouse mode, the 100 TB shape):
+    *     each view writes parquet distributed and re-registers as a
+    *     parquet scan — no driver materialization, downstream consumers
+    *     get pushdown/pruning against columnar files, exactly what a
+    *     scheduled `CREATE TABLE AS` deploy does on a cluster. */
   def executeAll(spark: SparkSession, result: CorpusResult,
-      capRows: Int = 100000): Seq[ExecOutcome] =
+      capRows: Int = 100000, persistDir: Option[Path] = None): Seq[ExecOutcome] =
     result.outcomes.filter(o => o.kind == "view" && o.ok).map { o =>
       val t0 = System.nanoTime()
       val q = qual(o.dataset, o.name)
       try {
         val df = spark.table(q)
-        val rows = df.limit(capRows + 1).collect()
-        require(rows.length <= capRows, s"result exceeded $capRows rows")
-        spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-          .createOrReplaceTempView(q)
-        ExecOutcome(o.dataset, o.name, ok = true, rows.length.toLong, None,
+        val n = persistDir match {
+          case Some(dir) =>
+            val path = dir.resolve(q).toString
+            // archive snapshots can expose duplicate output columns
+            // (base view evolved after archival); parquet refuses them —
+            // keep the first occurrence, matching the archived stored
+            // schema BigQuery kept
+            val names = df.columns
+            val out =
+              if (names.distinct.length == names.length) df
+              else {
+                val tmp = df.toDF(names.indices.map(i => s"__c$i"): _*)
+                val firstIdx = names.zipWithIndex.groupBy(_._1).map(_._2.head._2).toSeq.sorted
+                tmp.select(firstIdx.map(i => tmp.col(s"__c$i").as(names(i))): _*)
+              }
+            out.write.mode("overwrite").parquet(path)
+            // read back under the view's own schema: the parquet reader
+            // infers array elements as nullable, and a widened
+            // ARRAY<STRING> no longer up-casts into SQL UDF args typed
+            // containsNull=false downstream
+            val back = spark.read.schema(out.schema).parquet(path)
+            back.createOrReplaceTempView(q)
+            back.count()
+          case None =>
+            val rows = df.limit(capRows + 1).collect()
+            require(rows.length <= capRows, s"result exceeded $capRows rows")
+            spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+              .createOrReplaceTempView(q)
+            rows.length.toLong
+        }
+        ExecOutcome(o.dataset, o.name, ok = true, n, None,
           (System.nanoTime() - t0) / 1000000)
       } catch {
         case e: Throwable => ExecOutcome(o.dataset, o.name, ok = false, -1L,

@@ -51,4 +51,25 @@ class CorpusExecSpec extends SparkTestBase {
     assert(scored.filter("triage_score IS NOT NULL").count() > 0,
       "WEBCOMPAT_METRIC_SCORE_NO_SITE_RANK inlining produced no scores")
   }
+
+  test("warehouse-mode materialization (parquet persist) matches fixture-mode counts") {
+    assume(available, "reference corpus not present")
+    val result = CorpusLoader.deploy(spark, dataRoot, rowsPerTable = 40)
+    val local = CorpusLoader.executeAll(spark, result)
+      .map(e => (e.dataset, e.name) -> e.rows).toMap
+    val dir = Files.createTempDirectory("corpus_wh")
+    try {
+      val redeploy = CorpusLoader.deploy(spark, dataRoot, rowsPerTable = 40)
+      val persisted = CorpusLoader.executeAll(spark, redeploy, persistDir = Some(dir))
+      assert(persisted.forall(_.ok),
+        s"persist failures: ${persisted.filterNot(_.ok).map(e => s"${e.dataset}.${e.name}: ${e.error.getOrElse("?")}").mkString("\n")}")
+      persisted.foreach { e =>
+        assert(local((e.dataset, e.name)) == e.rows,
+          s"${e.dataset}.${e.name}: parquet-mode rows ${e.rows} != local-mode ${local((e.dataset, e.name))}")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+    }
+  }
 }
