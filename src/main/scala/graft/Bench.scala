@@ -34,10 +34,15 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal (0.1 ms) values keep the one-line JSON under ~3 KB so it
+    // fits whole inside the driver's stdout-tail capture window; full
+    // double precision buys nothing at bench granularity. Locale.ROOT:
+    // "%.4f" must never emit a comma decimal separator.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The driver captures only a stdout *tail*, which truncates the one-line
     // JSON mid-string; persist the full payload to a file it can read whole.
     val out = java.nio.file.Path.of(

@@ -129,8 +129,13 @@ object Dialect {
       s"to_json(named_struct(${args.map(_.trim).mkString(", ")}))"
     }
 
-    // NET.HOST(x) → parse_url(x, 'HOST')
-    s = s.replaceAll("(?i)\\bNET\\.HOST\\s*\\(\\s*([^)]+)\\)", "parse_url($1, 'HOST')")
+    // NET.HOST(x) → parse_url with a defaulted scheme: BigQuery NET.HOST
+    // is best-effort on scheme-less input while parse_url returns NULL —
+    // emit the same form as BqShims.netHost so the two shim layers agree
+    s = rewriteCall(s, "NET.HOST") { args =>
+      val u = args.head.trim
+      s"parse_url(CASE WHEN ($u) LIKE '%://%' THEN ($u) ELSE 'http://' || ($u) END, 'HOST')"
+    }
 
     // FARM_FINGERPRINT(x) → xxhash64(x)
     s = s.replaceAll("(?i)\\bFARM_FINGERPRINT\\s*\\(", "xxhash64(")
@@ -172,12 +177,19 @@ object Dialect {
       s"to_date(${args(1)}, ${strftimeToSpark(args(0).trim)})"
     }
 
-    // ARRAY_AGG variants → collect_set / collect_list (both already skip
-    // NULLs, which is exactly BigQuery's IGNORE NULLS; BigQuery errors
-    // on aggregated NULLs without it, so the mapping is value-faithful)
-    s = s.replaceAll("(?i)\\bARRAY_AGG\\s*\\(\\s*DISTINCT\\b", "collect_set(")
-    s = s.replaceAll("(?i)\\bARRAY_AGG\\s*\\(", "collect_list(")
-    s = s.replaceAll("(?i)\\s+IGNORE\\s+NULLS\\b", "")
+    // ARRAY_AGG([DISTINCT] x [IGNORE NULLS]) → collect_set/collect_list
+    // (both already skip NULLs, which is exactly BigQuery's IGNORE NULLS;
+    // BigQuery errors on aggregated NULLs without it, so the mapping is
+    // value-faithful). IGNORE NULLS is stripped only inside this call's
+    // arg span — elsewhere (FIRST_VALUE/LAST_VALUE/LEAD/LAG) it is
+    // meaning-bearing Spark syntax and must survive translation.
+    s = rewriteCall(s, "ARRAY_AGG") { args =>
+      val whole = args.mkString(",")
+      val distinct = "(?is)^\\s*DISTINCT\\b".r.findFirstIn(whole).isDefined
+      val body0 = if (distinct) whole.replaceFirst("(?is)^\\s*DISTINCT\\b", "") else whole
+      val body = body0.replaceAll("(?i)\\s+IGNORE\\s+NULLS\\b", "")
+      s"${if (distinct) "collect_set" else "collect_list"}($body)"
+    }
 
     // DATE_ADD/DATE_SUB(d, INTERVAL n unit) → unit-specific Spark forms
     s = rewriteDateArith(s, "DATE_ADD", sign = 1)
@@ -697,6 +709,11 @@ object Dialect {
       "(?is)\\s+AS\\s+(\\w+)\\s*$".r.findFirstMatchIn(item).map(_.group(1).toLowerCase -> (i + 1))
     }.toMap
     if (aliasToOrdinal.isEmpty) return sql
+    // Spark binds GROUP BY ordinals AFTER star expansion: any `*`/`t.*`
+    // in the select list shifts positions underneath the ordinal, so the
+    // rewrite would silently bind the wrong column — leave the aliases
+    // untouched (the query then resolves or fails loudly in analysis)
+    if (selectItems.exists(_.trim.endsWith("*"))) return sql
     val byEnd = gIdx + "(?is)^GROUP\\s+BY".r.findFirstIn(sql.substring(gIdx)).get.length
     val clauseEnd = clauseEndFrom(sql, byEnd, depth)
     val items = splitTopLevel(sql.substring(byEnd, clauseEnd))

@@ -98,7 +98,14 @@ object ViewDag {
     order.foreach { name =>
       val rendered = render(byName(name).sql,
         ref => if (byName.contains(ref)) ref else resolve(ref))
-      if (registry.get(name).contains(rendered)) unchanged += name
+      // "unchanged" needs BOTH an identical previously-deployed text AND
+      // the view still live in the catalog — the registry is a shadow
+      // cache, and anything can drop/replace a temp view behind its back
+      // (the reference's needs_update diffs the live catalog,
+      // update_schema.py:374-421); skipping on cache alone would leave
+      // the view missing/stale
+      if (registry.get(name).contains(rendered) && spark.catalog.tableExists(name))
+        unchanged += name
       else {
         spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$name` AS $rendered")
         registry(name) = rendered

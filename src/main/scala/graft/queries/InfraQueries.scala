@@ -21,6 +21,17 @@ object InfraQueries {
   private def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** Root of the reference SQL corpus (q108/q109). Overridable so the
+    * bench/verify harness isn't coupled to one machine's checkout; fails
+    * with a clear message rather than a deep FileNotFound mid-query. */
+  private def corpusRoot: java.nio.file.Path = {
+    val p = java.nio.file.Path.of(sys.env.getOrElse(
+      "SPARK_GRAFT_CORPUS_ROOT", "/root/reference/jobs/webcompat-kb/data"))
+    require(java.nio.file.Files.isDirectory(p),
+      s"SQL corpus root not found: $p (set SPARK_GRAFT_CORPUS_ROOT)")
+    p
+  }
+
   val queries: Map[String, Q] = Map(
     // D6 — deploy a 3-level view DAG (declared out of dependency order;
     // topo sort must fix it), then query the top view. The rendered refs
@@ -144,7 +155,7 @@ object InfraQueries {
     // success counts; the oracle pins the corpus's golden inventory and
     // n_ok = n_objects (zero failures).
     "q108_corpus_sweep" -> ((s, _) => {
-      val root = java.nio.file.Path.of("/root/reference/jobs/webcompat-kb/data")
+      val root = corpusRoot
       // analyze-only sweep: stored-analyzed plans are safe here and 3x
       // faster (see CorpusLoader.deploy's contract); q109 executes and
       // therefore uses parsed plans
@@ -162,8 +173,7 @@ object InfraQueries {
     // tuned so each view's filters/joins keep rows). Oracle pins the
     // golden per-dataset outcome.
     "q109_corpus_exec" -> ((s, _) => {
-      val root = java.nio.file.Path.of("/root/reference/jobs/webcompat-kb/data")
-      val result = CorpusLoader.deploy(s, root, rowsPerTable = 64)
+      val result = CorpusLoader.deploy(s, corpusRoot, rowsPerTable = 64)
       CorpusLoader.execSummary(s, CorpusLoader.executeAll(s, result)).orderBy("dataset")
     })
   )

@@ -21,7 +21,14 @@ class DialectSpec extends SparkTestBase {
     assert(Dialect.translate("SELECT SAFE_DIVIDE(a, b)").contains("try_divide(a, b)"))
     assert(Dialect.translate("SELECT JSON_VALUE(j, '$.k')")
       .contains("get_json_object(j, '$.k')"))
-    assert(Dialect.translate("SELECT NET.HOST(url)").contains("parse_url(url, 'HOST')"))
+    // NET.HOST defaults a scheme (BigQuery is best-effort on bare
+    // hostnames; parse_url alone returns NULL) — same form as
+    // BqShims.netHost so both shim layers agree
+    assert(Dialect.translate("SELECT NET.HOST(url)").contains(
+      "parse_url(CASE WHEN (url) LIKE '%://%' THEN (url) ELSE 'http://' || (url) END, 'HOST')"))
+    // nested call args must survive (the old regex capture broke on them)
+    assert(Dialect.translate("SELECT NET.HOST(CONCAT(a, b))").contains(
+      "parse_url(CASE WHEN (CONCAT(a, b)) LIKE '%://%'"))
     assert(Dialect.translate("SELECT FARM_FINGERPRINT(id)").contains("xxhash64(id)"))
     assert(Dialect.translate("SELECT ARRAY_LENGTH(a)").contains("size(a)"))
     assert(Dialect.translate("SELECT DATE_TRUNC(d, MONTH)")
