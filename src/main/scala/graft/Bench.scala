@@ -34,21 +34,27 @@ object Bench {
       }
       name -> times.min
     }
-    // 4-decimal (0.1 ms) values keep the one-line JSON under ~3 KB so it
-    // fits whole inside the driver's stdout-tail capture window; full
-    // double precision buys nothing at bench granularity. Locale.ROOT:
-    // "%.4f" must never emit a comma decimal separator.
-    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver captures only a stdout *tail*, which truncates the one-line
-    // JSON mid-string; persist the full payload to a file it can read whole.
+    // Locale.ROOT: "%.Nf" must never emit a comma decimal separator.
+    def fmt(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", v)
+    def jsonLine(keyOf: String => String, dec: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v, dec) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Full-name 4-decimal payload → file (complete record for humans/tools).
     val out = java.nio.file.Path.of(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json"))
-    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
-    println(json)
+    java.nio.file.Files.write(out, jsonLine(identity, 4).getBytes("UTF-8"))
+    // The driver captures only the LAST 2000 bytes of stdout and parses the
+    // JSON line out of that tail; sbt appends ~150 bytes of [info]/[success]
+    // after us. A full-name line (~2.5 KB) truncates mid-string, so print a
+    // short-key variant: the unique qNN prefix per query, 3-decimal values
+    // (~1.4 KB) — whole line survives the tail window.
+    val prefixes = results.keys.map(k => k.takeWhile(_ != '_')).toSeq
+    val shortKeys = prefixes.size == prefixes.distinct.size
+    println(jsonLine(k => if (shortKeys) k.takeWhile(_ != '_') else k, 3))
     println(s"bench_out=${out.toAbsolutePath}")
     spark.stop()
   }

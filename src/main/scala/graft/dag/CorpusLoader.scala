@@ -429,22 +429,44 @@ object CorpusLoader {
     * must use `storeAnalyzed = false`; with `rowsPerTable > 0` the
     * stand-ins carry [[SyntheticRows]] data either way. */
   def deploy(spark: SparkSession, dataRoot: Path, rowsPerTable: Int = 0,
-      storeAnalyzed: Boolean = false): CorpusResult = {
+      storeAnalyzed: Boolean = false): CorpusResult =
+    withStoreConf(spark, storeAnalyzed) {
+      deployInner(spark, dataRoot, rowsPerTable, materializeCap = None)._1
+    }
+
+  /** Fused deploy + execution sweep (the q109 shape): each view is
+    * MATERIALIZED the moment it deploys, so the next view's CREATE-time
+    * analysis — and its execution — bind to a local relation instead of
+    * re-expanding the whole upstream parsed-view tree. The staged
+    * `deploy(...)` then `executeAll(...)` pays that deep re-analysis
+    * TWICE per view (once at CREATE, once in `widenViewSql`) before
+    * execution even starts; fusing collapses deploy analysis, widening
+    * analysis, and execution all to O(views). Results are identical:
+    * materialization order is the same topological order either way. */
+  def deployAndExecute(spark: SparkSession, dataRoot: Path, rowsPerTable: Int,
+      capRows: Int = 100000): (CorpusResult, Seq[ExecOutcome]) =
+    withStoreConf(spark, storeAnalyzed = false) {
+      deployInner(spark, dataRoot, rowsPerTable, materializeCap = Some(capRows))
+    }
+
+  private def withStoreConf[A](spark: SparkSession, storeAnalyzed: Boolean)(f: => A): A = {
     // Scoped: previous value restored on exit.
     val storeKey = "spark.sql.legacy.storeAnalyzedPlanForView"
     val prevStore = spark.conf.getOption(storeKey)
     spark.conf.set(storeKey, storeAnalyzed.toString)
-    try deployInner(spark, dataRoot, rowsPerTable)
+    try f
     finally prevStore match {
       case Some(v) => spark.conf.set(storeKey, v)
       case None => spark.conf.unset(storeKey)
     }
   }
 
-  private def deployInner(spark: SparkSession, dataRoot: Path, rowsPerTable: Int): CorpusResult = {
+  private def deployInner(spark: SparkSession, dataRoot: Path, rowsPerTable: Int,
+      materializeCap: Option[Int]): (CorpusResult, Seq[ExecOutcome]) = {
     val objects = scan(dataRoot.resolve("sql"))
     val base = metricsContext(dataRoot)
     val outcomes = mutable.ArrayBuffer[DeployOutcome]()
+    val execs = mutable.ArrayBuffer[ExecOutcome]()
     // Stand-in schemas are registered fully-nullable (fields nullable,
     // array elements containsNull) even though the generator honors the
     // strict schema's REQUIRED modes: temp views pin their CREATE-time
@@ -498,10 +520,35 @@ object CorpusLoader {
     }.toMap
     val order = topoOrder(deployable.map(_.qualName), deps)
 
-    order.map(byQual).foreach { obj =>
+    // DAG-parallel deploy: each object deploys (and, in fused mode,
+    // materializes) the moment its dependencies finish — independent
+    // branches (the archive datasets, sibling metric chains) run
+    // concurrently. The expensive part at fixture scale is per-view
+    // driver-side analysis/optimization/codegen of large plans, which is
+    // CPU-bound per query and parallelizes cleanly across threads; on a
+    // real warehouse the same structure overlaps independent CTAS jobs.
+    // Spark's temp-view and function registries are synchronized, and
+    // every dependency is fully deployed+materialized before a consumer
+    // starts, so results are identical to the sequential order.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(2, math.min(8, Runtime.getRuntime.availableProcessors)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val idx = order.zipWithIndex.toMap
+    val outArr = new Array[DeployOutcome](order.size)
+    val execBuf = mutable.ArrayBuffer[ExecOutcome]()
+    val futures = mutable.Map[String, scala.concurrent.Future[Unit]]()
+    order.foreach { name =>
+      val obj = byQual(name)
+      // topo order guarantees every dep's future already exists
+      val depsDone = scala.concurrent.Future.sequence(deps(name).flatMap(futures.get))
+      futures(name) = depsDone.map { _ => processOne(obj) }
+    }
+
+    def processOne(obj: CorpusObject): Unit = {
       val overrideBody = if (obj.kind == "routine") overrides.get(obj.name) else None
       val note = overrideBody.map(_ => "spark-native override body (see routineOverrides)")
-      outcomes += attempt(obj, note) {
+      val outcome = attempt(obj, note) {
         val rendered = JinjaLite.render(obj.template, templateContext(base, obj))
         obj.kind match {
           case "routine" =>
@@ -533,8 +580,51 @@ object CorpusLoader {
             }
         }
       }
+      outArr(idx(obj.qualName)) = outcome
+      // Fused sweep: swap the just-created view for its collected result
+      // right away, keeping every downstream analysis/execution shallow.
+      // A failed materialization leaves the live view in place (same as
+      // the staged sweep) so downstream views still deploy and run.
+      materializeCap.foreach { cap =>
+        if (obj.kind == "view" && outcome.ok) {
+          val t0 = System.nanoTime()
+          val eo = try {
+            val n = materializeFixture(spark, obj.qualName, cap)
+            ExecOutcome(obj.dataset, obj.name, ok = true, n, None,
+              (System.nanoTime() - t0) / 1000000)
+          } catch {
+            case e: Throwable => ExecOutcome(obj.dataset, obj.name, ok = false, -1L,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500)),
+              (System.nanoTime() - t0) / 1000000)
+          }
+          execBuf.synchronized { execBuf += eo }
+        }
+      }
     }
-    CorpusResult(objects, outcomes.toSeq)
+
+    try
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures.values.toSeq),
+        scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+    // outcomes/execs surface in topological order, exactly as the
+    // sequential loop produced them — executeAll's bottom-up contract
+    // iterates outcome order
+    outcomes ++= outArr
+    execs ++= execBuf.sortBy(e => idx(qual(e.dataset, e.name)))
+    (CorpusResult(objects, outcomes.toSeq), execs.toSeq)
+  }
+
+  /** Replace temp view `q` with its own collected rows (bounded by
+    * `capRows`); returns the row count. The fixture-mode materialization
+    * step shared by [[executeAll]] and the fused [[deployAndExecute]]. */
+  private def materializeFixture(spark: SparkSession, q: String, capRows: Int): Long = {
+    val df = spark.table(q)
+    val rows = df.limit(capRows + 1).collect()
+    require(rows.length <= capRows, s"result exceeded $capRows rows")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      .createOrReplaceTempView(q)
+    rows.length.toLong
   }
 
   /** Recursively nullable-widened type (array containsNull, struct field
@@ -682,11 +772,7 @@ object CorpusLoader {
             back.createOrReplaceTempView(q)
             back.count()
           case None =>
-            val rows = df.limit(capRows + 1).collect()
-            require(rows.length <= capRows, s"result exceeded $capRows rows")
-            spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-              .createOrReplaceTempView(q)
-            rows.length.toLong
+            materializeFixture(spark, q, capRows)
         }
         ExecOutcome(o.dataset, o.name, ok = true, n, None,
           (System.nanoTime() - t0) / 1000000)

@@ -173,8 +173,12 @@ object InfraQueries {
     // tuned so each view's filters/joins keep rows). Oracle pins the
     // golden per-dataset outcome.
     "q109_corpus_exec" -> ((s, _) => {
-      val result = CorpusLoader.deploy(s, corpusRoot, rowsPerTable = 64)
-      CorpusLoader.execSummary(s, CorpusLoader.executeAll(s, result)).orderBy("dataset")
+      // fused deploy+materialize: each view executes the moment it
+      // deploys, so analysis and execution are both O(views) — the
+      // staged deploy-then-executeAll shape re-expands the upstream
+      // parsed-view tree at every CREATE (O(views × chain))
+      val (_, execs) = CorpusLoader.deployAndExecute(s, corpusRoot, rowsPerTable = 64)
+      CorpusLoader.execSummary(s, execs).orderBy("dataset")
     })
   )
 

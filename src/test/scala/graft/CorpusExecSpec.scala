@@ -52,6 +52,19 @@ class CorpusExecSpec extends SparkTestBase {
       "WEBCOMPAT_METRIC_SCORE_NO_SITE_RANK inlining produced no scores")
   }
 
+  test("fused deployAndExecute matches the staged deploy-then-executeAll sweep") {
+    assume(available, "reference corpus not present")
+    val staged = {
+      val result = CorpusLoader.deploy(spark, dataRoot, rowsPerTable = 40)
+      CorpusLoader.executeAll(spark, result)
+    }
+    val (result, fused) = CorpusLoader.deployAndExecute(spark, dataRoot, rowsPerTable = 40)
+    assert(result.failures.isEmpty)
+    // same views, same order, same row counts — only the wall-clock differs
+    assert(fused.map(e => (e.dataset, e.name, e.ok, e.rows)) ==
+      staged.map(e => (e.dataset, e.name, e.ok, e.rows)))
+  }
+
   test("warehouse-mode materialization (parquet persist) matches fixture-mode counts") {
     assume(available, "reference corpus not present")
     val result = CorpusLoader.deploy(spark, dataRoot, rowsPerTable = 40)
