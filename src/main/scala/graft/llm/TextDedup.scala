@@ -124,6 +124,35 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** End-to-end fuzzy-dedup cluster assignment — the full training-data
+    * dedup pipeline: LSH candidates → exact Jaccard verification →
+    * connected components → canonical keeper per cluster (min doc id).
+    *
+    * Every stage is the bucketed/linear scale path: candidates come from
+    * [[minhashCandidates]] (banded equi-join, never all-pairs),
+    * verification touches candidates only, and clustering is min-label
+    * propagation ([[graft.operators.ConnectedComponents]]) whose state is
+    * one label per doc — a boilerplate cluster with 10⁹ members costs
+    * shuffle volume, not executor memory.
+    *
+    * @return (doc_id, cluster_id, is_canonical) for EVERY input doc;
+    *         singletons are their own cluster. is_canonical = 1 marks the
+    *         row to keep (cluster minimum).
+    */
+  def clusterAssignments(docs: DataFrame, threshold: Double,
+      textCol: String = "text", idCol: String = "doc_id", k: Int = 16,
+      bands: Int = 4, shingleW: Int = 3, maxIter: Int = 20): DataFrame = {
+    val verified = verifyJaccard(
+      minhashCandidates(docs, textCol, idCol, k, bands, shingleW),
+      docs, threshold, textCol, idCol)
+    graft.operators.ConnectedComponents.connectedComponents(
+      docs.select(col(idCol).as("id")),
+      verified.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      maxIter)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+        (col("comp") === col("id")).cast(IntegerType).as("is_canonical"))
+  }
+
   /** 64-bit SimHash signatures, DataFrame-level: explode tokens, hash,
     * majority-vote per bit via one grouped aggregation (64 conditional
     * sums in a single shuffle — the scalable shape), then recombine the

@@ -57,6 +57,19 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Fuzzy-dedup clustering end-to-end: LSH candidates → exact Jaccard
+    // verify → connected components (min-label propagation) → canonical
+    // keeper per cluster. Oracle recomputes the same clusters from
+    // all-pairs ground truth + a recursive-CTE closure, so a green hash
+    // certifies both 100% candidate recall AND the component labels.
+    "q83_dedup_clusters" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      TextDedup.clusterAssignments(d, threshold = 0.95, k = 32, bands = 8,
+        shingleW = 1)
+        .orderBy("doc_id")
+    }),
+
     // MinHash-LSH candidate pairs (banded; no all-pairs join anywhere) —
     // approximate by design → rows-only check. Shape: sig (linear) →
     // band explode (×bands) → equi-join on (band, key) → distinct pairs.
@@ -210,6 +223,30 @@ object LlmQueries {
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.95
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Ground-truth clusters: all-pairs verified edges + recursive-CTE
+    // reachability, component label = min reachable doc id.
+    "q83_dedup_clusters" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.95),
+        |edges AS (
+        |  SELECT doc_a AS s0, doc_b AS d0 FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT s0 AS a, d0 AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.d0 FROM reach r JOIN edges e ON r.b = e.s0 WHERE e.d0 != r.a),
+        |mins AS (SELECT a, MIN(b) AS mn FROM reach GROUP BY a)
+        |SELECT d.doc_id,
+        |  LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS cluster_id,
+        |  CAST(LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) = d.doc_id AS INT) AS is_canonical
+        |FROM (SELECT doc_id FROM s) d LEFT JOIN mins m ON m.a = d.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q74_ann_bruteforce" ->
       """WITH norms AS (
         |  SELECT vec_id, SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS n2
