@@ -1,0 +1,54 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Benchmark decontamination for training corpora: flag training docs
+  * whose word n-grams overlap an evaluation set's n-grams — the standard
+  * "n-gram collision" check run before training so eval answers don't
+  * leak into the training mix.
+  *
+  * Scale shape: the eval side (benchmark suites — thousands of docs) is
+  * tiny next to the corpus, so its distinct-gram set is broadcast and
+  * the corpus side stays a linear explode + broadcast-hash semi-join —
+  * no shuffle of corpus text at all. Per-doc overlap counts are one
+  * map-side-combined groupBy on doc id. If the eval side ever outgrows
+  * broadcast, the same plan degrades gracefully to a shuffle equi-join
+  * keyed on xxhash64(gram) — the gram strings themselves never need to
+  * shuffle.
+  */
+object Decontaminate {
+
+  /** Distinct word n-grams of a text column; docs shorter than n tokens
+    * contribute their whole text as a single gram (a short eval item is
+    * still a verbatim leak when it appears wholesale). */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - lit(n)),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array(array_join(toks, " ")))
+  }
+
+  /** Per-corpus-doc contamination report against `evalSet`:
+    * (doc_id, n_grams, n_overlap, overlap_ratio, contaminated).
+    * Every corpus doc appears (zero-overlap docs included) — the output
+    * is a filterable mask, not just a flag list. */
+  def report(corpus: DataFrame, evalSet: DataFrame, n: Int,
+      flagRatio: Double, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val cg = corpus.select(col(idCol), ngrams(col(textCol), n).as("gs"))
+    val eg = evalSet.select(explode(ngrams(col(textCol), n)).as("g")).distinct()
+    val hits = cg.select(col(idCol), explode(col("gs")).as("g"))
+      .join(broadcast(eg), "g")
+      .groupBy(idCol).agg(count_distinct(col("g")).as("hit"))
+    val nOverlap = coalesce(col("hit"), lit(0L))
+    val ratio = nOverlap.cast(DoubleType) / size(col("gs")).cast(DoubleType)
+    cg.join(hits, Seq(idCol), "left")
+      .select(col(idCol), size(col("gs")).cast(LongType).as("n_grams"),
+        nOverlap.as("n_overlap"),
+        round(ratio, 6).as("overlap_ratio"),
+        (ratio >= flagRatio).cast(IntegerType).as("contaminated"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.util.Tables._
-import graft.llm.{Ann, Multimodal, TextDedup, TextStats}
+import graft.llm.{Ann, Decontaminate, MixtureSample, Multimodal, TextDedup, TextStats}
 
 /** LLM training-data pipeline block: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard), ANN (brute-force + LSH), text analysis,
@@ -68,6 +68,30 @@ object LlmQueries {
       TextDedup.clusterAssignments(d, threshold = 0.95, k = 32, bands = 8,
         shingleW = 1)
         .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: trigram overlap of each training doc
+    // against a held-out eval sample (doc_id % 7 == 0 of the same block —
+    // this corpus's near-dups are token REORDERINGS, so long verbatim
+    // n-grams never collide; trigrams expose the shared phrasing while
+    // staying order-sensitive, which is the point of the check).
+    "q84_decontaminate" -> ((s, dir) => {
+      val block = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      Decontaminate.report(
+        block.filter(col("doc_id") % 7 =!= 0),
+        block.filter(col("doc_id") % 7 === 0),
+        n = 3, flagRatio = 0.1)
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic mixture sampling: exact per-source quotas selected by
+    // md5(doc_id) rank — the "data mixing" step that assembles a training
+    // set to target source proportions, reproducibly (no RNG state).
+    "q85_mixture_sample" -> ((s, dir) => {
+      MixtureSample.sample(s, t(s, dir, "documents"),
+        Map("src0" -> 12, "src1" -> 5, "src2" -> 18, "src3" -> 3, "src5" -> 25))
+        .orderBy("source", "pick_rank")
     }),
 
     // MinHash-LSH candidate pairs (banded; no all-pairs join anywhere) —
@@ -247,6 +271,41 @@ object LlmQueries {
         |  CAST(LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) = d.doc_id AS INT) AS is_canonical
         |FROM (SELECT doc_id FROM s) d LEFT JOIN mins m ON m.a = d.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q84_decontaminate" ->
+      """WITH block AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                          for i in generate_series(1, len(toks)-2)])
+        |      ELSE [array_to_string(toks, ' ')] END AS gs
+        |  FROM block),
+        |eval_grams AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 7 = 0),
+        |exploded AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 7 != 0),
+        |overlap AS (
+        |  SELECT x.doc_id AS did, COUNT(DISTINCT x.g) AS n_overlap
+        |  FROM exploded x JOIN eval_grams e ON e.g = x.g GROUP BY x.doc_id)
+        |SELECT c.doc_id, len(c.gs) AS n_grams,
+        |  COALESCE(o.n_overlap, 0) AS n_overlap,
+        |  ROUND(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / len(c.gs), 6) AS overlap_ratio,
+        |  CAST(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / len(c.gs) >= 0.1 AS INT) AS contaminated
+        |FROM (SELECT doc_id, gs FROM grams WHERE doc_id % 7 != 0) c
+        |LEFT JOIN overlap o ON o.did = c.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q85_mixture_sample" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src5'))
+        |SELECT doc_id, source, pick_rank FROM ranked
+        |WHERE pick_rank <= CASE source
+        |  WHEN 'src0' THEN 12 WHEN 'src1' THEN 5 WHEN 'src2' THEN 18
+        |  WHEN 'src3' THEN 3 ELSE 25 END
+        |ORDER BY source, pick_rank""".stripMargin,
     "q74_ann_bruteforce" ->
       """WITH norms AS (
         |  SELECT vec_id, SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS n2
