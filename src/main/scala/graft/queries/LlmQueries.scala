@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.util.Tables._
-import graft.llm.{Ann, Decontaminate, MixtureSample, Multimodal, TextDedup, TextStats}
+import graft.llm.{Ann, Decontaminate, MixtureSample, Multimodal, Pq, TextDedup, TextStats}
 
 /** LLM training-data pipeline block: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard), ANN (brute-force + LSH), text analysis,
@@ -133,6 +133,18 @@ object LlmQueries {
 
     // ANN scale path #2: IVF centroid cells + nProbe probing.
     // Approximate recall → rows-only check.
+    // Product-quantization ANN (ADC over per-subspace codebooks + exact
+    // re-rank of survivors): the memory-bounded scale path — the search
+    // scan reads m codes per corpus vector, not the embedding.
+    // Approximate by design → rows-only; AnnRecallSpec pins recall vs
+    // the exact brute-force baseline.
+    "q86_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Pq.pqTopK(emb, emb.filter(col("vec_id") < 20), k = 3, dim = 64,
+        m = 8, ksub = 16, refine = 16)
+        .orderBy("qid", "rank")
+    }),
+
     "q82_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 3, nCells = 16, nProbe = 4)

@@ -34,6 +34,19 @@ class AnnRecallSpec extends SparkTestBase {
     assert(Ann.autoBits(1L << 40, targetBucket = 1024) == 30)
   }
 
+  test("PQ-ADC recall vs brute force stays above the pinned floor") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val truth = pairs(Ann.bruteForceTopK(emb, queries, k = 3))
+    val pq = pairs(graft.llm.Pq.pqTopK(emb, queries, k = 3, dim = 64,
+      m = 8, ksub = 16, refine = 16))
+    val r = recall(pq, truth)
+    // measured 0.82 on the sf0.001 fixture (synthetic isotropic
+    // embeddings are PQ's worst case — no cluster structure for the
+    // codebooks to exploit); pinned with slack so seeding tweaks don't
+    // flake the suite
+    assert(r >= 0.6, s"PQ recall $r below pinned floor 0.6")
+  }
+
   test("IVF with a Lloyd step returns top-k candidates with positive recall") {
     val queries = emb.filter(col("vec_id") < 20)
     val truth = pairs(Ann.bruteForceTopK(emb, queries, k = 3))
