@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.util.Tables._
-import graft.llm.{Ann, Decontaminate, MixtureSample, Multimodal, Pq, TextDedup, TextStats}
+import graft.llm.{Ann, Decontaminate, MixtureSample, Multimodal, Pq, PrepPipeline, SemDedup, TextDedup, TextStats}
 
 /** LLM training-data pipeline block: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard), ANN (brute-force + LSH), text analysis,
@@ -234,6 +234,52 @@ object LlmQueries {
           octet_length(col("payload")).as("byte_len"),
           sha2(col("payload"), 256).as("digest"))
         .orderBy("doc_id")
+    }),
+
+    // SemDeDup-style semantic dedup: deterministic sign-cell partition +
+    // exact-cosine prune within cells; keeper = min vec_id per
+    // neighborhood. Fully oracle-checked (the cell id and the decimal
+    // cosine are both SQL-expressible).
+    "q87_semantic_dedup" -> ((s, dir) => {
+      SemDedup.dedup(t(s, dir, "embeddings"), tau = 0.2, signBits = 8)
+        .orderBy("vec_id")
+    }),
+
+    // Deterministic shard export: md5-derived shard id, write partitioned
+    // parquet (the real training-data sink layout), read back and report
+    // per-shard balance stats. The md5 shard key is what keeps shards
+    // balanced and reproducible with no RNG state.
+    "q88_shard_export" -> ((s, dir) => {
+      def shardOf(id: org.apache.spark.sql.Column) = {
+        val h = md5(id.cast("string"))
+        ((ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) % 16).cast("int")
+      }
+      val docs = t(s, dir, "documents").withColumn("shard", shardOf(col("doc_id")))
+      val path = java.nio.file.Files.createTempDirectory("graft_shards").toString
+      docs.repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+      s.read.parquet(path)
+        .withColumn("shard", col("shard").cast("int"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          countDistinct("source").as("n_sources"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard")
+    }),
+
+    // Data-prep pipeline funnel: length -> language -> quality ->
+    // exact-dedup cascade with per-stage survivor counts, built as one
+    // union-of-counts plan (single pass over the corpus).
+    "q89_prep_pipeline" -> ((s, dir) => {
+      PrepPipeline.audit(t(s, dir, "documents"), Seq(
+        PrepPipeline.Stage("min_length", _.filter(col("n_chars") >= 120)),
+        PrepPipeline.Stage("lang_en", _.filter(col("lang") === "en")),
+        PrepPipeline.Stage("quality",
+          _.filter(TextStats.qualityScore(col("text"), stopwords) >= 0.7)),
+        PrepPipeline.Stage("exact_dedup",
+          _.select(md5(lower(col("text"))).as("k")).distinct())))
+        .orderBy("stage_idx")
     })
   )
 
@@ -412,6 +458,69 @@ object LlmQueries {
       """SELECT doc_id, 'image/fake-' || (doc_id % 3) AS media_type,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
         |  sha256(text) AS digest
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q87_semantic_dedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+        |       + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        |       + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+        |       + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+        |       + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+        |       + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END
+        |       + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
+        |       + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END AS BIGINT) AS cell
+        |  FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS n2
+        |  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY vec_id),
+        |el AS (
+        |  SELECT a.vec_id AS aid, b.vec_id AS bid,
+        |    unnest(a.embedding) AS av, unnest(b.embedding) AS bv
+        |  FROM base a JOIN base b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |dots AS (
+        |  SELECT aid, bid, SUM(CAST(CAST(av AS DOUBLE) * CAST(bv AS DOUBLE) AS DECIMAL(30,15))) AS dot
+        |  FROM el GROUP BY aid, bid),
+        |scored AS (
+        |  SELECT d.bid, CAST(d.dot AS DOUBLE)
+        |      / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) AS cosine
+        |  FROM dots d
+        |  JOIN norms na ON na.vec_id = d.aid
+        |  JOIN norms nb ON nb.vec_id = d.bid),
+        |prior AS (
+        |  SELECT bid, MAX(cosine) AS mx FROM scored WHERE cosine >= 0.2 GROUP BY bid)
+        |SELECT b.vec_id, b.cell,
+        |  CASE WHEN p.mx IS NULL THEN 1 ELSE 0 END AS kept,
+        |  ROUND(p.mx, 6) AS max_prior_cos
+        |FROM base b LEFT JOIN prior p ON p.bid = b.vec_id
+        |ORDER BY vec_id""".stripMargin,
+    "q88_shard_export" ->
+      """WITH sharded AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |        + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 16 AS INTEGER) AS shard
+        |  FROM documents)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM sharded GROUP BY shard ORDER BY shard""".stripMargin,
+    "q89_prep_pipeline" ->
+      """WITH s1 AS (SELECT * FROM documents WHERE n_chars >= 120),
+        |s2 AS (SELECT * FROM s1 WHERE lang = 'en'),
+        |s3 AS (SELECT * FROM s2 WHERE
+        |  (CASE WHEN len(string_split_regex(text, '\s+')) BETWEEN 10 AND 1000 THEN 0.5 ELSE 0.0 END +
+        |   CASE WHEN CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |     t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+        |     / len(string_split_regex(lower(text), '\s+')) > 0.01 THEN 0.3 ELSE 0.0 END +
+        |   CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |     / length(text) < 0.2 THEN 0.2 ELSE 0.0 END) >= 0.7),
+        |s4 AS (SELECT DISTINCT md5(lower(text)) AS k FROM s3)
+        |SELECT CAST(0 AS INTEGER) AS stage_idx, 'raw' AS stage, (SELECT COUNT(*) FROM documents) AS n_rows
+        |UNION ALL SELECT 1, 'min_length', (SELECT COUNT(*) FROM s1)
+        |UNION ALL SELECT 2, 'lang_en', (SELECT COUNT(*) FROM s2)
+        |UNION ALL SELECT 3, 'quality', (SELECT COUNT(*) FROM s3)
+        |UNION ALL SELECT 4, 'exact_dedup', (SELECT COUNT(*) FROM s4)
+        |ORDER BY stage_idx""".stripMargin
   )
 }

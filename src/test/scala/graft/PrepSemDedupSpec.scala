@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{PrepPipeline, SemDedup}
+
+class PrepSemDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vecDf(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("signCell: bit i follows the sign of dim i") {
+    val df = vecDf(
+      1L -> Seq(1f, -1f, 1f, -1f, -1f, -1f, -1f, -1f),
+      2L -> Seq(-1f, 1f, 1f, 1f, -1f, -1f, -1f, -1f))
+      .select(col("vec_id"), SemDedup.signCell(col("embedding"), 8).as("cell"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == (1L | 4L)) // dims 0,2 positive
+    assert(got(2L) == (2L | 4L | 8L))
+  }
+
+  test("dedup keeps min id per neighborhood, distinct cells never compare") {
+    // 1 and 2: same cell, near-identical -> 2 dropped. 3: same cell,
+    // orthogonal-ish -> kept. 4: different cell entirely -> kept even
+    // though it's a scaled copy of 1 (cell partition blocks the pair).
+    val df = vecDf(
+      1L -> Seq(1f, 1f, 0.1f, 0.1f, 1f, 1f, 1f, 1f),
+      2L -> Seq(1f, 1f, 0.1f, 0.11f, 1f, 1f, 1f, 1f),
+      3L -> Seq(0.1f, 0.1f, 1f, 1f, 0.1f, 0.1f, 0.1f, 100f),
+      4L -> Seq(-1f, -1f, -0.1f, -0.1f, -1f, -1f, -1f, -1f))
+    val got = SemDedup.dedup(df, tau = 0.9, signBits = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 1))
+  }
+
+  test("prep pipeline audit: funnel is monotone and stages apply in order") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again ok", "en", 200L),
+      (2L, "the quick brown fox jumps over the lazy dog again and again ok", "en", 200L),
+      (3L, "short", "en", 5L),
+      (4L, "el zorro rapido salta sobre el perro se duerme pronto hoy si", "es", 200L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val audit = PrepPipeline.audit(docs, Seq(
+      PrepPipeline.Stage("min_length", _.filter(col("n_chars") >= 100)),
+      PrepPipeline.Stage("lang_en", _.filter(col("lang") === "en")),
+      PrepPipeline.Stage("exact_dedup",
+        _.select(md5(lower(col("text"))).as("k")).distinct())))
+      .orderBy("stage_idx")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(audit.toSeq == Seq(
+      (0, "raw", 4L), (1, "min_length", 3L), (2, "lang_en", 2L),
+      (3, "exact_dedup", 1L)))
+  }
+
+  test("run returns the final surviving frame") {
+    val docs = Seq((1L, "en"), (2L, "es")).toDF("doc_id", "lang")
+    val out = PrepPipeline.run(docs, Seq(
+      PrepPipeline.Stage("lang_en", _.filter(col("lang") === "en"))))
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+}
