@@ -26,7 +26,13 @@ object Bench {
     // query happened to absorb a GC pause / JIT recompile. On small
     // executors (slow total runtime) fall back to a single pass.
     val runs = if (cpus.toInt >= 16) 2 else 1
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Dev-loop filter (comma-separated names); the driver sets no filter
+    // and benches the full map.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -444,20 +444,36 @@ object CorpusLoader {
     * analysis, and execution all to O(views). Results are identical:
     * materialization order is the same topological order either way. */
   def deployAndExecute(spark: SparkSession, dataRoot: Path, rowsPerTable: Int,
-      capRows: Int = 100000): (CorpusResult, Seq[ExecOutcome]) =
-    withStoreConf(spark, storeAnalyzed = false) {
+      capRows: Int = 100000): (CorpusResult, Seq[ExecOutcome]) = {
+    // Fixture-mode execution runs 64 distinct large view plans over ~64
+    // rows each: Janino compilation of 64 one-shot WholeStageCodegen
+    // stages is the dominant cost, not execution — interpret instead.
+    // A real-scale run (big rowsPerTable / warehouse tables) would keep
+    // codegen on, so gate on the fixture size. Scoped + restored.
+    val fixtureConfs: Map[String, String] =
+      if (rowsPerTable <= 1024)
+        Map("spark.sql.codegen.wholeStage" -> "false",
+          "spark.sql.codegen.factoryMode" -> "NO_CODEGEN",
+          "spark.sql.shuffle.partitions" -> "4")
+      else Map.empty
+    withConfs(spark, fixtureConfs +
+        ("spark.sql.legacy.storeAnalyzedPlanForView" -> "false")) {
       deployInner(spark, dataRoot, rowsPerTable, materializeCap = Some(capRows))
     }
+  }
 
-  private def withStoreConf[A](spark: SparkSession, storeAnalyzed: Boolean)(f: => A): A = {
-    // Scoped: previous value restored on exit.
-    val storeKey = "spark.sql.legacy.storeAnalyzedPlanForView"
-    val prevStore = spark.conf.getOption(storeKey)
-    spark.conf.set(storeKey, storeAnalyzed.toString)
+  private def withStoreConf[A](spark: SparkSession, storeAnalyzed: Boolean)(f: => A): A =
+    withConfs(spark,
+      Map("spark.sql.legacy.storeAnalyzedPlanForView" -> storeAnalyzed.toString))(f)
+
+  /** Run `f` with session confs set, restoring previous values on exit. */
+  private def withConfs[A](spark: SparkSession, confs: Map[String, String])(f: => A): A = {
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try f
-    finally prevStore match {
-      case Some(v) => spark.conf.set(storeKey, v)
-      case None => spark.conf.unset(storeKey)
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 
@@ -530,6 +546,9 @@ object CorpusLoader {
     // Spark's temp-view and function registries are synchronized, and
     // every dependency is fully deployed+materialized before a consumer
     // starts, so results are identical to the sequential order.
+    // 8 threads measured best: wider pools contend on the synchronized
+    // SessionCatalog during analysis and run SLOWER (16 threads ≈ 2×
+    // worse on the fixture sweep).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(2, math.min(8, Runtime.getRuntime.availableProcessors)))
     implicit val ec: scala.concurrent.ExecutionContext =

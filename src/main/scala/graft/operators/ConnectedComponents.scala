@@ -59,12 +59,14 @@ object ConnectedComponents {
       // label to ITS current label — chain distance-to-minimum grows
       // geometrically per round (s → 2s+2 on a path) instead of by 1,
       // which is what bounds rounds at O(log diameter).
+      // The pre-round label rides along as `prev`, so convergence is a
+      // filter over the just-checkpointed frame — no extra join+shuffle
+      // per round.
       val next = barrier(pulled
         .join(pulled.select(col("id").as("c1"), col("c1").as("c2")), Seq("c1"))
-        .select(col("id"), col("c2").as("comp")))
-      converged = next.join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") =!= col("prev")).isEmpty
-      labels = next
+        .select(col("id"), col("comp").as("prev"), col("c2").as("comp")))
+      converged = next.filter(col("comp") =!= col("prev")).isEmpty
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     labels
