@@ -121,6 +121,23 @@ object InfraQueries {
         .orderBy("day", "event_type")
     }),
 
+    // Streaming exact dedup (dropDuplicatesWithinWatermark): the source
+    // is streamed twice (duplicate-injecting transport), one survivor
+    // per event_id; rolled up per type so the batch oracle is exact.
+    "q56_stream_dedup" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      StreamOps.dedupAvailableNow(s, dir, schema, "event_id",
+          queryName = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+          globFilter = Some("events.parquet"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("event_id").as("min_id"),
+          max("event_id").as("max_id"), countDistinct("user_id").as("n_users"))
+        .orderBy("event_type")
+    }),
+
     // Custom-state sessionization (flatMapGroupsWithState) checked
     // against the SQL islands formulation: closed gap-based sessions per
     // user. The stateful operator leaves each user's last session open,
@@ -221,6 +238,11 @@ object InfraQueries {
     "q94_stream_window" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q56_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id,
+        |  MAX(event_id) AS max_id,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q107_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsm, event_type FROM events),
         |m AS (

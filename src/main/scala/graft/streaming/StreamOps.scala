@@ -50,6 +50,43 @@ object StreamOps {
       .select(to_date(col("window.start")).as("day"), col("event_type"), col("n"))
   }
 
+  /** Streaming exact dedup: the at-least-once ingestion guard. The
+    * source is read TWICE and unioned (a deterministic duplicate
+    * injection standing in for a redelivering transport), then
+    * `dropDuplicatesWithinWatermark` keeps the first arrival per
+    * `idCol`. State is one key per id retained only for the watermark
+    * delay — bounded by arrival rate × delay, not by stream history,
+    * which is what makes exactly-once ingestion viable on an unbounded
+    * stream (plain `dropDuplicates` state grows forever).
+    *
+    * Returns the deduplicated rows read back from the append sink; with
+    * a unique-id source the result equals the source exactly, which is
+    * what lets the driver hash-check a streaming operator against a
+    * batch DuckDB oracle.
+    */
+  def dedupAvailableNow(spark: SparkSession, srcDir: String, schema: StructType,
+      idCol: String, queryName: String, globFilter: Option[String] = None): DataFrame = {
+    def src = {
+      val reader = spark.readStream.schema(schema)
+      globFilter.fold(reader)(g => reader.option("pathGlobFilter", g)).parquet(srcDir)
+    }
+    val doubled = src.union(src)
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_ts", "1 hour")
+      .dropDuplicatesWithinWatermark(idCol)
+      .drop("ts_ts")
+    val outDir = java.nio.file.Files.createTempDirectory(queryName).toString
+    val q = doubled.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema(StructType(schema.fields)).parquet(outDir)
+  }
+
   final case class SessionEvent(user_id: Long, ts_micros: Long, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start: Long, session_end: Long,

@@ -74,6 +74,26 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("Generate explode"), s"missing explode rewrite:\n$p")
   }
 
+  test("semantic dedup pairs are cell-bucketed, never all-pairs (q87)") {
+    val p = formatted("q87_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), s"cartesian in semdedup plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in semdedup plan:\n$p")
+  }
+
+  test("PQ ANN scan joins codes to a broadcast LUT, no cartesian (q86)") {
+    val p = formatted("q86_ann_pq")
+    assert(!p.contains("CartesianProduct"), s"cartesian in PQ plan:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"codebook/LUT side did not broadcast:\n$p")
+  }
+
+  test("decontamination joins the corpus against broadcast eval grams (q84)") {
+    val p = formatted("q84_decontaminate")
+    assert(!p.contains("CartesianProduct"), s"cartesian in decontaminate plan:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"eval gram set did not broadcast:\n$p")
+  }
+
   test("no driver-side memory sink anywhere in src/main") {
     // the streaming rollup must write through a distributed sink; a
     // format("memory") sink materializes the aggregate on the driver
