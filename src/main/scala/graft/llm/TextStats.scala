@@ -76,4 +76,34 @@ object TextStats {
     aggregate(toks, lit(0L),
       (acc, tok) => pmod(acc * 31 + (length(tok) * 17 + ascii(tok)), lit(1000000007L)))
   }
+
+  /** Word n-grams of a document as strings ("a b c" for n=3); documents
+    * shorter than n yield the whole text as one gram. */
+  def wordGrams(text: Column, n: Int): Column = {
+    val ws = split(text, " ")
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + 1, lit(n)), " ")))
+      .otherwise(array(array_join(ws, " ")))
+  }
+
+  /** Within-document duplicate n-gram fraction — the Gopher/FineWeb
+    * repetition signal: 1 - distinct_grams/grams. High values flag
+    * boilerplate/looping text. Pure per-row array arithmetic: no
+    * explode, no shuffle — the whole signal pipelines inside the scan. */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val grams = wordGrams(text, n)
+    round(lit(1.0) - size(array_distinct(grams)).cast(DoubleType)
+      / size(grams).cast(DoubleType), 6)
+  }
+
+  /** PII-bearing-span counts and a redacted text digest. The patterns
+    * are the usual first-pass scrubber set (emails, URLs); the digest of
+    * the redacted text lets the caller verify byte-identical scrubbing
+    * across engines without shipping the text itself. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlRe = "https?://[^\\s]+"
+
+  def redacted(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), urlRe, "<URL>")
 }

@@ -236,6 +236,36 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Within-doc n-gram repetition (the Gopher/FineWeb boilerplate
+    // signal): pure per-row array arithmetic, pipelines inside the scan.
+    "q57_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.repetitionRatio(col("text"), 2).as("rep2"),
+          TextStats.repetitionRatio(col("text"), 3).as("rep3"))
+        .orderBy("doc_id")
+    }),
+
+    // PII scrub pass: deterministic email/URL injection (doc_id % 3), then
+    // regex redaction; per-source counts + redacted-byte savings verify
+    // byte-identical scrubbing across engines.
+    "q58_pii_redact" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").withColumn("aug",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com via https://site"), col("doc_id"), lit(".org/p")))
+          .otherwise(col("text")))
+      aug.select(col("source"), col("aug"),
+          size(regexp_extract_all(col("aug"), lit(TextStats.emailRe), lit(0))).as("n_email"),
+          size(regexp_extract_all(col("aug"), lit(TextStats.urlRe), lit(0))).as("n_url"),
+          (length(col("aug")) - length(TextStats.redacted(col("aug")))).as("saved"))
+        .groupBy("source")
+        .agg(sum(col("n_email")).as("emails"), sum(col("n_url")).as("urls"),
+          sum(col("saved")).as("bytes_saved"),
+          count_if(col("n_email") + col("n_url") > 0).as("docs_with_pii"))
+        .orderBy("source")
+    }),
+
     // SemDeDup-style semantic dedup: deterministic sign-cell partition +
     // exact-cosine prune within cells; keeper = min vec_id per
     // neighborhood. Fully oracle-checked (the cell id and the decimal
@@ -459,6 +489,44 @@ object LlmQueries {
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
         |  sha256(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q57_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)]
+        |      ELSE [array_to_string(toks, ' ')] END AS g2,
+        |    CASE WHEN len(toks) >= 3
+        |      THEN [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]
+        |      ELSE [array_to_string(toks, ' ')] END AS g3
+        |  FROM g)
+        |SELECT doc_id,
+        |  ROUND(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) AS rep2,
+        |  ROUND(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) AS rep3
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q58_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || ' contact user' || doc_id || '@example.com via https://site'
+        |           || doc_id || '.org/p'
+        |      ELSE text END AS aug
+        |  FROM documents),
+        |scrub AS (
+        |  SELECT source, aug,
+        |    len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |    len(regexp_extract_all(aug, 'https?://[^\s]+')) AS n_url,
+        |    length(aug) - length(
+        |      regexp_replace(
+        |        regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        'https?://[^\s]+', '<URL>', 'g')) AS saved
+        |  FROM aug)
+        |SELECT source, CAST(SUM(n_email) AS BIGINT) AS emails,
+        |  CAST(SUM(n_url) AS BIGINT) AS urls,
+        |  CAST(SUM(saved) AS BIGINT) AS bytes_saved,
+        |  count_if(n_email + n_url > 0)::BIGINT AS docs_with_pii
+        |FROM scrub GROUP BY source ORDER BY source""".stripMargin,
     "q87_semantic_dedup" ->
       """WITH base AS (
         |  SELECT vec_id, embedding,
