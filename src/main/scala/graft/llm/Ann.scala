@@ -45,6 +45,15 @@ object Ann {
   def norm2Decimal(a: Column): Column = dotDecimal(a, a)
 
   /** Cosine similarity from precomputed decimal dot + norms. */
+  /** Materialize a SMALL frame (centroids/codebooks — bounded by
+    * construction, never data-sized) as a local relation: multi-consumer
+    * plans would otherwise re-execute the whole upstream k-means once
+    * per consumer, and a local relation broadcast-joins for free. */
+  private[llm] def pin(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   def cosineFrom(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast(DoubleType) / (sqrt(n2a.cast(DoubleType)) * sqrt(n2b.cast(DoubleType)))
 
@@ -133,7 +142,9 @@ object Ann {
       .select(col("vec_id").as("cell"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("centroid"))
       .withColumn("centn2", dotDouble(col("centroid"), col("centroid")))
-    val centroids = (1 to kmeansIters).foldLeft(seed)((cur, _) => lloydStep(c, cur))
+    // pinned: `assigned` and `probed` would otherwise each re-run the
+    // whole Lloyd fold (and its per-iteration corpus scans)
+    val centroids = pin((1 to kmeansIters).foldLeft(seed)((cur, _) => lloydStep(c, cur)))
     val assigned = nearestCells(c, "cid", "ce", "cn2", 1, centroids)
     val probed = nearestCells(
       queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),

@@ -87,7 +87,9 @@ object Pq {
       refine: Int = 4): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val csubs = subspaces(corpus, dim, m, "cid")
-    val books = codebooks(csubs, ksub, lloydIters)
+    // pinned: encode and the LUT both consume the codebooks — unpinned,
+    // each re-runs the per-subspace k-means (2 corpus scans per iter)
+    val books = Ann.pin(codebooks(csubs, ksub, lloydIters))
     val codes = encode(csubs, books)
     // per-query LUT: partial dot of each query subvector with every
     // centroid — nq × m × ksub rows, broadcast to the code scan
