@@ -35,6 +35,60 @@ object Multimodal {
       col("text").cast(BinaryType).as("payload"),
       concat(lit("image/fake-"), pmod(col("doc_id"), lit(3))).as("media_type"))
 
+  /** Repartition a media frame so each partition carries roughly
+    * `targetBytes` of payload — the pre-decode sizing step that keeps a
+    * decoder's working set bounded when media rows are megabytes each
+    * (partition count follows data volume, not spark.default.parallelism).
+    * One cheap aggregate plus one round-robin shuffle. */
+  def bytesBoundedRepartition(media: DataFrame, targetBytes: Long,
+      payloadCol: String = "payload"): DataFrame = {
+    val total = media.agg(sum(octet_length(col(payloadCol)))).collect()(0) match {
+      case row if row.isNullAt(0) => 0L
+      case row => row.getLong(0)
+    }
+    val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    media.repartition(parts)
+  }
+
+  case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** STUB frame sampler: every `stride`-th fixed-size slice of the
+    * payload stands in for a decoded video frame. The plumbing is the
+    * real pattern — one row fans out to many via an iterator flatMap
+    * (never materializing a whole video's frames in memory), partitioned
+    * upstream by [[bytesBoundedRepartition]]. */
+  def frameSample(spark: SparkSession, media: DataFrame, frameBytes: Int,
+      stride: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = r.payload.length / frameBytes
+        Iterator.range(0, n, stride).map { i =>
+          Frame(r.doc_id, i,
+            java.util.Arrays.copyOfRange(r.payload, i * frameBytes, (i + 1) * frameBytes))
+        }
+      }
+    }
+  }
+
+  /** STUB resize: clamps the fake decoded dimensions to a bounding box
+    * (aspect-preserving scale factor in fixed-point arithmetic so the
+    * result is engine-portable and deterministic). A real deployment
+    * swaps the body for the codec's resampler; the signature —
+    * features in, features out, no payload — is the production shape. */
+  def resize(features: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[MediaFeatures] = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      if (f.width <= maxW && f.height <= maxH) f
+      else {
+        // scale = min(maxW/w, maxH/h) in 1/1024 fixed point
+        val s = math.min(maxW.toLong * 1024 / f.width, maxH.toLong * 1024 / f.height)
+        f.copy(width = math.max(1, (f.width * s / 1024).toInt),
+          height = math.max(1, (f.height * s / 1024).toInt))
+      }
+    }
+  }
+
   /** STUB decoder: deterministic fake features from the payload bytes.
     * A real deployment swaps `decodeOne` for an image/audio codec; the
     * mapPartitions shape (decoder init once per partition, iterator in /
