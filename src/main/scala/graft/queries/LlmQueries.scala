@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.util.Tables._
-import graft.llm.{Ann, Decontaminate, MixtureSample, Multimodal, Pq, PrepPipeline, SemDedup, TextDedup, TextStats}
+import graft.llm.{Ann, Decontaminate, MixtureSample, Multimodal, Pq, PrepPipeline, SemDedup, SeqPack, TextDedup, TextStats}
 
 /** LLM training-data pipeline block: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard), ANN (brute-force + LSH), text analysis,
@@ -266,6 +266,17 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // Sequence packing: shard-local contiguous packing into 512-token
+    // bins (one window shuffle, no global sort), per-bin density stats.
+    "q59_sequence_pack" -> ((s, dir) => {
+      SeqPack.pack(t(s, dir, "documents"),
+          TextStats.tokenCount(col("text")), seqLen = 512, nShards = 8)
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("shard", "bin")
+    }),
+
     // SemDeDup-style semantic dedup: deterministic sign-cell partition +
     // exact-cosine prune within cells; keeper = min vec_id per
     // neighborhood. Fully oracle-checked (the cell id and the decimal
@@ -489,6 +500,22 @@ object LlmQueries {
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
         |  sha256(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q59_sequence_pack" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |        + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 8 AS INTEGER) AS shard,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |p AS (
+        |  SELECT shard, doc_id, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM s)
+        |SELECT shard, CAST(FLOOR(off / 512) AS BIGINT) AS bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM p GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
     "q57_repetition" ->
       """WITH g AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
