@@ -52,6 +52,30 @@ class PrepSemDedupSpec extends SparkTestBase {
       (3, "exact_dedup", 1L)))
   }
 
+  test("seqpack: token totals conserved per shard, bins dense from 0") {
+    import graft.llm.{SeqPack, TextStats}
+    val docs = (1L to 200L).map(i => (i, ("tok " * (1 + (i % 7).toInt)).trim))
+      .toDF("doc_id", "text")
+    val packed = SeqPack.pack(docs, TextStats.tokenCount(col("text")),
+      seqLen = 16, nShards = 4).cache()
+    try {
+      val perShard = packed.groupBy("shard")
+        .agg(sum("n_tok").as("tok"), max("bin").as("maxBin"),
+          countDistinct("bin").as("nBins"), min("bin").as("minBin"))
+        .collect()
+      assert(perShard.length == 4)
+      perShard.foreach { r =>
+        assert(r.getLong(4) == 0L) // first bin is 0
+        // no doc exceeds seqLen here, so bins are contiguous
+        assert(r.getLong(3) == r.getLong(2) + 1)
+      }
+      // conservation: packed tokens == raw tokens
+      val raw = docs.select(TextStats.tokenCount(col("text")).cast("long").as("n"))
+        .agg(sum("n")).collect()(0).getLong(0)
+      assert(perShard.map(_.getLong(1)).sum == raw)
+    } finally packed.unpersist()
+  }
+
   test("run returns the final surviving frame") {
     val docs = Seq((1L, "en"), (2L, "es")).toDF("doc_id", "lang")
     val out = PrepPipeline.run(docs, Seq(
