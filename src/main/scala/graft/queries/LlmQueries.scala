@@ -266,6 +266,28 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // Verbatim-window duplicate detection (exact-substring dedup a la
+    // "Deduplicating Training Data Makes Language Models Better"):
+    // flag docs sharing an exact 8-token window with another doc.
+    // LINEAR shape — per-gram document frequency then join back; never a
+    // doc-pair join, and boilerplate windows (df > 10) are dropped the
+    // same way the suffix-array pipeline drops over-common substrings.
+    "q68_window_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val grams = docs.select(col("doc_id"),
+          explode(TextStats.wordGrams(col("text"), 8)).as("g"))
+        .distinct()
+      val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      val flagged = grams
+        .join(dfreq.filter(col("df").between(2, 10)), Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+      docs.select("doc_id").join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          (coalesce(col("n_dup_windows"), lit(0L)) > 0).cast("int").as("dup_flag"))
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing: shard-local contiguous packing into 512-token
     // bins (one window shuffle, no global sort), per-bin density stats.
     "q59_sequence_pack" -> ((s, dir) => {
@@ -500,6 +522,26 @@ object LlmQueries {
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
         |  sha256(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q68_window_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(
+        |      CASE WHEN len(t) >= 8
+        |        THEN [array_to_string(t[i:i+7], ' ') for i in generate_series(1, len(t)-7)]
+        |        ELSE [array_to_string(t, ' ')] END) AS g
+        |    FROM toks)),
+        |dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+        |flagged AS (
+        |  SELECT doc_id, COUNT(*) AS n_dup_windows
+        |  FROM grams JOIN dfreq USING (g)
+        |  WHERE df BETWEEN 2 AND 10 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(f.n_dup_windows, 0) AS n_dup_windows,
+        |  CAST(COALESCE(f.n_dup_windows, 0) > 0 AS INT) AS dup_flag
+        |FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q59_sequence_pack" ->
       """WITH s AS (
         |  SELECT doc_id,
