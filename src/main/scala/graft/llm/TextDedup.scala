@@ -153,19 +153,31 @@ object TextDedup {
         (col("comp") === col("id")).cast(IntegerType).as("is_canonical"))
   }
 
-  /** 64-bit SimHash signatures, DataFrame-level: explode tokens, hash,
-    * majority-vote per bit via one grouped aggregation (64 conditional
-    * sums in a single shuffle — the scalable shape), then recombine the
-    * sign bits into one long.
+  /** Engine-portable 60-bit token hash: the first 15 hex chars of md5,
+    * parsed as an integer — computable identically in Spark and DuckDB
+    * (or any engine with md5), which is what lets a simhash be
+    * oracle-checked bit-for-bit. xxhash64 stays the scale default
+    * (no md5 string round-trip per token). */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** SimHash signatures, DataFrame-level: explode tokens, hash,
+    * majority-vote per bit via one grouped aggregation (`bits`
+    * conditional sums in a single shuffle — the scalable shape), then
+    * recombine the sign bits into one long.
     *
-    * Scale: linear in total tokens, one shuffle on the doc id; the 64
+    * Scale: linear in total tokens, one shuffle on the doc id; the
     * bit-count columns are map-side partially aggregated.
+    *
+    * @param tokenHash per-token hash column; xxhash64 by default,
+    *                  [[portableHash]] for engine-portable signatures
     */
   def simhashDf(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", bits: Int = 64): DataFrame = {
+      idCol: String = "doc_id", bits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val tokens = docs
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
+      .select(col("id"), tokenHash(col("tok")).as("h"))
     val bitSums = (0 until bits).map(i =>
       sum(shiftright(col("h"), i).bitwiseAND(1L)).as(s"b$i"))
     val counted = tokens.groupBy(col("id"))

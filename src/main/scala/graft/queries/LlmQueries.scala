@@ -109,8 +109,12 @@ object LlmQueries {
     // SimHash: 64-bit signatures, grouped by signature — hash collisions
     // = near-dup buckets. Deterministic (xxhash64) but not reasonably
     // SQL-expressible → rows-only.
+    // SimHash signature grouping, oracle-checked bit-for-bit via the
+    // portable md5-derived token hash (xxhash64 stays the library's
+    // scale default — same plan shape, cheaper per-token hash).
     "q73_simhash" -> ((s, dir) => {
-      TextDedup.simhashDf(t(s, dir, "documents"))
+      TextDedup.simhashDf(t(s, dir, "documents"), bits = 48,
+          tokenHash = TextDedup.portableHash)
         .groupBy("sig").agg(count(lit(1)).as("n"), min("id").as("keeper"))
         .orderBy(col("n").desc, col("sig"))
     }),
@@ -427,6 +431,20 @@ object LlmQueries {
         |  WHEN 'src0' THEN 12 WHEN 'src1' THEN 5 WHEN 'src2' THEN 18
         |  WHEN 'src3' THEN 3 ELSE 25 END
         |ORDER BY source, pick_rank""".stripMargin,
+    "q73_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+        |bits AS (
+        |  SELECT doc_id, i, SUM((h >> i) & 1) AS ones, COUNT(*) AS n
+        |  FROM tok CROSS JOIN generate_series(0, 47) g(i)
+        |  GROUP BY doc_id, i),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN ones * 2 > n THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bits GROUP BY doc_id)
+        |SELECT sig, COUNT(*) AS n, MIN(doc_id) AS keeper
+        |FROM sig GROUP BY sig ORDER BY n DESC, sig""".stripMargin,
     "q74_ann_bruteforce" ->
       """WITH norms AS (
         |  SELECT vec_id, SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS n2

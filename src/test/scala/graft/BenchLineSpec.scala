@@ -26,7 +26,7 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("every query has an oracle or is a documented rows-only path") {
-    val rowsOnly = Set("q72_minhash_lsh", "q73_simhash", "q75_ann_lsh",
+    val rowsOnly = Set("q72_minhash_lsh", "q75_ann_lsh",
       "q82_ann_ivf", "q86_ann_pq", "q106_approx_variants")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty,
