@@ -138,6 +138,23 @@ object InfraQueries {
         .orderBy("event_type")
     }),
 
+    // Stream-stream time-bounded self-join: anchor events (id % 97) vs
+    // same-user events in the preceding hour, both sides watermarked;
+    // AvailableNow result equals the batch join (the oracle).
+    "q69_stream_join" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      StreamOps.streamSelfJoinAvailableNow(s, dir, schema,
+          anchorFilter = col("event_id") % 97 === 0, window = "1 HOUR",
+          queryName = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+          globFilter = Some("events.parquet"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"), countDistinct("a_id").as("n_anchors"))
+        .orderBy("user_id")
+    }),
+
     // Custom-state sessionization (flatMapGroupsWithState) checked
     // against the SQL islands formulation: closed gap-based sessions per
     // user. The stateful operator leaves each user's last session open,
@@ -238,6 +255,18 @@ object InfraQueries {
     "q94_stream_window" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q69_stream_join" ->
+      """WITH a AS (
+        |  SELECT event_id AS a_id, user_id, ts AS a_ts
+        |  FROM events WHERE event_id % 97 = 0),
+        |b AS (SELECT event_id AS b_id, user_id, ts AS b_ts FROM events),
+        |j AS (
+        |  SELECT a.user_id, a.a_id, b.b_id
+        |  FROM a JOIN b ON a.user_id = b.user_id AND a.a_id != b.b_id
+        |   AND b.b_ts BETWEEN a.a_ts - INTERVAL 1 HOUR AND a.a_ts)
+        |SELECT user_id, COUNT(*) AS n_pairs,
+        |  CAST(COUNT(DISTINCT a_id) AS BIGINT) AS n_anchors
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q56_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id,
         |  MAX(event_id) AS max_id,

@@ -87,6 +87,47 @@ object StreamOps {
     spark.read.schema(StructType(schema.fields)).parquet(outDir)
   }
 
+  /** Stream-stream self-join: anchor events (the `anchorFilter` side)
+    * joined to every event of the same user in the preceding `window`.
+    * Both sides are watermarked and the join is time-bounded, so each
+    * side's buffered state is evictable the moment the other side's
+    * watermark passes — state is O(arrival rate × window), not stream
+    * history, which is the property that makes stream-stream joins
+    * runnable unbounded. With AvailableNow over a bounded source the
+    * result equals the batch join exactly (the oracle).
+    */
+  def streamSelfJoinAvailableNow(spark: SparkSession, srcDir: String,
+      schema: StructType, anchorFilter: org.apache.spark.sql.Column,
+      window: String, queryName: String,
+      globFilter: Option[String] = None): DataFrame = {
+    def src = {
+      val reader = spark.readStream.schema(schema)
+      globFilter.fold(reader)(g => reader.option("pathGlobFilter", g)).parquet(srcDir)
+    }
+    val anchors = src.filter(anchorFilter)
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        timestamp_micros(expr("ts div 1000")).as("a_ts"))
+      .withWatermark("a_ts", "1 hour")
+    val others = src
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        timestamp_micros(expr("ts div 1000")).as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    val joined = anchors.join(others,
+      expr(s"a_user = b_user AND a_id != b_id AND " +
+        s"b_ts BETWEEN a_ts - INTERVAL $window AND a_ts"))
+    val outDir = java.nio.file.Files.createTempDirectory(queryName).toString
+    val q = joined.select(col("a_id"), col("a_user").as("user_id"), col("b_id"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   final case class SessionEvent(user_id: Long, ts_micros: Long, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
