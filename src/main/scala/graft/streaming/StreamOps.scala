@@ -14,6 +14,21 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamOps {
 
+  /** Unload completed queries' state-store providers. Bounded-batch
+    * drivers (bench/verify) run many short streaming queries in one JVM;
+    * a finished query's providers otherwise stay loaded and the shared
+    * maintenance task keeps iterating them, slowing every LATER
+    * streaming query (measured 10x on back-to-back runs). A long-lived
+    * production query never hits this — it owns the JVM. */
+  private def unloadStateStores(): Unit =
+    // private[sql] in the Scala signature, public in bytecode → reflect
+    try {
+      val cls = Class.forName(
+        "org.apache.spark.sql.execution.streaming.state.StateStore$")
+      val module = cls.getField("MODULE$").get(null)
+      cls.getMethod("unloadAll").invoke(module)
+    } catch { case _: Throwable => () }
+
   /** Windowed event counts as a stream: tumbling window + watermark for
     * late data, Trigger.AvailableNow, parquet result via foreachBatch.
     * Returns the final result read back from disk (window bounds
@@ -46,6 +61,7 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    unloadStateStores()
     spark.read.parquet(outDir)
       .select(to_date(col("window.start")).as("day"), col("event_type"), col("n"))
   }
@@ -84,6 +100,7 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    unloadStateStores()
     spark.read.schema(StructType(schema.fields)).parquet(outDir)
   }
 
@@ -125,6 +142,7 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    unloadStateStores()
     spark.read.parquet(outDir)
   }
 
