@@ -139,7 +139,7 @@ object InfraQueries {
     }),
 
     // Stream-stream time-bounded self-join: anchor events (id % 97) vs
-    // same-user events in the preceding hour, both sides watermarked;
+    // same-user events in the preceding day, both sides watermarked;
     // AvailableNow result equals the batch join (the oracle).
     "q69_stream_join" -> ((s, dir) => {
       val schema = StructType(Seq(
@@ -147,7 +147,7 @@ object InfraQueries {
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
       StreamOps.streamSelfJoinAvailableNow(s, dir, schema,
-          anchorFilter = col("event_id") % 97 === 0, window = "1 HOUR",
+          anchorFilter = col("event_id") % 97 === 0, window = "1 DAY",
           queryName = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", ""),
           globFilter = Some("events.parquet"))
         .groupBy("user_id")
@@ -263,7 +263,7 @@ object InfraQueries {
         |j AS (
         |  SELECT a.user_id, a.a_id, b.b_id
         |  FROM a JOIN b ON a.user_id = b.user_id AND a.a_id != b.b_id
-        |   AND b.b_ts BETWEEN a.a_ts - INTERVAL 1 HOUR AND a.a_ts)
+        |   AND b.b_ts BETWEEN a.a_ts - INTERVAL 1 DAY AND a.a_ts)
         |SELECT user_id, COUNT(*) AS n_pairs,
         |  CAST(COUNT(DISTINCT a_id) AS BIGINT) AS n_anchors
         |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
