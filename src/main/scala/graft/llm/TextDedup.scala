@@ -145,12 +145,21 @@ object TextDedup {
     val verified = verifyJaccard(
       minhashCandidates(docs, textCol, idCol, k, bands, shingleW),
       docs, threshold, textCol, idCol)
-    graft.operators.ConnectedComponents.connectedComponents(
-      docs.select(col(idCol).as("id")),
-      verified.select(col("doc_a").as("src"), col("doc_b").as("dst")),
-      maxIter)
-      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
-        (col("comp") === col("id")).cast(IntegerType).as("is_canonical"))
+    val edges = verified.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // Iterate ONLY the non-trivial subgraph: in a dedup corpus nearly
+    // all docs are singletons (no verified edge), and their label is
+    // their own id by definition — excluding them shrinks every CC
+    // round's join/shuffle to the duplicate-involved minority, then a
+    // single left join stamps the singletons back in.
+    val edgeVerts = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val nonTrivial = graft.operators.ConnectedComponents
+      .connectedComponents(edgeVerts, edges, maxIter)
+    docs.select(col(idCol).as("id")).join(nonTrivial, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("comp"), col("id")).as("cluster_id"),
+        (coalesce(col("comp"), col("id")) === col("id"))
+          .cast(IntegerType).as("is_canonical"))
   }
 
   /** Engine-portable 60-bit token hash: the first 15 hex chars of md5,
