@@ -30,9 +30,28 @@ object Bench {
     // and benches the full map.
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries
+    // Deterministic order: SparkEntry.queries is a HashMap, so iteration
+    // order shifts whenever a query is added — which lets a light query
+    // silently inherit the GC/state-store debt of whichever heavy neighbor
+    // the new hash order put before it (r7: q64 8.7x slower on identical
+    // code). Run name-sorted, with the stateful/heavy queries (streaming
+    // state stores, corpus deploy, CC clustering) LAST so their JVM
+    // footprint can't taint the per-query numbers of the light ones.
+    val heavyLast = Set("q56_stream_dedup", "q69_stream_join",
+      "q94_stream_window", "q107_sessionize", "q109_corpus_exec",
+      "q83_dedup_clusters", "q86_ann_pq")
+    val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .sortBy { case (name, _) => (heavyLast.contains(name), name) }
+    val results = ordered.map { case (name, fn) =>
+      // Heavy queries still neighbor each other at the tail: drop finished
+      // streaming state stores and take a bounded GC before timing each, so
+      // a heavy query is measured on its own footprint, not its
+      // predecessor's.
+      if (heavyLast.contains(name)) {
+        graft.streaming.StreamOps.unloadStateStores()
+        System.gc(); Thread.sleep(200)
+      }
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -40,13 +59,15 @@ object Bench {
       }
       name -> times.min
     }
+    // ListMap keeps the run order in the emitted JSON (humans diff these).
+    val resultsMap = scala.collection.immutable.ListMap(results: _*)
     // Locale.ROOT: "%.Nf" must never emit a comma decimal separator.
     def fmt(v: Double, dec: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dec}f", v)
     def jsonLine(keyOf: String => String, dec: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v, dec) }
+      val qs = resultsMap.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val total = if (resultsMap.nonEmpty) resultsMap.values.sum else 0.0
       s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     // Full-name 4-decimal payload → file (complete record for humans/tools).
@@ -58,7 +79,7 @@ object Bench {
     // after us. A full-name line (~2.5 KB) truncates mid-string, so print a
     // short-key variant: the unique qNN prefix per query, 3-decimal values
     // (~1.4 KB) — whole line survives the tail window.
-    val prefixes = results.keys.map(k => k.takeWhile(_ != '_')).toSeq
+    val prefixes = resultsMap.keys.map(k => k.takeWhile(_ != '_')).toSeq
     val shortKeys = prefixes.size == prefixes.distinct.size
     println(jsonLine(k => if (shortKeys) k.takeWhile(_ != '_') else k, 3))
     println(s"bench_out=${out.toAbsolutePath}")

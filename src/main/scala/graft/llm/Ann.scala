@@ -80,12 +80,13 @@ object Ann {
     (pmod(xxhash64(i, lit(p)), lit(1000000L)).cast(DoubleType) / 1000000.0) - 0.5
 
   /** nBits-bit sign signature of an embedding against the deterministic
-    * hyperplane family. */
-  def lshSignature(emb: Column, nBits: Int): Column =
+    * hyperplane family starting at `planeOffset` — distinct offsets give
+    * statistically independent families (the multi-table recall knob). */
+  def lshSignature(emb: Column, nBits: Int, planeOffset: Int = 0): Column =
     (0 until nBits).map { p =>
       val proj = aggregate(
         zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (x, i) => x.cast(DoubleType) * planeWeight(i, p)),
+          (x, i) => x.cast(DoubleType) * planeWeight(i, planeOffset + p)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
@@ -180,29 +181,44 @@ object Ann {
     * buckets, from [[autoBits]]) usable at scale: candidate volume per
     * query stays ~(nBits+1)·occupancy instead of one giant bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8,
-      multiProbe: Boolean = true): DataFrame = {
+      multiProbe: Boolean = true, nTables: Int = 1): DataFrame = {
+    // one signature per table; table t draws planes [t*nBits, (t+1)*nBits)
+    // so tables are independent. Bucket key is (table, sig) — an equi-join
+    // key; the corpus is replicated nTables× (the standard multi-table LSH
+    // space/recall trade: linear in nTables, never quadratic).
+    def sigs(emb: Column): Column =
+      array((0 until nTables).map { t =>
+        struct(lit(t).as("t"), lshSignature(emb, nBits, t * nBits).as("sig"))
+      }: _*)
     val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"),
       norm2Decimal(col("embedding")).as("cn2"),
-      lshSignature(col("embedding"), nBits).as("bucket"))
+      explode(sigs(col("embedding"))).as("ts"))
+      .select(col("cid"), col("ce"), col("cn2"),
+        concat_ws(":", col("ts.t"), col("ts.sig")).as("bucket"))
     val qBase = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
       norm2Decimal(col("embedding")).as("qn2"),
-      lshSignature(col("embedding"), nBits).as("sig"))
+      explode(sigs(col("embedding"))).as("ts"))
+      .select(col("qid"), col("qe"), col("qn2"),
+        col("ts.t").as("t"), col("ts.sig").as("sig"))
     val probes =
       if (multiProbe)
         array(col("sig") +: (0 until nBits).map(i => col("sig").bitwiseXOR(lit(1L << i))): _*)
       else array(col("sig"))
-    val q = qBase.select(col("qid"), col("qe"), col("qn2"),
-      explode(probes).as("bucket"))
-    // a corpus row lives in exactly one bucket and the probe set is
-    // distinct, so each (cid, qid) pair joins at most once
+    val q = qBase.select(col("qid"), col("qe"), col("qn2"), col("t"),
+        explode(probes).as("psig"))
+      .select(col("qid"), col("qe"), col("qn2"),
+        concat_ws(":", col("t"), col("psig")).as("bucket"))
+    // with nTables > 1 a (qid, cid) pair can collide in several tables —
+    // dedupe BEFORE the exact dot so each candidate is scored once
     val scored = c.join(q, Seq("bucket"))
       .filter(col("cid") =!= col("qid"))
+      .dropDuplicates("qid", "cid")
       .withColumn("dot", dotDecimal(col("qe"), col("ce")))
       .withColumn("cosine", cosineFrom(col("dot"), col("qn2"), col("cn2")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("bucket"), col("rank"), col("cid"),
+      .select(col("qid"), col("rank"), col("cid"),
         round(col("cosine"), 6).as("cosine"))
   }
 

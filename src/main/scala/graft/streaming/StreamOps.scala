@@ -20,14 +20,26 @@ object StreamOps {
     * maintenance task keeps iterating them, slowing every LATER
     * streaming query (measured 10x on back-to-back runs). A long-lived
     * production query never hits this — it owns the JVM. */
-  private def unloadStateStores(): Unit =
+  private[graft] def unloadStateStores(): Unit =
     // private[sql] in the Scala signature, public in bytecode → reflect
     try {
       val cls = Class.forName(
         "org.apache.spark.sql.execution.streaming.state.StateStore$")
       val module = cls.getField("MODULE$").get(null)
       cls.getMethod("unloadAll").invoke(module)
-    } catch { case _: Throwable => () }
+    } catch {
+      case t: Throwable =>
+        // unloadAll is internal API (verified in the bundled Spark 4.1.2);
+        // if a Spark upgrade renames it, the measured-10x co-tenancy
+        // slowdown would quietly return — warn once instead of hiding it.
+        if (!unloadWarned) {
+          unloadWarned = true
+          System.err.println(
+            s"[graft] StateStore.unloadAll unavailable (${t.getClass.getSimpleName}: " +
+              s"${t.getMessage}); later streaming queries in this JVM may slow down")
+        }
+    }
+  @volatile private var unloadWarned = false
 
   /** Windowed event counts as a stream: tumbling window + watermark for
     * late data, Trigger.AvailableNow, parquet result via foreachBatch.
