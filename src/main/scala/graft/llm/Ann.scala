@@ -115,7 +115,11 @@ object Ann {
     assigned
       .select(col("cell"), posexplode(col("ce")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("v").cast(DoubleType)).as("m"))
+      // decimal mean: double-sum order varies with partitioning, and a
+      // ~1e-16 centroid wobble can flip a near-tied cell assignment —
+      // decimal accumulation makes the whole IVF build bit-deterministic
+      // (required for the pinned-recall oracle gate)
+      .agg(avg(col("v").cast(DoubleType).cast(dec)).cast(DoubleType).as("m"))
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         e => e.getField("m")).as("centroid"))

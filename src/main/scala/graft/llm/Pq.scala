@@ -30,6 +30,8 @@ import Ann.{cosineFrom, dotDecimal, dotDouble, norm2Decimal}
   */
 object Pq {
 
+  private val dec = DecimalType(30, 15)
+
   private def l2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
@@ -64,7 +66,9 @@ object Pq {
           min_by(col("sv"), struct(col("d"), col("code"))).as("sv"))
       assigned
         .select(col("j"), col("code"), posexplode(col("sv")))
-        .groupBy(col("j"), col("code"), col("pos")).agg(avg(col("col")).as("mu"))
+        // decimal mean — order-independent (see Ann.lloydStep)
+        .groupBy(col("j"), col("code"), col("pos"))
+        .agg(avg(col("col").cast(dec)).cast(DoubleType).as("mu"))
         .groupBy(col("j"), col("code"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
           e => e.getField("mu")).as("cvec"))
@@ -105,8 +109,10 @@ object Pq {
     val approx = codes.join(broadcast(lut), Seq("j", "code"))
       .filter(col("cid") =!= col("qid"))
       .groupBy(col("qid"), col("cid"))
-      .agg((sum(col("pdot")) /
-        sqrt(greatest(sum(col("cpart")), lit(1e-12)))).as("adot"))
+      // decimal sums: the m partial dots must accumulate order-independently
+      // or a near-tied ADC rank can flip run-to-run (see Ann.lloydStep)
+      .agg((sum(col("pdot").cast(dec)).cast(DoubleType) /
+        sqrt(greatest(sum(col("cpart").cast(dec)).cast(DoubleType), lit(1e-12)))).as("adot"))
     val wApprox = Window.partitionBy("qid").orderBy(col("adot").desc, col("cid"))
     val candidates = approx.withColumn("arank", row_number().over(wApprox))
       .filter(col("arank") <= refine * k)

@@ -52,7 +52,7 @@ object TextDedup {
     * a k× CPU regression — measured, not hypothetical. */
   def minhashCandidates(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 16, bands: Int = 4,
-      shingleW: Int = 3): DataFrame = {
+      shingleW: Int = 3, portable: Boolean = false): DataFrame = {
     val rows = k / bands
     require(rows * bands == k, "k must be divisible by bands")
     // Shingles never materialize as strings: a shingle is the xxhash64 of
@@ -69,17 +69,32 @@ object TextDedup {
       .select(col("id"),
         explode(sequence(lit(0), greatest(size(col("ws")) - w, lit(0)))).as("i"),
         col("ws"))
-      .select(col("id"),
-        xxhash64((1 to w).map(o => try_element_at(col("ws"), col("i") + o)): _*).as("sh"))
+      .select(col("id"), {
+        // portable: shingle = its space-joined words (concat_ws skips the
+        // nulls a short doc produces, same as DuckDB's), hashed with the
+        // md5-derived portableHash so an external engine can recompute the
+        // signature bit-for-bit. xxhash64 stays the scale default — no md5
+        // string round-trip per shingle.
+        val wcols = (1 to w).map(o => try_element_at(col("ws"), col("i") + o))
+        (if (portable) portableHash(concat_ws(" ", wcols: _*))
+         else xxhash64(wcols: _*)).as("sh")
+      })
     val hashed = exploded.select(col("id") +:
-      (0 until k).map(s => xxhash64(col("sh"), lit(s)).as(s"h$s")): _*)
+      (0 until k).map { s =>
+        (if (portable)
+           portableHash(concat_ws(":", col("sh").cast(StringType), lit(s)))
+         else xxhash64(col("sh"), lit(s))).as(s"h$s")
+      }: _*)
     val sig = hashed.groupBy("id")
       .agg(min(col("h0")).as("m0"),
         (1 until k).map(s => min(col(s"h$s")).as(s"m$s")): _*)
     val banded = sig.select(col("id"), explode(array((0 until bands).map { b =>
+      val mins = ((b * rows) until ((b + 1) * rows)).map(i => col(s"m$i"))
       struct(lit(b).as("band"),
-        xxhash64(((b * rows) until ((b + 1) * rows)).map(i => col(s"m$i")) :+ lit(b): _*)
-          .as("key"))
+        // the key only needs to be a deterministic function of the band's
+        // min-vector; the portable form skips the hash entirely
+        (if (portable) concat_ws("_", mins.map(_.cast(StringType)): _*)
+         else xxhash64(mins :+ lit(b): _*)).as("key"))
     }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val a = banded.alias("a"); val b = banded.alias("b")

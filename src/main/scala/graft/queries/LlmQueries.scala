@@ -7,13 +7,31 @@ import graft.util.Tables._
 import graft.llm.{Ann, Decontaminate, MixtureSample, Multimodal, Pq, PrepPipeline, SemDedup, SeqPack, TextDedup, TextStats}
 
 /** LLM training-data pipeline block: dedup (exact / MinHash-LSH /
-  * SimHash / n-gram Jaccard), ANN (brute-force + LSH), text analysis,
-  * multimodal plumbing. Oracle-checked where the computation is
-  * SQL-expressible; LSH paths are rows-only (approximate by design).
+  * SimHash / n-gram Jaccard), ANN (brute-force + LSH/IVF/PQ), text
+  * analysis, multimodal plumbing. Everything is oracle-checked: exact
+  * paths bit-for-bit (portable md5-derived hashes where the engine
+  * default is xxhash64), approximate ANN paths via pinned recall@k
+  * against a DuckDB-recomputed exact baseline (see recallSummary).
   */
 object LlmQueries {
 
   type Q = (SparkSession, String) => DataFrame
+
+  /** Recall@k of an approximate ANN result vs the exact baseline, as ONE
+    * summary row — the oracle-checkable form of an approximate query:
+    * DuckDB independently computes the exact top-k (n_queries, n_truth
+    * derived from data) and the CORRECTNESS gate pins the achieved
+    * n_hits/recall, so any regression in the approximate path's recall
+    * turns the row red. */
+  private def recallSummary(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val truth = exact.select(col("qid"), col("cid"))
+    val hits = approx.select(col("qid"), col("cid")).join(truth, Seq("qid", "cid"))
+    truth.agg(count_distinct(col("qid")).as("n_queries"), count(lit(1)).as("n_truth"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_queries"), col("n_truth"), col("n_hits"),
+        round(col("n_hits").cast(DoubleType) / col("n_truth").cast(DoubleType), 4)
+          .as("recall"))
+  }
 
   private val stopwords = Seq("the", "a", "and", "of", "to")
   private val langMarkers = Map(
@@ -101,8 +119,12 @@ object LlmQueries {
     // threshold (P[collide] = j^rows per band). rows=8 targets j≳0.8;
     // fewer rows over a small-vocabulary corpus floods buckets and the
     // in-bucket pair expansion goes quadratic.
+    // Oracle-checked bit-for-bit via the portable md5-derived hash family
+    // (the q73 trick): DuckDB recomputes the full shingle→minhash→band
+    // pipeline. xxhash64 stays the library's scale default.
     "q72_minhash_lsh" -> ((s, dir) => {
-      TextDedup.minhashCandidates(t(s, dir, "documents"), k = 32, bands = 4)
+      TextDedup.minhashCandidates(t(s, dir, "documents"), k = 32, bands = 4,
+          portable = true)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -127,32 +149,35 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
-    // ANN scale path: LSH signature buckets + in-bucket exact re-rank.
-    // Approximate recall → rows-only check.
+    // ANN scale path: multi-table LSH signature buckets + in-bucket exact
+    // re-rank, reported as recall@3 vs the exact baseline (a pinned,
+    // DuckDB-checked recall gate — see recallSummary).
     "q75_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Ann.lshTopK(emb, emb.filter(col("vec_id") < 50), k = 3, nBits = 6)
-        .orderBy("qid", "rank")
+      val qs = emb.filter(col("vec_id") < 50)
+      recallSummary(
+        Ann.lshTopK(emb, qs, k = 3, nBits = 6, nTables = 8),
+        Ann.bruteForceTopK(emb, qs, k = 3))
     }),
 
-    // ANN scale path #2: IVF centroid cells + nProbe probing.
-    // Approximate recall → rows-only check.
     // Product-quantization ANN (ADC over per-subspace codebooks + exact
     // re-rank of survivors): the memory-bounded scale path — the search
-    // scan reads m codes per corpus vector, not the embedding.
-    // Approximate by design → rows-only; AnnRecallSpec pins recall vs
-    // the exact brute-force baseline.
+    // scan reads m codes per corpus vector, not the embedding. Reported
+    // as a pinned recall@3 gate (recallSummary).
     "q86_ann_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Pq.pqTopK(emb, emb.filter(col("vec_id") < 20), k = 3, dim = 64,
-        m = 8, ksub = 16, refine = 16)
-        .orderBy("qid", "rank")
+      val qs = emb.filter(col("vec_id") < 20)
+      recallSummary(
+        Pq.pqTopK(emb, qs, k = 3, dim = 64, m = 8, ksub = 16, refine = 32),
+        Ann.bruteForceTopK(emb, qs, k = 3))
     }),
 
     "q82_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 3, nCells = 16, nProbe = 4)
-        .orderBy("qid", "rank")
+      val qs = emb.filter(col("vec_id") < 20)
+      recallSummary(
+        Ann.ivfTopK(emb, qs, k = 3, nCells = 16, nProbe = 8),
+        Ann.bruteForceTopK(emb, qs, k = 3))
     }),
 
     // Embedding-cosine near-dup dedup: label-blocked exact cosine pairs
@@ -350,7 +375,64 @@ object LlmQueries {
     })
   )
 
+  /** DuckDB side of [[recallSummary]]: the exact top-k is computed
+    * independently (decimal-exact dots, same (cosine DESC, cid) tiebreak
+    * as bruteForceTopK), n_queries/n_truth derive from it, and the
+    * achieved n_hits is PINNED — measured deterministic (bit-stable
+    * across partitionings; decimal-mean k-means) at the gate SF. A recall
+    * regression in the approximate path turns the row red. */
+  private def annRecallOracle(qFilter: String, k: Int, nHits: Int): String =
+    s"""WITH norms AS (
+       |  SELECT vec_id, SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS n2
+       |  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY vec_id),
+       |el AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    unnest(q.embedding) AS qv, unnest(c.embedding) AS cv
+       |  FROM embeddings q JOIN embeddings c ON $qFilter AND c.vec_id != q.vec_id),
+       |dots AS (
+       |  SELECT qid, cid, SUM(CAST(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE) AS DECIMAL(30,15))) AS dot
+       |  FROM el GROUP BY qid, cid),
+       |scored AS (
+       |  SELECT d.qid, d.cid,
+       |    CAST(d.dot AS DOUBLE) / (SQRT(CAST(nq.n2 AS DOUBLE)) * SQRT(CAST(nc.n2 AS DOUBLE))) AS cosine
+       |  FROM dots d
+       |  JOIN norms nq ON nq.vec_id = d.qid
+       |  JOIN norms nc ON nc.vec_id = d.cid),
+       |topk AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+       |    FROM scored) WHERE rank <= $k)
+       |SELECT COUNT(DISTINCT qid)::BIGINT AS n_queries, COUNT(*)::BIGINT AS n_truth,
+       |  CAST($nHits AS BIGINT) AS n_hits,
+       |  ROUND(CAST($nHits AS DOUBLE) / COUNT(*), 4) AS recall
+       |FROM topk""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q75_ann_lsh" -> annRecallOracle("q.vec_id < 50", 3, 138),
+    "q82_ann_ivf" -> annRecallOracle("q.vec_id < 20", 3, 58),
+    "q86_ann_pq" -> annRecallOracle("q.vec_id < 20", 3, 51),
+    // Full portable-hash MinHash-LSH pipeline recomputed in DuckDB:
+    // shingle strings → md5-derived 60-bit hashes → 32 seeded hashes →
+    // per-seed minima → 4 banded keys → in-band equi-join.
+    "q72_minhash_lsh" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(concat_ws(' ', w[i+1], w[i+2], w[i+3])), 1, 15)) AS BIGINT) AS sh
+        |  FROM (SELECT doc_id, w, unnest(range(0, greatest(len(w) - 3, 0) + 1)) AS i FROM ws)),
+        |seeded AS (
+        |  SELECT doc_id, s.seed,
+        |    CAST(('0x' || substr(md5(CAST(sh AS VARCHAR) || ':' || CAST(s.seed AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM sh CROSS JOIN generate_series(0, 31) s(seed)),
+        |mins AS (SELECT doc_id, seed, MIN(h) AS m FROM seeded GROUP BY doc_id, seed),
+        |bk AS (
+        |  SELECT doc_id, seed // 8 AS band,
+        |    string_agg(CAST(m AS VARCHAR), '_' ORDER BY seed) AS key
+        |  FROM mins GROUP BY doc_id, seed // 8)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q70_exact_dedup" ->
       """WITH g AS (
         |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,

@@ -28,6 +28,18 @@ class AnnRecallSpec extends SparkTestBase {
     assert(multi > 0.0)
   }
 
+  test("multi-table LSH recall >= single-table recall, no duplicate pairs") {
+    val queries = emb.filter(col("vec_id") < 50)
+    val truth = pairs(Ann.bruteForceTopK(emb, queries, k = 3))
+    val one = recall(pairs(Ann.lshTopK(emb, queries, k = 3, nBits = 6, nTables = 1)), truth)
+    val multi = Ann.lshTopK(emb, queries, k = 3, nBits = 6, nTables = 8)
+    val multiR = recall(pairs(multi), truth)
+    assert(multiR >= one, s"8-table recall $multiR < 1-table $one")
+    // cross-table candidate dedupe: (qid, rank) unique
+    val n = multi.count()
+    assert(multi.select("qid", "rank").distinct().count() == n)
+  }
+
   test("autoBits scales bucket count with corpus size") {
     assert(Ann.autoBits(1024L * 1024, targetBucket = 1024) == 10)
     assert(Ann.autoBits(100, targetBucket = 1024) == 4) // floor
