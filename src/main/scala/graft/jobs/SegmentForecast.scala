@@ -82,4 +82,91 @@ object SegmentForecast {
     observed.groupByKey(_.segment)(Encoders.STRING)
       .mapGroups((_, rows) => fitSegment(rows.toSeq, grid, holdout, horizon))
   }
+
+  // ---- rolling-origin crossvalidation selection (funnel_forecast.py) ----
+
+  /** Rolling-origin CV settings, the cross_validation(initial, period,
+    * horizon) surface of funnel_forecast.py:353-359 plus the tail(3)
+    * most-recent-cutoffs rule. */
+  final case class CvSettings(initial: Int, period: Int, horizon: Int,
+      lastN: Int = 3)
+
+  /** Per-segment winner under the CV-bias metric, with a fixed 3-step
+    * forecast flattened for oracle comparison. */
+  final case class SegmentCvFit(segment: String, kind: String, window: Int,
+      cv_bias: Double, f1: Double, f2: Double, f3: Double)
+
+  /** Train-prefix sizes for each CV cutoff: walk back from the last
+    * possible cutoff (n - horizon) in steps of `period` while at least
+    * `initial` training points remain, keep the `lastN` most recent,
+    * ascending — funnel_forecast.py:360-363 ("tail(3)"). */
+  def cutoffIndices(n: Int, cv: CvSettings): Seq[Int] =
+    Iterator.iterate(n - cv.horizon)(_ - cv.period)
+      .takeWhile(_ >= cv.initial).take(cv.lastN).toSeq.reverse
+
+  /** CV percent-bias of one spec on one segment: per cutoff, fit on the
+    * first j points, predict the next `cv.horizon` observed x's, and
+    * compare sums (pcnt_bias = Σyhat/Σy − 1, funnel_forecast.py:345-363);
+    * the metric is the mean over the kept cutoffs. Summation is
+    * left-to-right so the metric is bit-reproducible (and matched by the
+    * DuckDB oracle's explicit (b1+b2+b3)/3 form). */
+  def cvBias(spec: ModelSpec, sorted: Seq[Obs], cv: CvSettings): Double = {
+    val cuts = cutoffIndices(sorted.size, cv)
+    if (cuts.isEmpty) 0.0
+    else {
+      val biases = cuts.map { j =>
+        val m = fit(spec, sorted.take(j))
+        val fut = sorted.slice(j, j + cv.horizon)
+        val yhat = fut.map(o => m.predict(o.x)).foldLeft(0.0)(_ + _)
+        val y = fut.map(_.y).foldLeft(0.0)(_ + _)
+        yhat / y - 1.0
+      }
+      biases.foldLeft(0.0)(_ + _) / biases.size
+    }
+  }
+
+  /** Grid-search one segment with CV-bias selection: the spec whose mean
+    * pcnt-bias is closest to zero wins (argmin |bias|,
+    * funnel_forecast.py:410-412), ties resolved by grid order; the winner
+    * refits on the full history and forecasts 3 steps past the last x. */
+  def fitSegmentCV(data: Seq[Obs], grid: Seq[ModelSpec],
+      cv: CvSettings): SegmentCvFit = {
+    val sorted = data.sortBy(_.x)
+    val scored = grid.map(spec => spec -> cvBias(spec, sorted, cv))
+    val (best, bias) = scored.minBy { case (_, b) => math.abs(b) } // stable: grid order breaks ties
+    val full = fit(best, sorted)
+    val lastX = sorted.last.x
+    val fs = (1 to 3).map(i => full.predict(lastX + i))
+    SegmentCvFit(sorted.head.segment, best.kind, best.window, bias,
+      fs(0), fs(1), fs(2))
+  }
+
+  /** Deterministic predictive samples for the CV winner: each forecast
+    * step's sample set is the point forecast plus every full-history
+    * residual (a residual bootstrap without resampling — the
+    * predictive_samples surface of prophet_forecast.py:53-59 minus the
+    * RNG). The result feeds [[ForecastSummary.summarize]] for the
+    * mean/p10/p50/p90 quantile frame. */
+  def cvSamples(data: Seq[Obs], grid: Seq[ModelSpec],
+      cv: CvSettings): Seq[(Int, Seq[Double])] = {
+    val sorted = data.sortBy(_.x)
+    val scored = grid.map(spec => spec -> cvBias(spec, sorted, cv))
+    val (best, _) = scored.minBy { case (_, b) => math.abs(b) }
+    val full = fit(best, sorted)
+    val residuals = sorted.map(o => o.y - full.predict(o.x))
+    val lastX = sorted.last.x
+    (1 to 3).map(i => i -> residuals.map(r => full.predict(lastX + i) + r))
+  }
+
+  /** Distributed CV grid search: one shuffle on segment, bounded
+    * per-group work — the applyInPandas boundary of the reference,
+    * expressed as mapGroups. */
+  def runCV(spark: SparkSession, observed: Dataset[Obs],
+      grid: Seq[ModelSpec] = defaultGrid,
+      cv: CvSettings = CvSettings(initial = 6, period = 2, horizon = 2))
+      : Dataset[SegmentCvFit] = {
+    implicit val enc = Encoders.product[SegmentCvFit]
+    observed.groupByKey(_.segment)(Encoders.STRING)
+      .mapGroups((_, rows) => fitSegmentCV(rows.toSeq, grid, cv))
+  }
 }

@@ -175,6 +175,30 @@ object SourceQueries {
       out.select(col("event_type"), col("n"),
           round(col("slope"), 8).as("slope"), round(col("intercept"), 8).as("intercept"))
         .orderBy("event_type")
+    }),
+
+    // F8+ — per-segment grid search with rolling-origin crossvalidation
+    // (funnel_forecast.py:365-412 _auto_tuning + :345-363 pcnt-bias
+    // metric): daily series per event_type, grid {mean,linear}×{all,w8},
+    // 3-cutoff CV, argmin |mean pcnt bias| selection, winner refits and
+    // forecasts 3 days. Every sum is decimal-exact or 2-term IEEE, so the
+    // whole selection pipeline is engine-reproducible and oracle-checked.
+    "q110_forecast_cv" -> ((s, dir) => {
+      import graft.jobs.SegmentForecast
+      implicit val obsEnc = Encoders.product[SegmentForecast.Obs]
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type").as("segment"),
+          datediff(col("ts").cast(DateType),
+            lit("1970-01-01").cast(DateType)).cast(DoubleType).as("x"))
+        .agg(dsum(col("value")).as("y"))
+      val obs = daily.select(col("segment"), col("x"), col("y"))
+        .as[SegmentForecast.Obs]
+      SegmentForecast.runCV(s, obs).toDF()
+        .select(col("segment"), col("kind"), col("window"),
+          round(col("cv_bias"), 8).as("cv_bias"),
+          round(col("f1"), 6).as("f1"), round(col("f2"), 6).as("f2"),
+          round(col("f3"), 6).as("f3"))
+        .orderBy("segment")
     })
   )
 
@@ -225,6 +249,94 @@ object SourceQueries {
         |SELECT event_type, n,
         |  ROUND(slope, 8) AS slope,
         |  ROUND((sy - slope * sx) / n, 8) AS intercept
-        |FROM fit ORDER BY event_type""".stripMargin
+        |FROM fit ORDER BY event_type""".stripMargin,
+    // Full grid-search + rolling-origin CV pipeline recomputed in SQL:
+    // decimal-exact fit sums, per-row double predictions (2-term sums are
+    // IEEE-commutative), explicit ((b1+b2)+b3)/3 to match the engine's
+    // left-to-right fold, |bias| argmin with grid-order tiebreak.
+    "q110_forecast_cv" ->
+      """WITH daily AS (
+        |  SELECT event_type AS segment,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE) AS x,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |obs AS (
+        |  SELECT segment, x, y,
+        |    row_number() OVER (PARTITION BY segment ORDER BY x) AS rn,
+        |    COUNT(*) OVER (PARTITION BY segment) AS n
+        |  FROM daily),
+        |cuts AS (
+        |  SELECT DISTINCT segment, n - 2 - 2 * m.m AS j
+        |  FROM obs CROSS JOIN (VALUES (0), (1), (2)) m(m)
+        |  WHERE n - 2 - 2 * m.m >= 6),
+        |specs AS (SELECT * FROM (VALUES ('mean', 0, 0), ('mean', 8, 1),
+        |  ('linear', 0, 2), ('linear', 8, 3)) s(kind, w, ord)),
+        |train AS (
+        |  SELECT o.segment, c.j, s.kind, s.w, s.ord, o.x, o.y
+        |  FROM obs o
+        |  JOIN cuts c ON o.segment = c.segment AND o.rn <= c.j
+        |  CROSS JOIN specs s
+        |  WHERE s.w = 0 OR o.rn > c.j - s.w),
+        |fits AS (
+        |  SELECT segment, j, kind, w, ord,
+        |    CAST(COUNT(*) AS DOUBLE) AS fn,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,2)) * y) AS DOUBLE) AS sxy
+        |  FROM train GROUP BY 1, 2, 3, 4, 5),
+        |params AS (
+        |  SELECT segment, j, kind, w, ord,
+        |    CASE WHEN kind = 'linear'
+        |      THEN (fn * sxy - sx * sy) / (fn * sxx - sx * sx) ELSE 0 END AS slope,
+        |    CASE WHEN kind = 'linear'
+        |      THEN (sy - ((fn * sxy - sx * sy) / (fn * sxx - sx * sx)) * sx) / fn
+        |      ELSE sy / fn END AS intercept
+        |  FROM fits),
+        |preds AS (
+        |  SELECT p.segment, p.j, p.kind, p.w, p.ord,
+        |    SUM(p.intercept + p.slope * o.x) AS yhat,
+        |    SUM(CAST(o.y AS DOUBLE)) AS yy
+        |  FROM params p
+        |  JOIN obs o ON o.segment = p.segment AND o.rn > p.j AND o.rn <= p.j + 2
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |biases AS (
+        |  SELECT segment, kind, w, ord, yhat / yy - 1 AS b,
+        |    row_number() OVER (PARTITION BY segment, ord ORDER BY j) AS bi
+        |  FROM preds),
+        |metrics AS (
+        |  SELECT segment, kind, w, ord,
+        |    ((MAX(CASE WHEN bi = 1 THEN b END) + MAX(CASE WHEN bi = 2 THEN b END))
+        |      + MAX(CASE WHEN bi = 3 THEN b END)) / 3 AS bias
+        |  FROM biases GROUP BY 1, 2, 3, 4),
+        |best AS (
+        |  SELECT segment, kind, w, ord, bias,
+        |    row_number() OVER (PARTITION BY segment ORDER BY ABS(bias), ord) AS r
+        |  FROM metrics),
+        |fullfit AS (
+        |  SELECT o.segment, b.kind, b.w, b.bias,
+        |    CAST(COUNT(*) AS DOUBLE) AS fn,
+        |    CAST(SUM(CAST(o.x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(o.y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(o.x AS DECIMAL(18,2)) * CAST(o.x AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(o.x AS DECIMAL(18,2)) * o.y) AS DOUBLE) AS sxy,
+        |    MAX(o.x) AS xmax
+        |  FROM obs o
+        |  JOIN best b ON b.segment = o.segment AND b.r = 1
+        |  WHERE b.w = 0 OR o.rn > o.n - b.w
+        |  GROUP BY 1, 2, 3, 4),
+        |fullparams AS (
+        |  SELECT segment, kind, w, bias, xmax,
+        |    CASE WHEN kind = 'linear'
+        |      THEN (fn * sxy - sx * sy) / (fn * sxx - sx * sx) ELSE 0 END AS slope,
+        |    CASE WHEN kind = 'linear'
+        |      THEN (sy - ((fn * sxy - sx * sy) / (fn * sxx - sx * sx)) * sx) / fn
+        |      ELSE sy / fn END AS intercept
+        |  FROM fullfit)
+        |SELECT segment, kind, w AS "window", ROUND(bias, 8) AS cv_bias,
+        |  ROUND(intercept + slope * (xmax + 1), 6) AS f1,
+        |  ROUND(intercept + slope * (xmax + 2), 6) AS f2,
+        |  ROUND(intercept + slope * (xmax + 3), 6) AS f3
+        |FROM fullparams ORDER BY segment""".stripMargin
   )
 }

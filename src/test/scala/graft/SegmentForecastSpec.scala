@@ -1,6 +1,6 @@
 package graft
 
-import graft.jobs.SegmentForecast
+import graft.jobs.{ForecastSummary, SegmentForecast}
 import graft.jobs.SegmentForecast.{ModelSpec, Obs}
 
 /** Mirrors the reference's funnel-forecast test intent
@@ -34,6 +34,62 @@ class SegmentForecastSpec extends SparkTestBase {
     val ds = (trendSeg ++ flatSeg).toDS()
     val out = SegmentForecast.run(spark, ds).collect().map(f => f.segment -> f.kind).toMap
     assert(out == Map("trend" -> "linear", "flat" -> "mean"))
+  }
+
+  test("CV cutoffs walk back from the end, keep the lastN most recent") {
+    val cv = SegmentForecast.CvSettings(initial = 6, period = 2, horizon = 2)
+    assert(SegmentForecast.cutoffIndices(30, cv) == Seq(24, 26, 28))
+    // initial floor truncates the walk
+    assert(SegmentForecast.cutoffIndices(9, cv) == Seq(7))
+    // no room for any cutoff → empty
+    assert(SegmentForecast.cutoffIndices(5, cv) == Seq.empty)
+  }
+
+  test("CV-bias selection picks the unbiased model and ties go to grid order") {
+    val cv = SegmentForecast.CvSettings(initial = 6, period = 2, horizon = 2)
+    // exact line: linear has zero bias at every cutoff; mean lags the trend
+    val t = SegmentForecast.fitSegmentCV(trendSeg, SegmentForecast.defaultGrid, cv)
+    assert(t.kind == "linear" && math.abs(t.cv_bias) < 1e-12)
+    assert(t.f1 == 2.0 * 20 + 1 && t.f3 == 2.0 * 22 + 1)
+    // constant data: all four specs have bias exactly 0 → first grid entry
+    val c = (0 until 12).map(i => Obs("c", i, 5.0))
+    val tie = SegmentForecast.fitSegmentCV(c, SegmentForecast.defaultGrid, cv)
+    assert(tie.kind == "mean" && tie.window == 0, s"tie must go to grid[0], got $tie")
+    assert(tie.cv_bias == 0.0 && tie.f1 == 5.0)
+  }
+
+  test("CV bias metric is the mean pcnt-bias over the kept cutoffs") {
+    val cv = SegmentForecast.CvSettings(initial = 6, period = 2, horizon = 2)
+    // mean-model bias on a linear trend is computable in closed form:
+    // at cutoff j, model = mean of 0..j-1 = (j-1)/2 scaled; check sign
+    val bias = SegmentForecast.cvBias(
+      SegmentForecast.ModelSpec("mean", 0), trendSeg.sortBy(_.x), cv)
+    assert(bias < 0, s"mean model must under-forecast a rising trend, got $bias")
+  }
+
+  test("CV winner's residual samples summarize to quantiles via ForecastSummary") {
+    import spark.implicits._
+    val cv = SegmentForecast.CvSettings(initial = 6, period = 2, horizon = 2)
+    // trend plus alternating ±1 noise: linear wins, residuals are ±1
+    val noisy = (0 until 20).map(i =>
+      Obs("n", i, 2.0 * i + 1 + (if (i % 2 == 0) 1.0 else -1.0)))
+    val samples = SegmentForecast.cvSamples(noisy, SegmentForecast.defaultGrid, cv)
+    assert(samples.size == 3 && samples.head._2.size == 20)
+    val df = samples.map { case (step, s) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, step)), s)
+    }.toDF("ds", "samples")
+    val summary = ForecastSummary.summarize(
+      ForecastSummary.aggregateToPeriod(df, "day")).collect()
+    assert(summary.length == 3)
+    // residuals are ~±1 around the fitted line (OLS tilts slightly under
+    // the alternating noise) → the p10..p90 band brackets the mean and
+    // stays within the residual spread's order of magnitude
+    summary.foreach { r =>
+      val (mean, p10, p90) =
+        (r.getAs[Double]("mean"), r.getAs[Double]("p10"), r.getAs[Double]("p90"))
+      assert(p10 <= mean && mean <= p90, s"quantile band must bracket mean: $r")
+      assert(p90 - p10 <= 3.0, s"band too wide for +-1 residuals: $r")
+    }
   }
 
   test("windowed variant wins when history has a regime change") {
