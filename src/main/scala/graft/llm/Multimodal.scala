@@ -8,8 +8,10 @@ import org.apache.spark.sql.types._
   *
   * Media are opaque `binary` columns + typed metadata. The Spark-side
   * contract is real and tested — schema, batch iteration, partition
-  * sizing — while the actual codec is STUBBED with a deterministic fake
-  * (this container has no image/audio libraries; see builder brief).
+  * sizing. The IMAGE path uses a real codec (javax.imageio PNG
+  * encode/decode, [[syntheticPngMedia]]/[[decodeImageStats]]); the
+  * audio/video frame path remains a declared deterministic STUB (this
+  * container has no media libraries beyond ImageIO; see builder brief).
   *
   * At scale: decode work is per-row CPU, so the operator's job is to
   * (a) keep batches columnar/iterator-based (mapPartitions — one
@@ -85,6 +87,72 @@ object Multimodal {
         val s = math.min(maxW.toLong * 1024 / f.width, maxH.toLong * 1024 / f.height)
         f.copy(width = math.max(1, (f.width * s / 1024).toInt),
           height = math.max(1, (f.height * s / 1024).toInt))
+      }
+    }
+  }
+
+  // ---- real image codec boundary (javax.imageio) ----
+
+  /** Deterministic small PNGs, ENCODED WITH A REAL CODEC executor-side:
+    * doc d is a w×h image (w = 4 + d%5, h = 3 + d%4) whose pixel (x,y)
+    * is r=(d+3x+7y)%256, g=(2d+5x+y)%256, b=(d+x·y)%256 — closed forms
+    * an external oracle can evaluate without decoding. The PNG bytes are
+    * produced by javax.imageio per partition (iterator map, one encoder
+    * context per partition). */
+  def syntheticPngMedia(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val w = 4 + (d % 5).toInt
+        val h = 3 + (d % 4).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = ((d + 3L * x + 7L * y) % 256).toInt
+            val g = ((2L * d + 5L * x + y) % 256).toInt
+            val b = ((d + x.toLong * y) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (d, bos.toByteArray, "image/png")
+      }
+    }.toDF("doc_id", "payload", "media_type")
+  }
+
+  case class ImageStats(doc_id: Long, width: Int, height: Int,
+      r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** REAL image decode (javax.imageio, PNG is lossless): width/height
+    * and per-channel pixel sums come from actually decoded pixels, not
+    * from metadata or the payload bytes. Same production shape as the
+    * stub decoder — mapPartitions, iterator in / iterator out, payload
+    * never retained past its row. */
+  def decodeImageStats(spark: SparkSession, media: DataFrame): Dataset[ImageStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable payload for doc ${r.doc_id}")
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff; bs += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ImageStats(r.doc_id, img.getWidth, img.getHeight, rs, gs, bs)
       }
     }
   }

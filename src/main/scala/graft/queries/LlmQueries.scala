@@ -265,6 +265,18 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL image codec round-trip: deterministic PNGs encoded with
+    // javax.imageio executor-side, then DECODED with javax.imageio; the
+    // decoded width/height/channel sums must equal the closed-form pixel
+    // functions the oracle evaluates without any codec. Green ⇒ the
+    // decode boundary is a real lossless codec, not a byte slice.
+    "q111_image_decode" -> ((s, dir) => {
+      Multimodal.decodeImageStats(s,
+          Multimodal.syntheticPngMedia(s, t(s, dir, "documents")))
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
     // Within-doc n-gram repetition (the Gopher/FineWeb boilerplate
     // signal): pure per-row array arithmetic, pipelines inside the scan.
     "q57_repetition" -> ((s, dir) => {
@@ -622,6 +634,22 @@ object LlmQueries {
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
         |  sha256(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Closed-form pixel sums — no codec on the oracle side; the engine
+    // must reproduce these through a real PNG encode+decode round-trip.
+    "q111_image_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, xs.x, ys.y
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 7) xs(x)
+        |  CROSS JOIN generate_series(0, 5) ys(y)
+        |  WHERE xs.x < w AND ys.y < h)
+        |SELECT doc_id, CAST(MAX(w) AS INTEGER) AS width, CAST(MAX(h) AS INTEGER) AS height,
+        |  SUM((doc_id + 3 * x + 7 * y) % 256)::BIGINT AS r_sum,
+        |  SUM((2 * doc_id + 5 * x + y) % 256)::BIGINT AS g_sum,
+        |  SUM((doc_id + x * y) % 256)::BIGINT AS b_sum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q68_window_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
