@@ -124,6 +124,14 @@ object InfraQueries {
     // Streaming exact dedup (dropDuplicatesWithinWatermark): the source
     // is streamed twice (duplicate-injecting transport), one survivor
     // per event_id; rolled up per type so the batch oracle is exact.
+    // NOTE (oracle-equality precondition): the single `events.parquet`
+    // globFilter makes AvailableNow process the whole source as ONE
+    // micro-batch, so the 1-hour watermark (shorter than the data's
+    // event-time span) never actually drops or splits anything and the
+    // result equals the batch oracle exactly. With multiple files or
+    // maxFilesPerTrigger, dedup could re-admit duplicates across batches
+    // and the join could lose cross-batch pairs — the unbounded-stream
+    // semantics, correct for production but not oracle-comparable.
     "q56_stream_dedup" -> ((s, dir) => {
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
@@ -140,7 +148,8 @@ object InfraQueries {
 
     // Stream-stream time-bounded self-join: anchor events (id % 97) vs
     // same-user events in the preceding day, both sides watermarked;
-    // AvailableNow result equals the batch join (the oracle).
+    // AvailableNow result equals the batch join (the oracle) under the
+    // same single-micro-batch precondition documented at q56.
     "q69_stream_join" -> ((s, dir) => {
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),

@@ -33,6 +33,10 @@ object LlmQueries {
           .as("recall"))
   }
 
+  /** q88's reusable shard-export dirs, keyed by sf dir (see q88). */
+  private val shardDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val stopwords = Seq("the", "a", "and", "of", "to")
   private val langMarkers = Map(
     "en" -> Seq("the", "a", "fast", "slow"),
@@ -359,7 +363,13 @@ object LlmQueries {
         ((ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) % 16).cast("int")
       }
       val docs = t(s, dir, "documents").withColumn("shard", shardOf(col("doc_id")))
-      val path = java.nio.file.Files.createTempDirectory("graft_shards").toString
+      // one shard dir per (JVM, sf-dir), reused across invocations: bench
+      // runs each query twice and plan-only consumers (DumpPlans,
+      // PlanAuditSpec) also construct this query — a fresh never-deleted
+      // temp dir per call leaked one full corpus copy each time. The
+      // overwrite-mode write keeps the reused dir correct.
+      val path = shardDirs.computeIfAbsent(dir, d =>
+        java.nio.file.Files.createTempDirectory("graft_shards").toString)
       docs.repartition(col("shard"))
         .write.mode("overwrite").partitionBy("shard").parquet(path)
       s.read.parquet(path)
@@ -373,16 +383,16 @@ object LlmQueries {
     }),
 
     // Data-prep pipeline funnel: length -> language -> quality ->
-    // exact-dedup cascade with per-stage survivor counts, built as one
-    // union-of-counts plan (single pass over the corpus).
+    // exact-dedup cascade with per-stage survivor counts, computed as
+    // cumulative survival flags + one aggregation — a genuine single
+    // pass over the corpus (auditOnePass).
     "q89_prep_pipeline" -> ((s, dir) => {
-      PrepPipeline.audit(t(s, dir, "documents"), Seq(
-        PrepPipeline.Stage("min_length", _.filter(col("n_chars") >= 120)),
-        PrepPipeline.Stage("lang_en", _.filter(col("lang") === "en")),
-        PrepPipeline.Stage("quality",
-          _.filter(TextStats.qualityScore(col("text"), stopwords) >= 0.7)),
-        PrepPipeline.Stage("exact_dedup",
-          _.select(md5(lower(col("text"))).as("k")).distinct())))
+      PrepPipeline.auditOnePass(t(s, dir, "documents"),
+        Seq(
+          "min_length" -> (col("n_chars") >= 120),
+          "lang_en" -> (col("lang") === "en"),
+          "quality" -> (TextStats.qualityScore(col("text"), stopwords) >= 0.7)),
+        dedupKey = Some("exact_dedup" -> md5(lower(col("text")))))
         .orderBy("stage_idx")
     })
   )

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Structured Streaming equivalents of the reference's batch-watermark
   * jobs (SURVEY §2.11: "optionally Trigger.AvailableNow streaming for
@@ -155,7 +155,13 @@ object StreamOps {
       .start()
     q.awaitTermination()
     unloadStateStores()
-    spark.read.parquet(outDir)
+    // explicit schema: if the join legitimately emits zero rows (stricter
+    // anchorFilter, small SF), foreachBatch never writes a file and a
+    // schema-less read would fail with 'Unable to infer schema'
+    val outSchema = StructType(Seq(
+      StructField("a_id", LongType), StructField("user_id", LongType),
+      StructField("b_id", LongType)))
+    spark.read.schema(outSchema).parquet(outDir)
   }
 
   final case class SessionEvent(user_id: Long, ts_micros: Long, event_type: String)
@@ -200,12 +206,16 @@ object StreamOps {
     * Works identically over a stream (Append mode + timeout) or over a
     * bounded batch driven synchronously.
     *
-    * Scale: state is O(1) per active user key, partitioned by user. The
-    * per-invocation sort buffers ONE GROUP'S rows for ONE TRIGGER —
-    * bounded by the micro-batch in streaming use (StreamOpsSpec asserts
-    * the bounded-batch precondition); unbounded batch sessionization
-    * should use [[sessionizeBatch]] instead.
-    */
+    * Scale: state is O(1) per active user key, partitioned by user.
+    * Within a trigger the group's events are folded ONE AT A TIME into a
+    * set of disjoint session intervals (TreeMap keyed by start; each
+    * event merges its within-gap neighbors) — gap-sessionization is
+    * order-independent under interval merging, so no sort and no
+    * materialization of the group's rows is needed, and peak memory is
+    * O(sessions emitted this trigger + 1), the output size, never
+    * O(events). This is the same merging idea as Spark's built-in
+    * session_window state. [[sessionizeBatch]] remains the window-based
+    * form for bounded analytical batches. */
   def sessionize(spark: SparkSession, events: org.apache.spark.sql.Dataset[SessionEvent],
       gapMicros: Long): org.apache.spark.sql.Dataset[SessionOut] = {
     import spark.implicits._
@@ -214,21 +224,38 @@ object StreamOps {
       .flatMapGroupsWithState[SessionState, SessionOut](
         org.apache.spark.sql.streaming.OutputMode.Append,
         GroupStateTimeout.NoTimeout) { (user, rows, state) =>
-        val sorted = rows.toSeq.sortBy(_.ts_micros)
-        val out = scala.collection.mutable.ListBuffer[SessionOut]()
-        var st = state.getOption
-        sorted.foreach { e =>
-          st match {
-            case Some(s) if e.ts_micros - s.last <= gapMicros =>
-              st = Some(s.copy(last = e.ts_micros, n = s.n + 1))
-            case Some(s) =>
-              out += SessionOut(user, s.start, s.last, s.n)
-              st = Some(SessionState(e.ts_micros, e.ts_micros, 1))
-            case None =>
-              st = Some(SessionState(e.ts_micros, e.ts_micros, 1))
+        val iv = new java.util.TreeMap[Long, SessionState]()
+        def insert(s0: SessionState): Unit = {
+          var cur = s0
+          var merging = true
+          while (merging) {
+            val lo = iv.floorEntry(cur.start)
+            val hi = iv.ceilingEntry(cur.start)
+            if (lo != null && cur.start - lo.getValue.last <= gapMicros) {
+              iv.remove(lo.getKey)
+              cur = SessionState(math.min(lo.getValue.start, cur.start),
+                math.max(lo.getValue.last, cur.last), lo.getValue.n + cur.n)
+            } else if (hi != null && hi.getValue.start - cur.last <= gapMicros) {
+              iv.remove(hi.getKey)
+              cur = SessionState(math.min(hi.getValue.start, cur.start),
+                math.max(hi.getValue.last, cur.last), hi.getValue.n + cur.n)
+            } else merging = false
           }
+          iv.put(cur.start, cur)
         }
-        st.foreach(state.update)
+        state.getOption.foreach(insert)
+        rows.foreach(e => insert(SessionState(e.ts_micros, e.ts_micros, 1)))
+        // every interval except the latest is closed by a later-starting
+        // one beyond the gap; the latest stays open as next-trigger state
+        val out = scala.collection.mutable.ListBuffer[SessionOut]()
+        val it = iv.values.iterator
+        var open: SessionState = null
+        while (it.hasNext) {
+          val s = it.next()
+          if (open != null) out += SessionOut(user, open.start, open.last, open.n)
+          open = s
+        }
+        if (open != null) state.update(open)
         out.iterator
       }
   }
