@@ -133,6 +133,26 @@ class DialectSpec extends SparkTestBase {
     assert(got == Seq("css-grid", "subgrid"))
   }
 
+  test("GROUP BY alias rewrite bails out under star expansion and still executes") {
+    // Spark binds GROUP BY ordinals AFTER star expansion, so rewriting
+    // the alias to an ordinal here would silently group by the wrong
+    // column. The translator must leave the alias untouched...
+    val sql = "SELECT t.*, UPPER(name) AS a FROM t GROUP BY a, id, name"
+    val out = Dialect.translate(sql)
+    assert(out.contains("GROUP BY a, id, name"), s"alias must survive: $out")
+    // ...and the untouched form must execute correctly on Spark (alias
+    // resolution via spark.sql.groupByAliases) — not silently mis-group
+    Seq((1L, "x"), (2L, "y"), (3L, "y")).toDF("id", "name")
+      .createOrReplaceTempView("t")
+    val rows = spark.sql(Dialect.translate(
+        "SELECT UPPER(name) AS a, COUNT(*) AS n FROM t GROUP BY a"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("X", 1L), ("Y", 2L)))
+    // non-star select lists still get the ordinal rewrite
+    val plain = Dialect.translate("SELECT UPPER(name) AS a FROM t GROUP BY a")
+    assert(plain.contains("GROUP BY 1"), s"expected ordinal rewrite: $plain")
+  }
+
   test("translated date functions execute (metric spine shape)") {
     val sql = Dialect.translate(
       "SELECT DATE_TRUNC(DATE '2024-02-14', MONTH) AS m, " +
