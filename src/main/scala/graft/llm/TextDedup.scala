@@ -79,10 +79,13 @@ object TextDedup {
         (if (portable) portableHash(concat_ws(" ", wcols: _*))
          else xxhash64(wcols: _*)).as("sh")
       })
+    // portable seeded hashes: ONE md5 per shingle (above), then k
+    // pure-integer 60-bit mixes — not k md5-string round-trips, which
+    // were measured at 18× the xxhash64 path's cost at sf0.1.
+    val seeds = if (portable) portableSeeds(k) else IndexedSeq.empty[Long]
     val hashed = exploded.select(col("id") +:
       (0 until k).map { s =>
-        (if (portable)
-           portableHash(concat_ws(":", col("sh").cast(StringType), lit(s)))
+        (if (portable) portableMix(col("sh"), seeds(s))
          else xxhash64(col("sh"), lit(s))).as(s"h$s")
       }: _*)
     val sig = hashed.groupBy("id")
@@ -184,6 +187,58 @@ object TextDedup {
     * (no md5 string round-trip per token). */
   def portableHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  // ---- Engine-portable integer seed-mixing --------------------------
+  // The portable MinHash pipeline needs k seeded re-hashes of each
+  // shingle hash. Re-md5'ing a string per (shingle, seed) is the
+  // dominant-cost variant (k× string alloc + md5); instead the seeded
+  // hashes are a pure-integer xorshift-add mix of the one md5-derived
+  // shingle hash. Every intermediate stays in the non-negative 60-bit
+  // domain, so signed BIGINT semantics (Spark, DuckDB, anything)
+  // agree: arithmetic >> equals logical >> (no sign bit), x + C < 2^61
+  // never overflows, and left shifts pre-mask to 39 bits so the result
+  // is exactly (x << 21) mod 2^60 without touching bit 63.
+
+  /** 60-bit mask: the portable-hash domain. */
+  val M60: Long = (1L << 60) - 1
+  private val MIXC1: Long = 0xA24BAED4963EE407L & M60
+  private val MIXC2: Long = 0x9FB21C651E98DF25L & M60
+  private val SHIFT_PREMASK: Long = (1L << 39) - 1 // (x & this) << 21 stays < 2^60
+
+  /** k distinct 60-bit seed constants (splitmix64 of the seed index,
+    * computed once driver-side — plain JVM wraparound is fine here
+    * because only the *constant* ships into the query). */
+  def portableSeeds(k: Int): IndexedSeq[Long] = (0 until k).map { s =>
+    var z = s.toLong + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    (z ^ (z >>> 31)) & M60
+  }
+
+  /** Seeded 60-bit mix of a [[portableHash]] value, as a Spark Column —
+    * integer-only (xor / shift / add / mask), codegen'd, no strings. */
+  def portableMix(h: Column, seed: Long): Column = {
+    val x0 = h.bitwiseXOR(lit(seed))
+    val x1 = x0.bitwiseXOR(shiftright(x0, 29))
+    val x2 = (x1 + lit(MIXC1)).bitwiseAND(lit(M60))
+    val x3 = x2.bitwiseXOR(shiftleft(x2.bitwiseAND(lit(SHIFT_PREMASK)), 21))
+    val x4 = x3.bitwiseXOR(shiftright(x3, 17))
+    val x5 = (x4 + lit(MIXC2)).bitwiseAND(lit(M60))
+    x5.bitwiseXOR(shiftright(x5, 23))
+  }
+
+  /** The same mix as portable SQL text (DuckDB dialect: `xor()` builtin,
+    * `&`/`<<`/`>>` operators) — generated from the one set of constants
+    * so the Spark and oracle sides cannot drift. */
+  def portableMixSql(x: String, seed: String): String = {
+    val x0 = s"xor($x, $seed)"
+    val x1 = s"xor($x0, ($x0) >> 29)"
+    val x2 = s"((($x1) + $MIXC1) & $M60)"
+    val x3 = s"xor($x2, ((($x2) & $SHIFT_PREMASK) << 21))"
+    val x4 = s"xor($x3, ($x3) >> 17)"
+    val x5 = s"((($x4) + $MIXC2) & $M60)"
+    s"xor($x5, ($x5) >> 23)"
+  }
 
   /** SimHash signatures, DataFrame-level: explode tokens, hash,
     * majority-vote per bit via one grouped aggregation (`bits`

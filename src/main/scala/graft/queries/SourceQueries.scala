@@ -133,14 +133,31 @@ object SourceQueries {
 
     // Approximate scale-path variants (SURVEY §2.4 note: absent in the
     // reference — exact everywhere — but the free Spark upgrade for
-    // 100 TB). Approximate ⇒ no DuckDB oracle; rows-only check.
+    // 100 TB). Oracle-gated via deterministic error bounds (the ANN
+    // recall-gate idea): the sketches are deterministic (HLL register
+    // maxima and quantile-summary merges are order-insensitive here),
+    // but not SQL-recomputable, so the query emits the EXACT values
+    // (DuckDB recomputes those independently) plus booleans asserting
+    // the approximate values sit inside their published error bounds —
+    // |HLL − exact| ≤ 15 % (3× the default 5 % rsd) and approx-p50
+    // inside the exact [p45, p55] rank band (accuracy 1000 ⇒ rank error
+    // ≤ 0.1 %). A regression in either sketch turns a boolean false →
+    // hash mismatch → red row.
     "q106_approx_variants" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-          approx_count_distinct(col("o_custkey")).as("approx_cust"),
-          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_p50"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"),
+          count_distinct(col("o_custkey")).as("exact_cust"),
+          approx_count_distinct(col("o_custkey")).as("apx_cust"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("apx_p50"),
+          expr("percentile(o_totalprice, 0.45)").as("p45"),
+          expr("percentile(o_totalprice, 0.55)").as("p55"))
+        .select(col("o_orderpriority"), col("n"), col("exact_cust"),
+          (abs(col("apx_cust") - col("exact_cust")).cast(DoubleType) /
+            col("exact_cust").cast(DoubleType) <= 0.15).as("cust_within_bound"),
+          (col("apx_p50") >= col("p45") && col("apx_p50") <= col("p55"))
+            .as("p50_within_band"))
         .orderBy("o_orderpriority")
     }),
 
@@ -203,6 +220,14 @@ object SourceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // The exact columns are recomputed; the bound booleans are the
+    // assertion — DuckDB emits TRUE, so a sketch regression on the
+    // Spark side (boolean false) is a hash mismatch.
+    "q106_approx_variants" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  COUNT(DISTINCT o_custkey) AS exact_cust,
+        |  TRUE AS cust_within_bound, TRUE AS p50_within_band
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q96_csv_roundtrip" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
