@@ -10,8 +10,10 @@ import org.apache.spark.sql.types._
   * contract is real and tested — schema, batch iteration, partition
   * sizing. The IMAGE path uses a real codec (javax.imageio PNG
   * encode/decode, [[syntheticPngMedia]]/[[decodeImageStats]]); the
-  * audio/video frame path remains a declared deterministic STUB (this
-  * container has no media libraries beyond ImageIO; see builder brief).
+  * AUDIO path uses a real codec too (javax.sound.sampled WAV/PCM,
+  * [[syntheticWavMedia]]/[[decodeAudioStats]]); only the VIDEO frame
+  * path remains a declared deterministic STUB (this container has no
+  * video libraries; see builder brief).
   *
   * At scale: decode work is per-row CPU, so the operator's job is to
   * (a) keep batches columnar/iterator-based (mapPartitions — one
@@ -153,6 +155,81 @@ object Multimodal {
           y += 1
         }
         ImageStats(r.doc_id, img.getWidth, img.getHeight, rs, gs, bs)
+      }
+    }
+  }
+
+  // ---- real audio codec boundary (javax.sound.sampled) ----
+
+  /** Deterministic PCM clips, ENCODED WITH A REAL WAV WRITER
+    * executor-side: doc d is a 16-bit little-endian signed PCM clip with
+    * channels = 1 + d%2 and nFrames = 50 + d%37 at 8 kHz, whose sample
+    * at (frame i, channel c) is ((31d + 7i + 13c) mod 65536) − 32768 —
+    * a closed form an external oracle evaluates without any codec. The
+    * WAV container bytes come from javax.sound.sampled.AudioSystem. */
+  def syntheticWavMedia(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val channels = 1 + (d % 2).toInt
+        val nFrames = 50 + (d % 37).toInt
+        val data = new Array[Byte](nFrames * channels * 2)
+        var i = 0
+        while (i < nFrames) {
+          var c = 0
+          while (c < channels) {
+            val s = (((31L * d + 7L * i + 13L * c) % 65536) - 32768).toInt
+            val off = (i * channels + c) * 2
+            data(off) = (s & 0xff).toByte
+            data(off + 1) = ((s >> 8) & 0xff).toByte
+            c += 1
+          }
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, channels, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (d, bos.toByteArray, "audio/wav")
+      }
+    }.toDF("doc_id", "payload", "media_type")
+  }
+
+  case class AudioStats(doc_id: Long, channels: Int, n_frames: Long,
+      sum_ch0: Long, sum_ch1: Long)
+
+  /** REAL audio decode (javax.sound.sampled, WAV/PCM is lossless):
+    * channel count, frame length and per-channel sample sums come from
+    * the parsed container + decoded PCM frames, not from the payload
+    * bytes. Same production shape as the image path — mapPartitions,
+    * iterator in / iterator out, payload never retained past its row. */
+  def decodeAudioStats(spark: SparkSession, media: DataFrame): Dataset[AudioStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"unexpected PCM layout for doc ${r.doc_id}")
+        val channels = fmt.getChannels
+        val nFrames = ais.getFrameLength
+        val bytes = ais.readAllBytes()
+        var s0 = 0L; var s1 = 0L
+        var f = 0
+        while (f < nFrames) {
+          var c = 0
+          while (c < channels) {
+            val off = (f * channels + c) * 2
+            val v = (((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort).toLong
+            if (c == 0) s0 += v else s1 += v
+            c += 1
+          }
+          f += 1
+        }
+        AudioStats(r.doc_id, channels, nFrames, s0, s1)
       }
     }
   }

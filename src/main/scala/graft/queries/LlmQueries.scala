@@ -303,6 +303,21 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL audio codec round-trip: deterministic 16-bit PCM clips
+    // encoded to WAV with javax.sound.sampled executor-side, then
+    // DECODED with javax.sound.sampled; the decoded channel count,
+    // frame length and per-channel sample sums must equal the
+    // closed-form sample functions the oracle evaluates without any
+    // codec. Green ⇒ the audio boundary is a real lossless codec, not
+    // a byte slice (the former declared stub, now closed — only video
+    // remains stubbed).
+    "q112_audio_decode" -> ((s, dir) => {
+      Multimodal.decodeAudioStats(s,
+          Multimodal.syntheticWavMedia(s, t(s, dir, "documents")))
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
     // Within-doc n-gram repetition (the Gopher/FineWeb boilerplate
     // signal): pure per-row array arithmetic, pipelines inside the scan.
     "q57_repetition" -> ((s, dir) => {
@@ -687,6 +702,23 @@ object LlmQueries {
         |  SUM((2 * doc_id + 5 * x + y) % 256)::BIGINT AS g_sum,
         |  SUM((doc_id + x * y) % 256)::BIGINT AS b_sum
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Closed-form PCM sample sums — no codec on the oracle side; the
+    // engine must reproduce these through a real WAV encode+decode
+    // round-trip.
+    "q112_audio_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |    50 + doc_id % 37 AS nf
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, channels, nf, i.i
+        |  FROM d CROSS JOIN generate_series(0, 86) i(i)
+        |  WHERE i.i < nf)
+        |SELECT doc_id, MAX(channels) AS channels, MAX(nf)::BIGINT AS n_frames,
+        |  SUM((31 * doc_id + 7 * i) % 65536 - 32768)::BIGINT AS sum_ch0,
+        |  SUM(CASE WHEN channels = 2
+        |    THEN (31 * doc_id + 7 * i + 13) % 65536 - 32768 ELSE 0 END)::BIGINT AS sum_ch1
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q68_window_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -66,6 +66,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(d7.r_sum == expectedR && d7.b_sum == expectedB)
   }
 
+  test("WAV round-trip: real javax.sound encode + decode matches closed-form samples") {
+    import spark.implicits._
+    val docs = spark.range(0, 20).toDF("doc_id")
+    val wav = Multimodal.syntheticWavMedia(spark, docs)
+    // container sanity: RIFF/WAVE magic, not a raw PCM slice
+    val payload = wav.filter(col("doc_id") === 5L).select("payload")
+      .as[Array[Byte]].head()
+    assert(new String(payload.take(4), "US-ASCII") == "RIFF")
+    assert(new String(payload.slice(8, 12), "US-ASCII") == "WAVE")
+    val stats = Multimodal.decodeAudioStats(spark, wav).collect()
+      .map(s => s.doc_id -> s).toMap
+    // closed form for d=5: channels=1+5%2=2, nFrames=50+5%37=55
+    val d5 = stats(5L)
+    assert(d5.channels == 2 && d5.n_frames == 55)
+    def sample(d: Long, i: Int, c: Int): Long = (31 * d + 7 * i + 13 * c) % 65536 - 32768
+    assert(d5.sum_ch0 == (0 until 55).map(sample(5, _, 0)).sum)
+    assert(d5.sum_ch1 == (0 until 55).map(sample(5, _, 1)).sum)
+    // mono doc: channel 1 sum must be zero
+    val d4 = stats(4L)
+    assert(d4.channels == 1 && d4.sum_ch1 == 0L)
+    assert(d4.sum_ch0 == (0 until (50 + 4 % 37)).map(sample(4, _, 0)).sum)
+  }
+
   test("decodeImageStats is iterator-based: rows stream, payloads are not retained") {
     import spark.implicits._
     // many docs in ONE partition: if the partition's payloads were
