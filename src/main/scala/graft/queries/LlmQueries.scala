@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.util.Tables._
-import graft.llm.{Ann, Decontaminate, MixtureSample, Multimodal, Pq, PrepPipeline, SemDedup, SeqPack, TextDedup, TextStats}
+import graft.llm.{Ann, Decontaminate, MixtureSample, MlService, Multimodal, Pq, PrepPipeline, SemDedup, SeqPack, TextDedup, TextStats}
 
 /** LLM training-data pipeline block: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard), ANN (brute-force + LSH/IVF/PQ), text
@@ -316,6 +316,31 @@ object LlmQueries {
           Multimodal.syntheticWavMedia(s, t(s, dir, "documents")))
         .toDF()
         .orderBy("doc_id")
+    }),
+
+    // ML remote-service enrichment (F6, the reference's last job with
+    // no runnable analogue): translate + classify every document
+    // through a REAL HTTP boundary — batched JSON POSTs with an API
+    // key from inside mapPartitions (java.net.http client per
+    // partition), the reference's retry-until-ready loop, and the
+    // failed-translation fallback to the original body. The service is
+    // an in-process deterministic stand-in whose model outputs are pure
+    // functions of the payload, so DuckDB recomputes every enrichment
+    // without any HTTP. The result is pinned as a local relation so the
+    // service's lifecycle (start → enrich → stop) stays inside the
+    // query body.
+    "q113_ml_enrich" -> ((s, dir) => {
+      val server = new MlService.FakeMlServer()
+      try {
+        val reports = t(s, dir, "documents").select(
+          col("doc_id").as("uuid"),
+          concat(lit("doc "), col("doc_id")).as("title"),
+          col("text").as("body"))
+        val df = MlService.enrich(s, reports, server.base).toDF()
+        val rows = df.collect() // bounded: one fixed-width row per doc
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+          .orderBy("uuid")
+      } finally server.stop()
     }),
 
     // Within-doc n-gram repetition (the Gopher/FineWeb boilerplate
@@ -702,6 +727,26 @@ object LlmQueries {
         |  SUM((2 * doc_id + 5 * x + y) % 256)::BIGINT AS g_sum,
         |  SUM((doc_id + x * y) % 256)::BIGINT AS b_sum
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The fake model is a pure function of the payload: translation is
+    // word-reversal (status 'error' for uuid%97=0 → original body),
+    // probability is the first 6 md5 hex digits of the classified body
+    // over 2^24 (an exact binary fraction — no float rounding on either
+    // engine), not-ready-on-first-attempt for uuid%5=0.
+    "q113_ml_enrich" ->
+      """WITH used AS (
+        |  SELECT doc_id AS uuid,
+        |    substr(md5(text), 1, 2) AS detected_lang,
+        |    doc_id % 97 <> 0 AS translated,
+        |    CASE WHEN doc_id % 97 = 0 THEN text
+        |      ELSE array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |    END AS body
+        |  FROM documents)
+        |SELECT uuid, detected_lang, translated,
+        |  CASE WHEN CAST(('0x' || substr(md5(body), 1, 6)) AS BIGINT) / 16777216.0 >= 0.5
+        |    THEN 'invalid' ELSE 'valid' END AS prediction,
+        |  CAST(('0x' || substr(md5(body), 1, 6)) AS BIGINT) / 16777216.0 AS probability,
+        |  CAST(CASE WHEN uuid % 5 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_attempts
+        |FROM used ORDER BY uuid""".stripMargin,
     // Closed-form PCM sample sums — no codec on the oracle side; the
     // engine must reproduce these through a real WAV encode+decode
     // round-trip.
