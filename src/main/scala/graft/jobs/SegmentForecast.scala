@@ -30,7 +30,33 @@ object SegmentForecast {
     ModelSpec("mean", 0), ModelSpec("mean", 8),
     ModelSpec("linear", 0), ModelSpec("linear", 8))
 
+  /** Prophet-shaped grid (funnel_forecast.py:365-412 sweeps
+    * growth={linear,logistic} and seasonality terms): adds the
+    * saturating-growth and weekly-seasonality candidates to the base
+    * mean/linear pair. */
+  val wideGrid: Seq[ModelSpec] = Seq(
+    ModelSpec("mean", 0), ModelSpec("linear", 0),
+    ModelSpec("sat", 0), ModelSpec("seasonal", 0))
+
   private final case class Fitted(predict: Double => Double)
+
+  /** OLS slope/intercept from decimal-exact sums (BigDecimal inputs keep
+    * the sums order-independent; the final arithmetic is fixed-order
+    * IEEE, matched term-for-term by the DuckDB oracles). Degenerate x
+    * (zero variance) falls back to (slope 0, intercept = mean y). */
+  private def ols(pts: Seq[(BigDecimal, BigDecimal)]): (Double, Double) = {
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum.toDouble
+    val sy = pts.map(_._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val denom = n * sxx - sx * sx
+    if (denom == 0) (0.0, sy / n)
+    else {
+      val slope = (n * sxy - sx * sy) / denom
+      (slope, (sy - slope * sx) / n)
+    }
+  }
 
   private def fit(spec: ModelSpec, data: Seq[Obs]): Fitted = {
     val windowed = if (spec.window > 0) data.takeRight(spec.window) else data
@@ -39,18 +65,45 @@ object SegmentForecast {
         val m = windowed.map(o => BigDecimal(o.y)).sum.toDouble / windowed.size
         Fitted(_ => m)
       case "linear" =>
-        val n = windowed.size.toDouble
-        val sx = windowed.map(o => BigDecimal(o.x)).sum.toDouble
-        val sy = windowed.map(o => BigDecimal(o.y)).sum.toDouble
-        val sxx = windowed.map(o => BigDecimal(o.x) * BigDecimal(o.x)).sum.toDouble
-        val sxy = windowed.map(o => BigDecimal(o.x) * BigDecimal(o.y)).sum.toDouble
-        val denom = n * sxx - sx * sx
-        if (denom == 0) Fitted(_ => sy / n)
-        else {
-          val slope = (n * sxy - sx * sy) / denom
-          val intercept = (sy - slope * sx) / n
-          Fitted(x => intercept + slope * x)
+        val (slope, intercept) =
+          ols(windowed.map(o => (BigDecimal(o.x), BigDecimal(o.y))))
+        Fitted(x => intercept + slope * x)
+      case "sat" =>
+        // Saturating growth, the logistic stand-in: instead of the exp/ln
+        // logistic link (libm last-ulp behavior differs across engines),
+        // use the rational link z = 1e6·y/(cap−y) with cap pinned at
+        // 2·max(y)+$1 over the fit window. y is DECIMAL(18,2) so y·100 is
+        // an exact integer; z is pure BIGINT floor-division (operands
+        // non-negative, so trunc == floor on both engines); the OLS runs
+        // on exact integers and the back-transform cap·ẑ/(1e6+ẑ) is
+        // fixed-order IEEE — bit-reproducible end to end.
+        val cents = windowed.map(o => (BigDecimal(o.y) * 100).toLong.max(0L))
+        val capCents = 2L * cents.max + 100L
+        val zs = windowed.zip(cents).map { case (o, yc) =>
+          (BigDecimal(o.x), BigDecimal((yc * 1000000L) / (capCents - yc)))
         }
+        val (slope, intercept) = ols(zs)
+        val cap = capCents / 100.0
+        Fitted { x =>
+          val zh = intercept + slope * x
+          cap * zh / (1000000.0 + zh)
+        }
+      case "seasonal" =>
+        // Linear trend + day-of-week offsets (Prophet weekly seasonality
+        // stand-in): offsets are the mean residual per (x mod 7) class,
+        // computed from decimal-exact class sums as
+        // (Σy_c − (n_c·b0 + b1·Σx_c))/n_c so the oracle reproduces them
+        // without summing per-row double residuals.
+        val (slope, intercept) =
+          ols(windowed.map(o => (BigDecimal(o.x), BigDecimal(o.y))))
+        val off: Map[Long, Double] =
+          windowed.groupBy(o => o.x.toLong % 7).map { case (d, rows) =>
+            val nc = rows.size.toDouble
+            val sxc = rows.map(o => BigDecimal(o.x)).sum.toDouble
+            val syc = rows.map(o => BigDecimal(o.y)).sum.toDouble
+            d -> (syc - (nc * intercept + slope * sxc)) / nc
+          }
+        Fitted(x => (intercept + slope * x) + off.getOrElse(x.toLong % 7, 0.0))
     }
   }
 

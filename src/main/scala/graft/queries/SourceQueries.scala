@@ -216,6 +216,31 @@ object SourceQueries {
           round(col("f1"), 6).as("f1"), round(col("f2"), 6).as("f2"),
           round(col("f3"), 6).as("f3"))
         .orderBy("segment")
+    }),
+
+    // F8++ — the Prophet-shaped grid (funnel_forecast.py:365-412 sweeps
+    // growth={linear,logistic} and seasonality): same CV selection as
+    // q110 over {mean, linear, sat, seasonal}, where `sat` is a
+    // saturating-growth model on an integer rational link (no exp/ln —
+    // libm ulps differ across engines) and `seasonal` is linear trend +
+    // day-of-week offsets from decimal-exact class sums. The full
+    // fit→score→select→refit→forecast pipeline is recomputed in SQL.
+    "q114_forecast_grid2" -> ((s, dir) => {
+      import graft.jobs.SegmentForecast
+      implicit val obsEnc = Encoders.product[SegmentForecast.Obs]
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type").as("segment"),
+          datediff(col("ts").cast(DateType),
+            lit("1970-01-01").cast(DateType)).cast(DoubleType).as("x"))
+        .agg(dsum(col("value")).as("y"))
+      val obs = daily.select(col("segment"), col("x"), col("y"))
+        .as[SegmentForecast.Obs]
+      SegmentForecast.runCV(s, obs, grid = SegmentForecast.wideGrid).toDF()
+        .select(col("segment"), col("kind"),
+          round(col("cv_bias"), 8).as("cv_bias"),
+          round(col("f1"), 6).as("f1"), round(col("f2"), 6).as("f2"),
+          round(col("f3"), 6).as("f3"))
+        .orderBy("segment")
     })
   )
 
@@ -362,6 +387,194 @@ object SourceQueries {
         |  ROUND(intercept + slope * (xmax + 1), 6) AS f1,
         |  ROUND(intercept + slope * (xmax + 2), 6) AS f2,
         |  ROUND(intercept + slope * (xmax + 3), 6) AS f3
-        |FROM fullparams ORDER BY segment""".stripMargin
+        |FROM fullparams ORDER BY segment""".stripMargin,
+    // q110's pipeline widened to the Prophet-shaped grid: 'sat' fits OLS
+    // on the integer link z = 1e6*y_cents // (cap_cents - y_cents) with
+    // cap_cents = 2*max(y_cents)+100 over the fit set (pure BIGINT floor
+    // division on non-negative operands == the engine's trunc division);
+    // 'seasonal' adds per-dow mean-residual offsets from decimal-exact
+    // class sums. Every double expression mirrors the engine's op order.
+    "q114_forecast_grid2" ->
+      """WITH daily AS (
+        |  SELECT event_type AS segment,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE) AS x,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |obs AS (
+        |  SELECT segment, x, y,
+        |    row_number() OVER (PARTITION BY segment ORDER BY x) AS rn,
+        |    COUNT(*) OVER (PARTITION BY segment) AS n
+        |  FROM daily),
+        |cuts AS (
+        |  SELECT DISTINCT segment, n - 2 - 2 * m.m AS j
+        |  FROM obs CROSS JOIN (VALUES (0), (1), (2)) m(m)
+        |  WHERE n - 2 - 2 * m.m >= 6),
+        |specs AS (SELECT * FROM (VALUES ('mean', 0), ('linear', 1),
+        |  ('sat', 2), ('seasonal', 3)) s(kind, ord)),
+        |train AS (
+        |  SELECT o.segment, c.j, s.kind, s.ord, o.x, o.y
+        |  FROM obs o
+        |  JOIN cuts c ON o.segment = c.segment AND o.rn <= c.j
+        |  CROSS JOIN specs s),
+        |fits AS (
+        |  SELECT segment, j, kind, ord,
+        |    CAST(COUNT(*) AS DOUBLE) AS fn,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,2)) * y) AS DOUBLE) AS sxy,
+        |    2 * MAX(GREATEST(CAST(y * 100 AS BIGINT), 0)) + 100 AS cap_cents
+        |  FROM train GROUP BY 1, 2, 3, 4),
+        |zfits AS (
+        |  SELECT t.segment, t.j, t.ord,
+        |    CAST(COUNT(*) AS DOUBLE) AS zn,
+        |    CAST(SUM(CAST(t.x AS DECIMAL(18,2))) AS DOUBLE) AS zsx,
+        |    CAST(SUM((GREATEST(CAST(t.y * 100 AS BIGINT), 0) * 1000000)
+        |      // (f.cap_cents - GREATEST(CAST(t.y * 100 AS BIGINT), 0))) AS DOUBLE) AS sz,
+        |    CAST(SUM(CAST(t.x AS DECIMAL(18,2)) * CAST(t.x AS DECIMAL(18,2))) AS DOUBLE) AS zsxx,
+        |    CAST(SUM(CAST(t.x AS DECIMAL(18,2)) *
+        |      ((GREATEST(CAST(t.y * 100 AS BIGINT), 0) * 1000000)
+        |       // (f.cap_cents - GREATEST(CAST(t.y * 100 AS BIGINT), 0)))) AS DOUBLE) AS sxz
+        |  FROM train t
+        |  JOIN fits f ON f.segment = t.segment AND f.j = t.j AND f.ord = t.ord
+        |  WHERE t.kind = 'sat' GROUP BY 1, 2, 3),
+        |dowfits AS (
+        |  SELECT segment, j, ord, CAST(x AS BIGINT) % 7 AS dow,
+        |    CAST(COUNT(*) AS DOUBLE) AS nc,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sxc,
+        |    CAST(SUM(y) AS DOUBLE) AS syc
+        |  FROM train WHERE kind = 'seasonal' GROUP BY 1, 2, 3, 4),
+        |params AS (
+        |  SELECT f.segment, f.j, f.kind, f.ord, f.cap_cents,
+        |    CASE
+        |      WHEN f.kind IN ('linear', 'seasonal')
+        |        THEN (f.fn * f.sxy - f.sx * f.sy) / (f.fn * f.sxx - f.sx * f.sx)
+        |      WHEN f.kind = 'sat'
+        |        THEN (z.zn * z.sxz - z.zsx * z.sz) / (z.zn * z.zsxx - z.zsx * z.zsx)
+        |      ELSE 0 END AS slope,
+        |    CASE
+        |      WHEN f.kind IN ('linear', 'seasonal')
+        |        THEN (f.sy - ((f.fn * f.sxy - f.sx * f.sy) / (f.fn * f.sxx - f.sx * f.sx)) * f.sx) / f.fn
+        |      WHEN f.kind = 'sat'
+        |        THEN (z.sz - ((z.zn * z.sxz - z.zsx * z.sz) / (z.zn * z.zsxx - z.zsx * z.zsx)) * z.zsx) / z.zn
+        |      ELSE f.sy / f.fn END AS intercept
+        |  FROM fits f
+        |  LEFT JOIN zfits z ON z.segment = f.segment AND z.j = f.j AND z.ord = f.ord),
+        |offsets AS (
+        |  SELECT d.segment, d.j, d.ord, d.dow,
+        |    (d.syc - (d.nc * p.intercept + p.slope * d.sxc)) / d.nc AS s
+        |  FROM dowfits d
+        |  JOIN params p ON p.segment = d.segment AND p.j = d.j AND p.ord = d.ord),
+        |preds AS (
+        |  SELECT p.segment, p.j, p.kind, p.ord,
+        |    SUM(CASE p.kind
+        |      WHEN 'sat' THEN (p.cap_cents / 100.0) * (p.intercept + p.slope * o.x)
+        |        / (1000000.0 + (p.intercept + p.slope * o.x))
+        |      WHEN 'seasonal' THEN (p.intercept + p.slope * o.x) + COALESCE(ofs.s, 0)
+        |      ELSE p.intercept + p.slope * o.x END) AS yhat,
+        |    SUM(CAST(o.y AS DOUBLE)) AS yy
+        |  FROM params p
+        |  JOIN obs o ON o.segment = p.segment AND o.rn > p.j AND o.rn <= p.j + 2
+        |  LEFT JOIN offsets ofs ON ofs.segment = p.segment AND ofs.j = p.j
+        |    AND ofs.ord = p.ord AND ofs.dow = CAST(o.x AS BIGINT) % 7
+        |  GROUP BY 1, 2, 3, 4),
+        |biases AS (
+        |  SELECT segment, kind, ord, yhat / yy - 1 AS b,
+        |    row_number() OVER (PARTITION BY segment, ord ORDER BY j) AS bi
+        |  FROM preds),
+        |metrics AS (
+        |  SELECT segment, kind, ord,
+        |    ((MAX(CASE WHEN bi = 1 THEN b END) + MAX(CASE WHEN bi = 2 THEN b END))
+        |      + MAX(CASE WHEN bi = 3 THEN b END)) / 3 AS bias
+        |  FROM biases GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT segment, kind, ord, bias,
+        |    row_number() OVER (PARTITION BY segment ORDER BY ABS(bias), ord) AS r
+        |  FROM metrics),
+        |fullfit AS (
+        |  SELECT o.segment, b.kind, b.bias,
+        |    CAST(COUNT(*) AS DOUBLE) AS fn,
+        |    CAST(SUM(CAST(o.x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(o.y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(o.x AS DECIMAL(18,2)) * CAST(o.x AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(o.x AS DECIMAL(18,2)) * o.y) AS DOUBLE) AS sxy,
+        |    2 * MAX(GREATEST(CAST(o.y * 100 AS BIGINT), 0)) + 100 AS cap_cents,
+        |    MAX(o.x) AS xmax
+        |  FROM obs o JOIN best b ON b.segment = o.segment AND b.r = 1
+        |  GROUP BY 1, 2, 3),
+        |zfull AS (
+        |  SELECT o.segment,
+        |    CAST(COUNT(*) AS DOUBLE) AS zn,
+        |    CAST(SUM(CAST(o.x AS DECIMAL(18,2))) AS DOUBLE) AS zsx,
+        |    CAST(SUM((GREATEST(CAST(o.y * 100 AS BIGINT), 0) * 1000000)
+        |      // (f.cap_cents - GREATEST(CAST(o.y * 100 AS BIGINT), 0))) AS DOUBLE) AS sz,
+        |    CAST(SUM(CAST(o.x AS DECIMAL(18,2)) * CAST(o.x AS DECIMAL(18,2))) AS DOUBLE) AS zsxx,
+        |    CAST(SUM(CAST(o.x AS DECIMAL(18,2)) *
+        |      ((GREATEST(CAST(o.y * 100 AS BIGINT), 0) * 1000000)
+        |       // (f.cap_cents - GREATEST(CAST(o.y * 100 AS BIGINT), 0)))) AS DOUBLE) AS sxz
+        |  FROM obs o JOIN fullfit f ON f.segment = o.segment
+        |  WHERE f.kind = 'sat' GROUP BY 1),
+        |dowfull AS (
+        |  SELECT o.segment, CAST(o.x AS BIGINT) % 7 AS dow,
+        |    CAST(COUNT(*) AS DOUBLE) AS nc,
+        |    CAST(SUM(CAST(o.x AS DECIMAL(18,2))) AS DOUBLE) AS sxc,
+        |    CAST(SUM(o.y) AS DOUBLE) AS syc
+        |  FROM obs o JOIN fullfit f ON f.segment = o.segment
+        |  WHERE f.kind = 'seasonal' GROUP BY 1, 2),
+        |fullparams AS (
+        |  SELECT f.segment, f.kind, f.bias, f.cap_cents, f.xmax,
+        |    CASE
+        |      WHEN f.kind IN ('linear', 'seasonal')
+        |        THEN (f.fn * f.sxy - f.sx * f.sy) / (f.fn * f.sxx - f.sx * f.sx)
+        |      WHEN f.kind = 'sat'
+        |        THEN (z.zn * z.sxz - z.zsx * z.sz) / (z.zn * z.zsxx - z.zsx * z.zsx)
+        |      ELSE 0 END AS slope,
+        |    CASE
+        |      WHEN f.kind IN ('linear', 'seasonal')
+        |        THEN (f.sy - ((f.fn * f.sxy - f.sx * f.sy) / (f.fn * f.sxx - f.sx * f.sx)) * f.sx) / f.fn
+        |      WHEN f.kind = 'sat'
+        |        THEN (z.sz - ((z.zn * z.sxz - z.zsx * z.sz) / (z.zn * z.zsxx - z.zsx * z.zsx)) * z.zsx) / z.zn
+        |      ELSE f.sy / f.fn END AS intercept
+        |  FROM fullfit f LEFT JOIN zfull z ON z.segment = f.segment),
+        |offpivot AS (
+        |  SELECT d.segment,
+        |    MAX(CASE WHEN d.dow = 0 THEN (d.syc - (d.nc * p.intercept + p.slope * d.sxc)) / d.nc END) AS s0,
+        |    MAX(CASE WHEN d.dow = 1 THEN (d.syc - (d.nc * p.intercept + p.slope * d.sxc)) / d.nc END) AS s1,
+        |    MAX(CASE WHEN d.dow = 2 THEN (d.syc - (d.nc * p.intercept + p.slope * d.sxc)) / d.nc END) AS s2,
+        |    MAX(CASE WHEN d.dow = 3 THEN (d.syc - (d.nc * p.intercept + p.slope * d.sxc)) / d.nc END) AS s3,
+        |    MAX(CASE WHEN d.dow = 4 THEN (d.syc - (d.nc * p.intercept + p.slope * d.sxc)) / d.nc END) AS s4,
+        |    MAX(CASE WHEN d.dow = 5 THEN (d.syc - (d.nc * p.intercept + p.slope * d.sxc)) / d.nc END) AS s5,
+        |    MAX(CASE WHEN d.dow = 6 THEN (d.syc - (d.nc * p.intercept + p.slope * d.sxc)) / d.nc END) AS s6
+        |  FROM dowfull d JOIN fullparams p ON p.segment = d.segment
+        |  GROUP BY 1),
+        |final AS (
+        |  SELECT p.segment, p.kind, p.bias, p.cap_cents, p.xmax, p.slope, p.intercept,
+        |    COALESCE(o.s0, 0) AS s0, COALESCE(o.s1, 0) AS s1, COALESCE(o.s2, 0) AS s2,
+        |    COALESCE(o.s3, 0) AS s3, COALESCE(o.s4, 0) AS s4, COALESCE(o.s5, 0) AS s5,
+        |    COALESCE(o.s6, 0) AS s6
+        |  FROM fullparams p LEFT JOIN offpivot o ON o.segment = p.segment)
+        |SELECT segment, kind, ROUND(bias, 8) AS cv_bias,
+        |  ROUND(CASE kind
+        |    WHEN 'sat' THEN (cap_cents / 100.0) * (intercept + slope * (xmax + 1))
+        |      / (1000000.0 + (intercept + slope * (xmax + 1)))
+        |    WHEN 'seasonal' THEN (intercept + slope * (xmax + 1)) +
+        |      CASE CAST(xmax + 1 AS BIGINT) % 7 WHEN 0 THEN s0 WHEN 1 THEN s1
+        |        WHEN 2 THEN s2 WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END
+        |    ELSE intercept + slope * (xmax + 1) END, 6) AS f1,
+        |  ROUND(CASE kind
+        |    WHEN 'sat' THEN (cap_cents / 100.0) * (intercept + slope * (xmax + 2))
+        |      / (1000000.0 + (intercept + slope * (xmax + 2)))
+        |    WHEN 'seasonal' THEN (intercept + slope * (xmax + 2)) +
+        |      CASE CAST(xmax + 2 AS BIGINT) % 7 WHEN 0 THEN s0 WHEN 1 THEN s1
+        |        WHEN 2 THEN s2 WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END
+        |    ELSE intercept + slope * (xmax + 2) END, 6) AS f2,
+        |  ROUND(CASE kind
+        |    WHEN 'sat' THEN (cap_cents / 100.0) * (intercept + slope * (xmax + 3))
+        |      / (1000000.0 + (intercept + slope * (xmax + 3)))
+        |    WHEN 'seasonal' THEN (intercept + slope * (xmax + 3)) +
+        |      CASE CAST(xmax + 3 AS BIGINT) % 7 WHEN 0 THEN s0 WHEN 1 THEN s1
+        |        WHEN 2 THEN s2 WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END
+        |    ELSE intercept + slope * (xmax + 3) END, 6) AS f3
+        |FROM final ORDER BY segment""".stripMargin
   )
 }

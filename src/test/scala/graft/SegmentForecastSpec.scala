@@ -92,6 +92,42 @@ class SegmentForecastSpec extends SparkTestBase {
     }
   }
 
+  test("saturating model wins on plateauing data where linear overshoots") {
+    val cv = SegmentForecast.CvSettings(initial = 6, period = 2, horizon = 2)
+    // logistic-shaped curve rising to a plateau near 100: by the CV
+    // cutoffs the series has flattened, so linear (still extrapolating
+    // the climb) and mean (dragged down by early points) both carry
+    // bias; the saturating rational link tracks the flattening.
+    val plateau = (0 until 20).map { i =>
+      val y = math.rint(10000.0 / (1.0 + math.exp(-(i - 6) / 1.5))) / 100.0
+      Obs("p", i, y)
+    }
+    val fit = SegmentForecast.fitSegmentCV(plateau, SegmentForecast.wideGrid, cv)
+    assert(fit.kind == "sat", s"expected saturating winner, got $fit")
+    // the saturating forecast must stay below the cap (2*max + $1)
+    val cap = 2 * plateau.map(_.y).max + 1
+    assert(fit.f3 < cap && fit.f3 > plateau.last.y - 1,
+      s"forecast must plateau under the cap: $fit")
+  }
+
+  test("seasonal model wins on trend + weekly pattern and forecasts the right dow offset") {
+    val cv = SegmentForecast.CvSettings(initial = 6, period = 2, horizon = 2)
+    // exact linear trend plus a (x mod 7) offset chosen orthogonal to x
+    // over the 4 full weeks (Σs_c = 0 AND Σc·s_c = 0), so the two-stage
+    // decomposition (OLS trend, then mean residual per dow class)
+    // recovers both components exactly on the final 28-point refit. CV
+    // train prefixes are NOT whole weeks, so the selection bias is only
+    // near-zero — but far below plain linear's weekly residual.
+    val s = Seq(5.0, -3.0, 0.0, 4.0, -6.0, -15.0, 15.0)
+    val weekly = (0 until 28).map(i => Obs("w", i, 100.0 + 2.0 * i + s(i % 7)))
+    val fit = SegmentForecast.fitSegmentCV(weekly, SegmentForecast.wideGrid, cv)
+    assert(fit.kind == "seasonal", s"expected seasonal winner, got $fit")
+    assert(math.abs(fit.cv_bias) < 0.01, s"seasonal fit must be near-unbiased: $fit")
+    // forecast day 28 has dow 0: trend + the +5 offset; day 29 dow 1
+    assert(math.abs(fit.f1 - (100.0 + 2.0 * 28 + 5.0)) < 1e-6, s"dow-0 offset: $fit")
+    assert(math.abs(fit.f2 - (100.0 + 2.0 * 29 - 3.0)) < 1e-6, s"dow-1 offset: $fit")
+  }
+
   test("windowed variant wins when history has a regime change") {
     // old regime flat at 0, recent 8 points strong trend: windowed linear
     // fits recent data better than full-history models
