@@ -332,10 +332,16 @@ object LlmQueries {
     "q113_ml_enrich" -> ((s, dir) => {
       val server = new MlService.FakeMlServer()
       try {
+        // repartition to core count: the sf-dir documents scan is one
+        // parquet split at bench SFs, which would serialize the whole
+        // HTTP fan-out through a single task (measured 33 s at sf0.1);
+        // on a real cluster this is the executor-level fan-out the
+        // operator is designed around.
         val reports = t(s, dir, "documents").select(
           col("doc_id").as("uuid"),
           concat(lit("doc "), col("doc_id")).as("title"),
           col("text").as("body"))
+          .repartition(s.sparkContext.defaultParallelism)
         val df = MlService.enrich(s, reports, server.base).toDF()
         val rows = df.collect() // bounded: one fixed-width row per doc
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
