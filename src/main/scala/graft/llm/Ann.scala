@@ -213,10 +213,23 @@ object Ann {
       .select(col("qid"), col("qe"), col("qn2"),
         concat_ws(":", col("t"), col("psig")).as("bucket"))
     // with nTables > 1 a (qid, cid) pair can collide in several tables —
-    // dedupe BEFORE the exact dot so each candidate is scored once
-    val scored = c.join(q, Seq("bucket"))
+    // dedupe BEFORE any scoring so each candidate is scored once
+    val cand = c.join(q, Seq("bucket"))
       .filter(col("cid") =!= col("qid"))
       .dropDuplicates("qid", "cid")
+    // two-phase re-rank (same shape as ivfTopK): a cheap double-precision
+    // cosine prunes the candidate set to k+8 per query, and only the
+    // survivors pay the decimal-exact dot — at scale the candidate volume
+    // is (nBits+1)·nTables·occupancy per query, so keeping the exact
+    // arithmetic off that path is what makes the re-rank affordable
+    val wFast = Window.partitionBy("qid").orderBy(col("cos_fast").desc, col("cid"))
+    val pruned = cand
+      .withColumn("cos_fast",
+        dotDouble(col("qe"), col("ce")) /
+          (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
+      .withColumn("fast_rank", row_number().over(wFast))
+      .filter(col("fast_rank") <= k + 8)
+    val scored = pruned
       .withColumn("dot", dotDecimal(col("qe"), col("ce")))
       .withColumn("cosine", cosineFrom(col("dot"), col("qn2"), col("cn2")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))

@@ -87,6 +87,36 @@ class PlanAuditSpec extends SparkTestBase {
       s"codebook/LUT side did not broadcast:\n$p")
   }
 
+  test("IVF ANN probes cells via equi-join, no cartesian (q82)") {
+    val p = formatted("q82_ann_ivf")
+    assert(!p.contains("CartesianProduct"), s"cartesian in IVF plan:\n$p")
+    // the recall summary crosses two single-row aggregates (1×1, bounded by
+    // construction) — a BNLJ is only a defect if it joins unaggregated rows
+    val bnljs = p.split("BroadcastNestedLoopJoin").length - 1
+    val oneRowCrosses = p.split("IdentityBroadcastMode").length - 1
+    assert(bnljs <= oneRowCrosses,
+      s"non-summary BNLJ in IVF plan ($bnljs BNLJ vs $oneRowCrosses 1-row crosses):\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"cell probe is not an equi-join:\n$p")
+  }
+
+  test("ANN recall gates join the PINNED exact truth, not an in-query O(n*m) scan (q75)") {
+    // the exact baseline must enter as a bounded local relation (computed
+    // once per SF dir, |queries|*k rows), not as a second brute-force scan
+    // of the corpus inside the timed body
+    val p = formatted("q75_ann_lsh")
+    assert(p.contains("LocalTableScan") || p.contains("BroadcastExchange"),
+      s"pinned truth not a local/broadcast relation:\n$p")
+  }
+
+  test("forecast CV grids shuffle once on segment, no cartesian (q110/q114)") {
+    Seq("q110_forecast_cv", "q114_forecast_grid2").foreach { name =>
+      val p = formatted(name)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in $name:\n$p")
+    }
+  }
+
   test("decontamination joins the corpus against broadcast eval grams (q84)") {
     val p = formatted("q84_decontaminate")
     assert(!p.contains("CartesianProduct"), s"cartesian in decontaminate plan:\n$p")
