@@ -11,9 +11,14 @@ import org.apache.spark.sql.types._
   * sizing. The IMAGE path uses a real codec (javax.imageio PNG
   * encode/decode, [[syntheticPngMedia]]/[[decodeImageStats]]); the
   * AUDIO path uses a real codec too (javax.sound.sampled WAV/PCM,
-  * [[syntheticWavMedia]]/[[decodeAudioStats]]); only the VIDEO frame
-  * path remains a declared deterministic STUB (this container has no
-  * video libraries; see builder brief).
+  * [[syntheticWavMedia]]/[[decodeAudioStats]]); the VIDEO frame path
+  * uses a real multi-frame container as well (animated GIF via
+  * javax.imageio sequence mode, [[syntheticGifMedia]]/
+  * [[decodeVideoFrameStats]] — frame extraction + strided sampling
+  * from genuinely encoded container bytes). Only raw video codecs
+  * (H.264 etc.) stay out of reach in this container (no native codec
+  * libraries; see builder brief) — [[frameSample]] keeps the declared
+  * byte-slice STUB shape for that case.
   *
   * At scale: decode work is per-row CPU, so the operator's job is to
   * (a) keep batches columnar/iterator-based (mapPartitions — one
@@ -230,6 +235,113 @@ object Multimodal {
           f += 1
         }
         AudioStats(r.doc_id, channels, nFrames, s0, s1)
+      }
+    }
+  }
+
+  // ---- real video-container frame boundary (animated GIF, javax.imageio) ----
+
+  /** Deterministic multi-frame clips, ENCODED WITH A REAL CONTAINER
+    * WRITER executor-side: doc d is an animated GIF of
+    * nFrames = 3 + d%5 frames, each w×h (w = 16 + d%3, h = 12 + d%4),
+    * whose pixel (x,y) of frame f is the gray level
+    * ((d + x + 2y + 3f) mod 4) · 85 — closed forms an external oracle
+    * evaluates without any codec. Frames are written through
+    * javax.imageio's GIF sequence mode (prepareWriteSequence /
+    * writeToSequence). Two JDK GIF codec traps, found empirically:
+    * frames under ~50 px scramble rows on decode, and the default
+    * indexed/gray palettes quantize (85→84); the ≥16×12 frame sizes
+    * plus an explicit identity 256-gray palette keep the round-trip
+    * bit-lossless. Reference frame-sampling semantics: SURVEY.md §2
+    * multimodal block (builder brief: "frame-sample … make the
+    * Spark-side plumbing real"). */
+  def syntheticGifMedia(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      // one palette per partition, not per row. Full 256-entry identity
+      // gray palette: the JDK GIF writer mis-encodes LZW for tiny
+      // palettes (rows scramble on decode), so give it 8-bit codes even
+      // though only 4 gray levels are ever used.
+      val levels = Array.tabulate[Byte](256)(i => i.toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 256, levels, levels, levels)
+      ids.map { d =>
+        val w = 16 + (d % 3).toInt
+        val h = 12 + (d % 4).toInt
+        val nf = 3 + (d % 5).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nf) {
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = (((d + x + 2L * y + 3L * f) % 4) * 85).toInt
+              img.setRGB(x, y, (0xff << 24) | (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        writer.dispose()
+        ios.close()
+        (d, bos.toByteArray, "video/gif-frames")
+      }
+    }.toDF("doc_id", "payload", "media_type")
+  }
+
+  case class VideoStats(doc_id: Long, n_frames: Int, n_sampled: Int,
+      gray_sum: Long)
+
+  /** REAL frame extraction + strided sampling: the frame count comes
+    * from the container index (getNumImages), every `stride`-th frame
+    * is DECODED with javax.imageio, and gray_sum aggregates actually
+    * decoded pixels of sampled frames only. Same production shape as
+    * the image/audio paths — mapPartitions, iterator in / iterator
+    * out, one reader context per row, payload never retained. Frames
+    * that the stride skips are never decoded — at 100 TB that is the
+    * whole point of sampling (decode cost follows the sample, not the
+    * clip length). */
+  def decodeVideoFrameStats(spark: SparkSession, media: DataFrame,
+      stride: Int): Dataset[VideoStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        var sum = 0L
+        var sampled = 0
+        var f = 0
+        while (f < n) {
+          if (f % stride == 0) {
+            val img = reader.read(f)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += (img.getRGB(x, y) >> 16) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            sampled += 1
+          }
+          f += 1
+        }
+        reader.dispose()
+        iis.close()
+        VideoStats(r.doc_id, n, sampled, sum)
       }
     }
   }

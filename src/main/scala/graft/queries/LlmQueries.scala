@@ -318,6 +318,23 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL video-container frame sampling: deterministic animated GIFs
+    // encoded with javax.imageio's sequence writer executor-side, then
+    // frame-extracted + stride-2 sampled with javax.imageio; the frame
+    // count, sampled count and gray pixel sum over SAMPLED FRAMES ONLY
+    // must equal the closed-form pixel functions the oracle evaluates
+    // without any codec. Green ⇒ the video frame path is a real
+    // multi-frame container decode (the last declared media stub, now
+    // closed — only raw video codecs like H.264 stay stubbed, no
+    // native libs in this container).
+    "q115_video_frames" -> ((s, dir) => {
+      Multimodal.decodeVideoFrameStats(s,
+          Multimodal.syntheticGifMedia(s, t(s, dir, "documents")),
+          stride = 2)
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
     // ML remote-service enrichment (F6, the reference's last job with
     // no runnable analogue): translate + classify every document
     // through a REAL HTTP boundary — batched JSON POSTs with an API
@@ -753,6 +770,25 @@ object LlmQueries {
         |  CAST(('0x' || substr(md5(body), 1, 6)) AS BIGINT) / 16777216.0 AS probability,
         |  CAST(CASE WHEN uuid % 5 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_attempts
         |FROM used ORDER BY uuid""".stripMargin,
+    // Closed-form pixel sums over the stride-2 sampled frames — no
+    // codec on the oracle side; the engine must reproduce these
+    // through a real animated-GIF encode + frame-extract round-trip.
+    "q115_video_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, 16 + doc_id % 3 AS w, 12 + doc_id % 4 AS h,
+        |    3 + doc_id % 5 AS nf
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, nf, fs.f, xs.x, ys.y
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 6) fs(f)
+        |  CROSS JOIN generate_series(0, 17) xs(x)
+        |  CROSS JOIN generate_series(0, 14) ys(y)
+        |  WHERE fs.f < nf AND fs.f % 2 = 0 AND xs.x < w AND ys.y < h)
+        |SELECT doc_id, CAST(MAX(nf) AS INTEGER) AS n_frames,
+        |  CAST((MAX(nf) + 1) // 2 AS INTEGER) AS n_sampled,
+        |  SUM(((doc_id + x + 2 * y + 3 * f) % 4) * 85)::BIGINT AS gray_sum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Closed-form PCM sample sums — no codec on the oracle side; the
     // engine must reproduce these through a real WAV encode+decode
     // round-trip.

@@ -89,6 +89,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(d4.sum_ch0 == (0 until (50 + 4 % 37)).map(sample(4, _, 0)).sum)
   }
 
+  test("animated-GIF round-trip: real multi-frame encode + strided sample decode") {
+    import spark.implicits._
+    val docs = spark.range(0, 25).toDF("doc_id")
+    val gif = Multimodal.syntheticGifMedia(spark, docs)
+    // container sanity: GIF89a magic, not a byte-slice fake
+    val payload = gif.filter(col("doc_id") === 7L).select("payload")
+      .as[Array[Byte]].head()
+    assert(new String(payload.take(6), "US-ASCII") == "GIF89a")
+    val stats = Multimodal.decodeVideoFrameStats(spark, gif, stride = 2)
+      .collect().map(s => s.doc_id -> s).toMap
+    // closed form for d=7: w=16+7%3=17, h=12+7%4=15, nf=3+7%5=5 -> sampled f=0,2,4
+    val d7 = stats(7L)
+    assert(d7.n_frames == 5 && d7.n_sampled == 3)
+    val expected = (for {
+      f <- Seq(0, 2, 4); y <- 0 until 15; x <- 0 until 17
+    } yield ((7 + x + 2 * y + 3 * f) % 4) * 85).sum
+    assert(d7.gray_sum == expected)
+    // stride larger than the clip still samples frame 0
+    val one = Multimodal.decodeVideoFrameStats(spark, gif, stride = 100)
+      .collect()
+    assert(one.forall(_.n_sampled == 1))
+  }
+
   test("decodeImageStats is iterator-based: rows stream, payloads are not retained") {
     import spark.implicits._
     // many docs in ONE partition: if the partition's payloads were
