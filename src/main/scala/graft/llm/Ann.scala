@@ -79,10 +79,41 @@ object Ann {
   private def planeWeight(i: Column, p: Int): Column =
     (pmod(xxhash64(i, lit(p)), lit(1000000L)).cast(DoubleType) / 1000000.0) - 0.5
 
+  /** Plane weights are row-INDEPENDENT (a function of (dim, plane)
+    * only), so they are computed once driver-side — with the same
+    * catalyst XxHash64 the per-row expression evaluates, so signatures
+    * are bit-identical to [[lshSignatureHof]] — and shipped as one
+    * array literal per plane. Covers dims < 1024 (dot_arr truncates to
+    * the embedding length). */
+  private val maxPlaneDim = 1024
+  private val planeWeightCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]
+  private def planeWeights(p: Int): Array[Double] =
+    planeWeightCache.computeIfAbsent(p, _ => Array.tabulate(maxPlaneDim) { i =>
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+      val h = new XxHash64(Seq(Literal(i), Literal(p))).eval(null)
+        .asInstanceOf[Long]
+      (java.lang.Math.floorMod(h, 1000000L).toDouble / 1000000.0) - 0.5
+    })
+
   /** nBits-bit sign signature of an embedding against the deterministic
     * hyperplane family starting at `planeOffset` — distinct offsets give
-    * statistically independent families (the multi-table recall knob). */
+    * statistically independent families (the multi-table recall knob).
+    * Each bit is one native-kernel dot against a constant weight array;
+    * the per-row cost is nBits tight codegen loops, not nBits
+    * HOF-walks each re-hashing every dimension index. */
   def lshSignature(emb: Column, nBits: Int, planeOffset: Int = 0): Column =
+    (0 until nBits).map { p =>
+      val proj = graft.functions.ArrayKernels.dotArr(emb,
+        typedLit(planeWeights(planeOffset + p)))
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** The original per-row HOF signature (element-wise xxhash64 inside a
+    * zip_with/aggregate walk) — kept as the reference implementation for
+    * the bit-identity spec. */
+  private[graft] def lshSignatureHof(emb: Column, nBits: Int,
+      planeOffset: Int = 0): Column =
     (0 until nBits).map { p =>
       val proj = aggregate(
         zip_with(emb, sequence(lit(0), size(emb) - 1),
@@ -100,7 +131,7 @@ object Ann {
     val w = Window.partitionBy(idCol).orderBy(col("cell_cos").desc, col("cell"))
     side.crossJoin(broadcast(centroids))
       .withColumn("cell_cos",
-        dotDouble(col(embCol), col("centroid")) /
+        graft.functions.ArrayKernels.dotArr(col(embCol), col("centroid")) /
           (sqrt(col(n2Col).cast(DoubleType)) * sqrt(col("centn2"))))
       .withColumn("cell_rank", row_number().over(w))
       .filter(col("cell_rank") <= n)
@@ -123,7 +154,8 @@ object Ann {
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         e => e.getField("m")).as("centroid"))
-      .withColumn("centn2", dotDouble(col("centroid"), col("centroid")))
+      .withColumn("centn2",
+        graft.functions.ArrayKernels.dotArr(col("centroid"), col("centroid")))
   }
 
   /** IVF-style ANN: `nCells` centroids seeded from the lowest-id corpus
@@ -146,7 +178,8 @@ object Ann {
     val seed = corpus.orderBy("vec_id").limit(nCells)
       .select(col("vec_id").as("cell"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("centroid"))
-      .withColumn("centn2", dotDouble(col("centroid"), col("centroid")))
+      .withColumn("centn2",
+        graft.functions.ArrayKernels.dotArr(col("centroid"), col("centroid")))
     // pinned: `assigned` and `probed` would otherwise each re-run the
     // whole Lloyd fold (and its per-iteration corpus scans)
     val centroids = pin((1 to kmeansIters).foldLeft(seed)((cur, _) => lloydStep(c, cur)))
@@ -156,8 +189,10 @@ object Ann {
         norm2Decimal(col("embedding")).as("qn2")), "qid", "qe", "qn2", nProbe, centroids)
     val joined = assigned.join(probed, Seq("cell"))
       .filter(col("cid") =!= col("qid"))
+      // native codegen'd dot (bit-identical summation to dotDouble) —
+      // the HOF chain allocates an intermediate array per candidate row
       .withColumn("cos_fast",
-        dotDouble(col("qe"), col("ce")) /
+        graft.functions.ArrayKernels.dotArr(col("qe"), col("ce")) /
           (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
     val wFast = Window.partitionBy("qid").orderBy(col("cos_fast").desc, col("cid"))
     val pruned = joined.withColumn("fast_rank", row_number().over(wFast))
@@ -224,8 +259,9 @@ object Ann {
     // arithmetic off that path is what makes the re-rank affordable
     val wFast = Window.partitionBy("qid").orderBy(col("cos_fast").desc, col("cid"))
     val pruned = cand
+      // native codegen'd dot, bit-identical to dotDouble (see ivfTopK)
       .withColumn("cos_fast",
-        dotDouble(col("qe"), col("ce")) /
+        graft.functions.ArrayKernels.dotArr(col("qe"), col("ce")) /
           (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
       .withColumn("fast_rank", row_number().over(wFast))
       .filter(col("fast_rank") <= k + 8)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import Ann.{cosineFrom, dotDecimal, dotDouble, norm2Decimal}
+import Ann.{cosineFrom, dotDecimal, norm2Decimal}
 
 /** Product-quantization ANN: each corpus vector is compressed to `m`
   * small codes (one per embedding subspace), queries score candidates
@@ -32,9 +32,10 @@ object Pq {
 
   private val dec = DecimalType(30, 15)
 
+  // native codegen'd kernel (bit-identical to the HOF fold it replaced):
+  // k-means assignment evaluates this ksub times per (row, subspace, iter)
   private def l2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.ArrayKernels.dist2Arr(a, b)
 
   /** (vec_id, j, sv): the m per-subspace slices of each vector, exploded
     * so every downstream stage is ONE pipeline keyed by subspace j
@@ -100,8 +101,8 @@ object Pq {
     val lut = subspaces(queries, dim, m, "qid")
       .join(broadcast(books), "j")
       .select(col("qid"), col("j"), col("code"),
-        dotDouble(col("sv"), col("cvec")).as("pdot"),
-        dotDouble(col("cvec"), col("cvec")).as("cpart"))
+        graft.functions.ArrayKernels.dotArr(col("sv"), col("cvec")).as("pdot"),
+        graft.functions.ArrayKernels.dotArr(col("cvec"), col("cvec")).as("cpart"))
     // ADC: approximate dot = sum of LUT entries selected by the codes;
     // ranking proxy is cosine against the RECONSTRUCTED vector (norm² =
     // Σ centroid-part norms), so high-norm corpus vectors don't crowd
