@@ -126,7 +126,7 @@ object Ann {
     * PRECOMPUTED `n2Col` (computing it inside this broadcast join would
     * redo the decimal array fold once per centroid). Cell assignment is
     * an approximate routing decision, so double arithmetic is enough. */
-  private def nearestCells(side: DataFrame, idCol: String, embCol: String,
+  private[llm] def nearestCells(side: DataFrame, idCol: String, embCol: String,
       n2Col: String, n: Int, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy(col("cell_cos").desc, col("cell"))
     side.crossJoin(broadcast(centroids))
@@ -171,18 +171,25 @@ object Ann {
     * corpus. The inverted-file layout is the same partition-pruning idea
     * as partitioned parquet — a query touches only its cells.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 1): DataFrame = {
-    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      norm2Decimal(col("embedding")).as("cn2"))
+  /** Coarse-quantizer centroids for a prepared (cid, ce, cn2) frame:
+    * lowest-id seeding + `kmeansIters` Lloyd steps, PINNED (multi-
+    * consumer plans would otherwise re-run the whole fold per consumer).
+    * Shared by [[ivfTopK]] and [[Pq.ivfPqTopK]]. */
+  private[llm] def cellCentroids(c: DataFrame, corpus: DataFrame,
+      nCells: Int, kmeansIters: Int): DataFrame = {
     val seed = corpus.orderBy("vec_id").limit(nCells)
       .select(col("vec_id").as("cell"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("centroid"))
       .withColumn("centn2",
         graft.functions.ArrayKernels.dotArr(col("centroid"), col("centroid")))
-    // pinned: `assigned` and `probed` would otherwise each re-run the
-    // whole Lloyd fold (and its per-iteration corpus scans)
-    val centroids = pin((1 to kmeansIters).foldLeft(seed)((cur, _) => lloydStep(c, cur)))
+    pin((1 to kmeansIters).foldLeft(seed)((cur, _) => lloydStep(c, cur)))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 1): DataFrame = {
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      norm2Decimal(col("embedding")).as("cn2"))
+    val centroids = cellCentroids(c, corpus, nCells, kmeansIters)
     val assigned = nearestCells(c, "cid", "ce", "cn2", 1, centroids)
     val probed = nearestCells(
       queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),

@@ -118,7 +118,13 @@ object Pq {
     val candidates = approx.withColumn("arank", row_number().over(wApprox))
       .filter(col("arank") <= refine * k)
       .select("qid", "cid")
-    // exact decimal re-rank of survivors only (the q81 two-phase trick)
+    exactRerank(candidates, corpus, queries, k)
+  }
+
+  /** Exact decimal re-rank of (qid, cid) survivors only — the q81
+    * two-phase trick; touches `refine·k` rows per query. */
+  private def exactRerank(candidates: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"),
       norm2Decimal(col("embedding")).as("cn2"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
@@ -130,5 +136,62 @@ object Pq {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** IVF-PQ: the canonical 100 TB ANN layout — a coarse quantizer
+    * (shared with [[Ann.ivfTopK]]) prunes the scan to `nProbe` cells
+    * per query, and within the probed cells the ADC scan reads only
+    * the `m` PQ codes per vector. The two compressions compose
+    * multiplicatively: the scan touches ~(nProbe/nCells) of the corpus
+    * and reads ~(m + id) bytes per touched vector instead of the full
+    * float embedding — at dim=64/m=8 and nProbe/nCells=1/2 that is a
+    * ~32× drop in scanned bytes before the exact re-rank, which still
+    * touches only `refine·k` full vectors per query. Same deterministic
+    * builds (decimal Lloyd means, pinned centroids/codebooks) as the
+    * component operators, so the whole path is bit-reproducible and a
+    * pinned-recall oracle can gate it.
+    *
+    * Reference semantics: the corpus-survey ANN block (SURVEY.md §2
+    * "similarity search — IVF or LSH-bucketed variant as the scale
+    * path"); composition follows Jégou et al.'s IVFADC structure
+    * (coarse cells + per-cell code scan, exact re-rank), expressed as
+    * three equi-joins — no stage ever materializes a cell or candidate
+    * set on the driver. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      m: Int = 4, ksub: Int = 16, nCells: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 1, kmeansIters: Int = 1, refine: Int = 4): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      norm2Decimal(col("embedding")).as("cn2"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      norm2Decimal(col("embedding")).as("qn2"))
+    // coarse routing: corpus→1 cell, query→nProbe cells
+    val centroids = Ann.cellCentroids(c, corpus, nCells, kmeansIters)
+    val assigned = Ann.nearestCells(c, "cid", "ce", "cn2", 1, centroids)
+      .select("cid", "cell")
+    val probed = Ann.nearestCells(q, "qid", "qe", "qn2", nProbe, centroids)
+      .select("qid", "cell")
+    // PQ codes over the whole corpus (codebooks trained globally; the
+    // cell restriction happens at scan time, as in IVFADC)
+    val csubs = subspaces(corpus, dim, m, "cid")
+    val books = Ann.pin(codebooks(csubs, ksub, lloydIters))
+    val codes = encode(csubs, books).join(assigned, "cid")
+    val lut = subspaces(queries, dim, m, "qid")
+      .join(broadcast(books), "j")
+      .select(col("qid"), col("j"), col("code"),
+        graft.functions.ArrayKernels.dotArr(col("sv"), col("cvec")).as("pdot"),
+        graft.functions.ArrayKernels.dotArr(col("cvec"), col("cvec")).as("cpart"))
+    // ADC over probed cells only: the cell equi-join IS the IVF prune
+    val approx = codes.join(probed, "cell")
+      .join(broadcast(lut), Seq("qid", "j", "code"))
+      .filter(col("cid") =!= col("qid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg((sum(col("pdot").cast(dec)).cast(DoubleType) /
+        sqrt(greatest(sum(col("cpart").cast(dec)).cast(DoubleType), lit(1e-12)))).as("adot"))
+    val wApprox = Window.partitionBy("qid").orderBy(col("adot").desc, col("cid"))
+    val candidates = approx.withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= refine * k)
+      .select("qid", "cid")
+    exactRerank(candidates, corpus, queries, k)
   }
 }

@@ -206,6 +206,19 @@ object LlmQueries {
         exactTruth(s, dir, qMax = 20, k = 3))
     }),
 
+    // IVF-PQ composition (the canonical 100 TB ANN layout): coarse
+    // cells prune the scan to nProbe/nCells of the corpus, PQ codes
+    // bound the bytes per scanned vector, exact decimal re-rank of
+    // survivors — reported as a pinned recall@3 gate like q75/q82/q86.
+    "q116_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 20)
+      recallSummary(
+        Pq.ivfPqTopK(emb, qs, k = 3, dim = 64, m = 8, ksub = 16,
+          nCells = 16, nProbe = 8, refine = 32),
+        exactTruth(s, dir, qMax = 20, k = 3))
+    }),
+
     // Embedding-cosine near-dup dedup: label-blocked exact cosine pairs
     // (the brief's "embedding-cosine near-dup" method; blocking plays the
     // LSH-bucket role — q75 is the unblocked approximate path). Decimal
@@ -519,6 +532,11 @@ object LlmQueries {
     "q75_ann_lsh" -> annRecallOracle("q.vec_id < 50", 3, 138),
     "q82_ann_ivf" -> annRecallOracle("q.vec_id < 20", 3, 58),
     "q86_ann_pq" -> annRecallOracle("q.vec_id < 20", 3, 51),
+    // IVF-PQ: cell prune can only drop candidates plain PQ would score,
+    // yet the measured pin sits ABOVE q86's 51 — the probed-cell scan
+    // plus refine=32 recovers more of the true top-3 than the unpruned
+    // ADC ranking alone (fewer high-norm far-cell distractors).
+    "q116_ann_ivfpq" -> annRecallOracle("q.vec_id < 20", 3, 55),
     // Full portable-hash MinHash-LSH pipeline recomputed in DuckDB:
     // shingle strings → md5-derived 60-bit hashes → 32 integer seed
     // mixes (generated from the SAME constants as the Spark side via

@@ -59,6 +59,21 @@ class AnnRecallSpec extends SparkTestBase {
     assert(r >= 0.6, s"PQ recall $r below pinned floor 0.6")
   }
 
+  test("IVF-PQ composition: probed-cell ADC recall above floor, schema matches brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val truth = pairs(Ann.bruteForceTopK(emb, queries, k = 3))
+    val ivfpq = graft.llm.Pq.ivfPqTopK(emb, queries, k = 3, dim = 64,
+      m = 8, ksub = 16, nCells = 8, nProbe = 4, refine = 16)
+    assert(ivfpq.columns.toSeq == Seq("qid", "rank", "cid", "cosine"))
+    val r = recall(pairs(ivfpq), truth)
+    // the cell prune can only lose candidates PQ would have scored, so
+    // the floor sits below the plain-PQ pin; half the cells are probed
+    assert(r >= 0.5, s"IVF-PQ recall $r below floor 0.5")
+    // determinism: two runs produce identical pairs
+    assert(pairs(graft.llm.Pq.ivfPqTopK(emb, queries, k = 3, dim = 64,
+      m = 8, ksub = 16, nCells = 8, nProbe = 4, refine = 16)) == pairs(ivfpq))
+  }
+
   test("IVF with a Lloyd step returns top-k candidates with positive recall") {
     val queries = emb.filter(col("vec_id") < 20)
     val truth = pairs(Ann.bruteForceTopK(emb, queries, k = 3))
