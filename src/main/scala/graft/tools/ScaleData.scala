@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dev tool: build an N×-scaled copy of an sf dir's `documents` and
+  * `embeddings` tables (the LLM-block inputs) for scaling checkpoints —
+  * evidence that the dedup/ANN plans grow linearly, not quadratically.
+  *
+  * Copies are made DISSIMILAR on purpose: exact replication would give
+  * every doc ~N identical siblings, exploding the near-dup candidate
+  * sets ~N× beyond what a real corpus at N× scale would produce (a data
+  * artifact, not a plan property). First attempt inserted a salt token
+  * every 5 words — not enough: copies of one doc still shared ~83% of
+  * their TOKENS, so token-minhash near-dup (q71) saw a 10× dup-rate
+  * and went 16× super-linear on a 10× corpus. The construction that
+  * measures PLAN scaling rather than artificial dup-rate growth:
+  * each copy k:
+  *   - documents: every token of copy k>0 gets a `·k` suffix — zero
+  *     cross-copy token/shingle overlap, so within-copy dup structure
+  *     mirrors the original and the corpus dup-rate is scale-invariant
+  *     (as in a real N× corpus); doc_id' = doc_id*N + k keeps ids
+  *     unique and id-derived workload splits (doc_id % m) intact.
+  *   - embeddings: each component multiplied by a deterministic factor
+  *     in [0.9, 1.1) derived from (vec_id, k, i), and label' =
+  *     label*N + k — the label space grows with the corpus (as domains
+  *     do in a real corpus), so label-blocked operators (q81) keep
+  *     bounded block sizes instead of inheriting N× blocks.
+  * Remaining tables are copied verbatim. Usage:
+  *   runMain graft.tools.ScaleData <srcSfDir> <outDir> <factor>
+  */
+object ScaleData {
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, factorS) = args.take(3)
+    val n = factorS.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(out))
+
+    val copies = explode(sequence(lit(0), lit(n - 1))).as("k")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("*"), copies)
+    val salted = docs.select(
+      (col("doc_id") * n + col("k")).as("doc_id"),
+      when(col("k") === 0, col("text")).otherwise(
+        // suffix every token with ·k: zero cross-copy token overlap
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit("·"), col("k").cast(StringType))), " "))
+        .as("text"),
+      col("lang"), col("source"))
+    salted.withColumn("n_chars", length(col("text")))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      .select(col("*"), copies)
+    emb.select(
+      (col("vec_id") * n + col("k")).as("vec_id"),
+      when(col("k") === 0, col("embedding")).otherwise(
+        transform(col("embedding"), (v, i) =>
+          (v * (lit(0.9) + pmod(col("vec_id") * 31 + col("k") * 17 + i, lit(200))
+            .cast(DoubleType) / 1000.0)).cast(FloatType)))
+        .as("embedding"),
+      (col("label") * n + col("k")).cast(IntegerType).as("label"))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+
+    // remaining tables verbatim (single-file parquet from the generator)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events").foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Path.of(s"$src/$t.parquet"),
+        java.nio.file.Path.of(s"$out/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    println(s"scaled $src -> $out x$n: " +
+      s"${spark.read.parquet(s"$out/documents.parquet").count()} docs, " +
+      s"${spark.read.parquet(s"$out/embeddings.parquet").count()} vecs")
+    spark.stop()
+  }
+}
