@@ -109,6 +109,13 @@ class PlanAuditSpec extends SparkTestBase {
       s"pinned truth not a local/broadcast relation:\n$p")
   }
 
+  test("IVF-PQ: cell-pruned ADC is equi-joins + broadcast LUT, no cartesian (q116)") {
+    val p = formatted("q116_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"), s"cartesian in IVF-PQ plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"LUT/codebook side did not broadcast:\n$p")
+  }
+
   test("forecast CV grids shuffle once on segment, no cartesian (q110/q114)") {
     Seq("q110_forecast_cv", "q114_forecast_grid2").foreach { name =>
       val p = formatted(name)
