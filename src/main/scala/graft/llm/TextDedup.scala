@@ -53,6 +53,21 @@ object TextDedup {
   def minhashCandidates(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 16, bands: Int = 4,
       shingleW: Int = 3, portable: Boolean = false): DataFrame = {
+    val banded = bandedSignatures(docs, textCol, idCol, k, bands, shingleW, portable)
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+  }
+
+  /** The banded LSH signature table (id, band, key) — the INDEX a
+    * production dedup pipeline persists between batches so each new
+    * batch is signed once and joined against stored signatures instead
+    * of recomputing the corpus (see [[incrementalCandidates]]). */
+  def bandedSignatures(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 16, bands: Int = 4,
+      shingleW: Int = 3, portable: Boolean = false): DataFrame = {
     val rows = k / bands
     require(rows * bands == k, "k must be divisible by bands")
     // Shingles never materialize as strings: a shingle is the xxhash64 of
@@ -91,7 +106,7 @@ object TextDedup {
     val sig = hashed.groupBy("id")
       .agg(min(col("h0")).as("m0"),
         (1 until k).map(s => min(col(s"h$s")).as(s"m$s")): _*)
-    val banded = sig.select(col("id"), explode(array((0 until bands).map { b =>
+    sig.select(col("id"), explode(array((0 until bands).map { b =>
       val mins = ((b * rows) until ((b + 1) * rows)).map(i => col(s"m$i"))
       struct(lit(b).as("band"),
         // the key only needs to be a deterministic function of the band's
@@ -100,10 +115,31 @@ object TextDedup {
          else xxhash64(mins :+ lit(b): _*)).as("key"))
     }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.alias("a"); val b = banded.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+  }
+
+  /** Incremental LSH dedup: candidates INVOLVING a new batch, computed
+    * by signing only the batch and equi-joining against the persisted
+    * signature index (old ∪ new) — never re-signing or self-joining the
+    * existing corpus. Returns exactly the batch-involving subset of what
+    * [[minhashCandidates]] over (index docs ∪ new docs) would return
+    * (signatures are per-doc, so batch membership cannot change them —
+    * spec-asserted). At 100 TB this is THE daily-dedup shape: cost is
+    * O(batch signatures + bucket-join against the index), not O(corpus).
+    * Pairs are canonicalized (doc_a < doc_b) regardless of which side
+    * is newer. */
+  def incrementalCandidates(newDocs: DataFrame, indexSigs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", k: Int = 16,
+      bands: Int = 4, shingleW: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val newSigs = bandedSignatures(newDocs, textCol, idCol, k, bands,
+      shingleW, portable)
+    val all = indexSigs.select("id", "band", "key")
+      .union(newSigs.select("id", "band", "key"))
+    newSigs.alias("a").join(all.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("doc_a"),
+        greatest(col("a.id"), col("b.id")).as("doc_b"))
       .distinct()
   }
 

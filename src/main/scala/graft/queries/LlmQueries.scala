@@ -37,6 +37,13 @@ object LlmQueries {
   private val shardDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q117's persisted LSH signature index, built ONCE per (JVM, sf dir)
+    * — the incremental-dedup contract is that batches never re-sign the
+    * existing corpus, so the index build must not sit in the repeated
+    * query body (same reuse rationale as [[shardDirs]]/exactTruth). */
+  private val sigIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Exact top-k ground truth for the ANN recall gates, computed ONCE
     * per (sf dir, query set, k) and pinned as a local relation. The
     * result is bounded by construction (|queries| × k rows — ≤150 at
@@ -150,6 +157,30 @@ object LlmQueries {
     // pipeline. xxhash64 stays the library's scale default.
     "q72_minhash_lsh" -> ((s, dir) => {
       TextDedup.minhashCandidates(t(s, dir, "documents"), k = 32, bands = 4,
+          portable = true)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Incremental dedup against a PERSISTED signature index: the
+    // existing corpus (doc_id % 5 != 0) is signed ONCE per (JVM, sf
+    // dir) and written as the parquet index; each "daily batch"
+    // (doc_id % 5 == 0) signs only itself and bucket-joins the stored
+    // signatures. The oracle recomputes the FULL portable pipeline and
+    // filters to batch-involving pairs — a green hash proves the
+    // incremental path returns exactly the batch-involving subset of
+    // the batch-mode result (the 100 TB daily-dedup contract: cost
+    // follows the batch, not the corpus).
+    "q117_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxPath = sigIndexDirs.computeIfAbsent(dir, _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft_sigidx").toString
+        TextDedup.bandedSignatures(docs.filter(col("doc_id") % 5 =!= 0),
+            k = 32, bands = 4, shingleW = 3, portable = true)
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      TextDedup.incrementalCandidates(docs.filter(col("doc_id") % 5 === 0),
+          s.read.parquet(idxPath), k = 32, bands = 4, shingleW = 3,
           portable = true)
         .orderBy("doc_a", "doc_b")
     }),
@@ -501,6 +532,31 @@ object LlmQueries {
     * achieved n_hits is PINNED — measured deterministic (bit-stable
     * across partitionings; decimal-mean k-means) at the gate SF. A recall
     * regression in the approximate path turns the row red. */
+  /** Full portable MinHash-LSH pipeline in DuckDB SQL (q72's oracle),
+    * with an optional final pair filter (q117's incremental gate). */
+  private def portableLshSql(pairFilter: String): String = {
+    val seedVals = TextDedup.portableSeeds(32).zipWithIndex
+      .map { case (c, i) => s"($i, $c)" }.mkString(", ")
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(concat_ws(' ', w[i+1], w[i+2], w[i+3])), 1, 15)) AS BIGINT) AS sh
+      |  FROM (SELECT doc_id, w, unnest(range(0, greatest(len(w) - 3, 0) + 1)) AS i FROM ws)),
+      |seeds(seed, sc) AS (VALUES $seedVals),
+      |seeded AS (
+      |  SELECT doc_id, s.seed, ${TextDedup.portableMixSql("sh.sh", "s.sc")} AS h
+      |  FROM sh CROSS JOIN seeds s),
+      |mins AS (SELECT doc_id, seed, MIN(h) AS m FROM seeded GROUP BY doc_id, seed),
+      |bk AS (
+      |  SELECT doc_id, seed // 8 AS band,
+      |    string_agg(CAST(m AS VARCHAR), '_' ORDER BY seed) AS key
+      |  FROM mins GROUP BY doc_id, seed // 8)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      |$pairFilter
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private def annRecallOracle(qFilter: String, k: Int, nHits: Int): String =
     s"""WITH norms AS (
        |  SELECT vec_id, SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS n2
@@ -542,27 +598,11 @@ object LlmQueries {
     // mixes (generated from the SAME constants as the Spark side via
     // TextDedup.portableMixSql, so they cannot drift) → per-seed minima
     // → 4 banded keys → in-band equi-join.
-    "q72_minhash_lsh" -> {
-      val seedVals = TextDedup.portableSeeds(32).zipWithIndex
-        .map { case (c, i) => s"($i, $c)" }.mkString(", ")
-      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CAST(('0x' || substr(md5(concat_ws(' ', w[i+1], w[i+2], w[i+3])), 1, 15)) AS BIGINT) AS sh
-        |  FROM (SELECT doc_id, w, unnest(range(0, greatest(len(w) - 3, 0) + 1)) AS i FROM ws)),
-        |seeds(seed, sc) AS (VALUES $seedVals),
-        |seeded AS (
-        |  SELECT doc_id, s.seed, ${TextDedup.portableMixSql("sh.sh", "s.sc")} AS h
-        |  FROM sh CROSS JOIN seeds s),
-        |mins AS (SELECT doc_id, seed, MIN(h) AS m FROM seeded GROUP BY doc_id, seed),
-        |bk AS (
-        |  SELECT doc_id, seed // 8 AS band,
-        |    string_agg(CAST(m AS VARCHAR), '_' ORDER BY seed) AS key
-        |  FROM mins GROUP BY doc_id, seed // 8)
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-        |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "q72_minhash_lsh" -> portableLshSql(""),
+    // Same full-pipeline recompute, filtered to pairs involving the
+    // "daily batch" — what the incremental index path must match.
+    "q117_incremental_dedup" ->
+      portableLshSql("WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0"),
     "q70_exact_dedup" ->
       """WITH g AS (
         |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,

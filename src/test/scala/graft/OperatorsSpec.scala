@@ -123,6 +123,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(j > 0.5 && j < 1.0)
   }
 
+  test("TextDedup.incrementalCandidates equals the batch-involving subset of full batch mode") {
+    // real corpus slice, default xxhash64 hashes (the scale path)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val index = TextDedup.bandedSignatures(existing, k = 32, bands = 8, shingleW = 1)
+    val incr = TextDedup.incrementalCandidates(batch, index,
+        k = 32, bands = 8, shingleW = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullAll: Set[(Long, Long)] =
+      TextDedup.minhashCandidates(docs, k = 32, bands = 8, shingleW = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = fullAll.filter { case (a, b) => a % 5 == 0 || b % 5 == 0 }
+    assert(incr == full, s"incremental ${incr.size} pairs vs batch-filtered ${full.size}")
+    assert(incr.nonEmpty) // the corpus plants near-dups across the split
+    // no old-vs-old pair ever leaks in
+    assert(incr.forall { case (a, b) => a % 5 == 0 || b % 5 == 0 })
+  }
+
   test("Multimodal.decodeFeatures: deterministic stub decode via mapPartitions") {
     val docs = Seq((1L, "abc"), (2L, "defgh")).toDF("doc_id", "text")
     val feats = Multimodal.decodeFeatures(spark, Multimodal.syntheticMedia(docs), dim = 4)
