@@ -44,6 +44,14 @@ object LlmQueries {
   private val sigIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q118's staged (batch-docs dir, seeded index dir), once per
+    * (JVM, sf dir). The index GROWS across invocations (each run
+    * re-appends the batch's signatures) — by construction that only
+    * re-finds the same canonicalized pairs, so the query stays
+    * idempotent (see StreamOps.incrementalDedupStream). */
+  private val streamDedupDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
   /** Exact top-k ground truth for the ANN recall gates, computed ONCE
     * per (sf dir, query set, k) and pinned as a local relation. The
     * result is bounded by construction (|queries| × k rows — ≤150 at
@@ -182,6 +190,32 @@ object LlmQueries {
       TextDedup.incrementalCandidates(docs.filter(col("doc_id") % 5 === 0),
           s.read.parquet(idxPath), k = 32, bands = 4, shingleW = 3,
           portable = true)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // q117's arrival-time form: the batch docs ARRIVE AS A STREAM
+    // (4 files, maxFilesPerTrigger=1 → 4 triggers) and every
+    // micro-batch joins the persisted index then appends its own
+    // signatures — the growing index catches pairs split across
+    // triggers when the later doc arrives, so the emitted set equals
+    // the batch result regardless of how the stream is chopped (same
+    // oracle as q117 proves it end-to-end).
+    "q118_stream_incr_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (batchDir, idxDir) = streamDedupDirs.computeIfAbsent(dir, _ => {
+        val bd = java.nio.file.Files.createTempDirectory("graft_sbatch").toString
+        docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+          .repartition(4).write.mode("overwrite").parquet(bd)
+        val ix = java.nio.file.Files.createTempDirectory("graft_sigidx_s").toString
+        TextDedup.bandedSignatures(docs.filter(col("doc_id") % 5 =!= 0),
+            k = 32, bands = 4, shingleW = 3, portable = true)
+          .write.mode("overwrite").parquet(ix)
+        (bd, ix)
+      })
+      graft.streaming.StreamOps.incrementalDedupStream(s, batchDir, idxDir,
+          queryName = "q118_" +
+            java.util.UUID.randomUUID().toString.replace("-", ""),
+          k = 32, bands = 4, shingleW = 3, portable = true)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -602,6 +636,10 @@ object LlmQueries {
     // Same full-pipeline recompute, filtered to pairs involving the
     // "daily batch" — what the incremental index path must match.
     "q117_incremental_dedup" ->
+      portableLshSql("WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0"),
+    // The streaming form must land on the identical pair set — the
+    // growing index makes the result trigger-split-invariant.
+    "q118_stream_incr_dedup" ->
       portableLshSql("WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0"),
     "q70_exact_dedup" ->
       """WITH g AS (

@@ -164,6 +164,67 @@ object StreamOps {
     spark.read.schema(outSchema).parquet(outDir)
   }
 
+  /** Streaming incremental dedup against a GROWING signature index:
+    * each micro-batch (a) signs only its own documents, (b) bucket-joins
+    * the persisted index for candidate pairs, and (c) appends its
+    * signatures to the index — so a pair split across micro-batches is
+    * found when the LATER doc arrives, making the emitted pair set
+    * independent of how the stream is chopped into triggers
+    * (spec-asserted against single-shot batch mode). This is the
+    * arrival-time form of [[graft.llm.TextDedup.incrementalCandidates]]
+    * and the daily/continuous-ingest dedup shape at 100 TB: per-trigger
+    * cost follows the trigger's documents, never the corpus.
+    *
+    * The signature computation aggregates per doc, so it runs INSIDE
+    * foreachBatch (batch mode per trigger — the standard escape hatch
+    * for stream transforms that need an agg without windowed state);
+    * the streaming engine contributes source tracking, triggers and
+    * exactly-once file listing. Idempotent under re-delivery: pairs are
+    * canonicalized + distinct at read-back, and re-appended signatures
+    * only re-find the same pairs.
+    *
+    * @param indexDir parquet dir holding (id, band, key) — pre-seeded
+    *                 with the existing corpus's signatures; grows as
+    *                 batches arrive
+    */
+  def incrementalDedupStream(spark: SparkSession, batchDocsDir: String,
+      indexDir: String, queryName: String, k: Int, bands: Int,
+      shingleW: Int, portable: Boolean,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", org.apache.spark.sql.types.StringType)))
+    // key is a string under the portable hash, a long under xxhash64
+    val sigSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("band", org.apache.spark.sql.types.IntegerType),
+      StructField("key",
+        if (portable) org.apache.spark.sql.types.StringType else LongType)))
+    val outDir = java.nio.file.Files.createTempDirectory(queryName).toString
+    val src = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(batchDocsDir)
+    val q = src.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val idx = spark.read.schema(sigSchema).parquet(indexDir)
+        graft.llm.TextDedup.incrementalCandidates(batch, idx,
+            k = k, bands = bands, shingleW = shingleW, portable = portable)
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+        graft.llm.TextDedup.bandedSignatures(batch,
+            k = k, bands = bands, shingleW = shingleW, portable = portable)
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(indexDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    unloadStateStores()
+    val outSchema = StructType(Seq(
+      StructField("doc_a", LongType), StructField("doc_b", LongType)))
+    spark.read.schema(outSchema).parquet(outDir).distinct()
+  }
+
   final case class SessionEvent(user_id: Long, ts_micros: Long, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start: Long, session_end: Long,

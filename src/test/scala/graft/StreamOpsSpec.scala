@@ -5,6 +5,55 @@ import graft.streaming.StreamOps.{SessionEvent, SessionOut}
 
 class StreamOpsSpec extends SparkTestBase {
 
+  test("incrementalDedupStream: growing index catches pairs split across triggers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // three files = three triggers; the planted near-dups (1,2) arrive in
+    // DIFFERENT triggers and must still pair via the grown index
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val batchDir = java.nio.file.Files.createTempDirectory("sdedup_batch").toString
+    // the file-stream source lists FLAT files — stage each doc as one
+    // part file directly under batchDir (one file = one trigger)
+    def stage(doc: (Long, String), name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("sdedup_one").toString
+      Seq(doc).toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Path.of(batchDir, name))
+    }
+    stage((1L, base), "f1.parquet")
+    stage((2L, base + " extra"), "f2.parquet")
+    stage((3L, "completely different words appear in this unrelated document body"),
+      "f3.parquet")
+    // index pre-seeded with an existing corpus doc that near-dups doc 2
+    val idxDir = java.nio.file.Files.createTempDirectory("sdedup_idx").toString
+    graft.llm.TextDedup.bandedSignatures(
+        Seq((10L, base + " indeed")).toDF("doc_id", "text"),
+        k = 16, bands = 8, shingleW = 1)
+      .write.mode("overwrite").parquet(idxDir)
+    val got = StreamOps.incrementalDedupStream(spark, batchDir, idxDir,
+        queryName = "sdedup_test", k = 16, bands = 8, shingleW = 1,
+        portable = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch-mode truth over the same split
+    val allBatch = Seq((1L, base), (2L, base + " extra"),
+      (3L, "completely different words appear in this unrelated document body"))
+      .toDF("doc_id", "text")
+    val truth = graft.llm.TextDedup.incrementalCandidates(allBatch,
+        graft.llm.TextDedup.bandedSignatures(
+          Seq((10L, base + " indeed")).toDF("doc_id", "text"),
+          k = 16, bands = 8, shingleW = 1),
+        k = 16, bands = 8, shingleW = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth, s"stream $got vs batch $truth")
+    // the cross-trigger pair and the vs-index pairs are all present
+    assert(got.contains((1L, 2L)), s"cross-trigger pair missed: $got")
+    assert(got.contains((1L, 10L)) && got.contains((2L, 10L)))
+    assert(!got.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("sessionize: gap-based sessions per user via flatMapGroupsWithState") {
     import spark.implicits._
     val m = 1000000L // 1s in micros
