@@ -56,7 +56,8 @@ object Bench {
     // footprint can't taint the per-query numbers of the light ones.
     val heavyLast = Set("q56_stream_dedup", "q69_stream_join",
       "q94_stream_window", "q107_sessionize", "q109_corpus_exec",
-      "q83_dedup_clusters", "q86_ann_pq", "q75_ann_lsh", "q116_ann_ivfpq")
+      "q83_dedup_clusters", "q86_ann_pq", "q75_ann_lsh", "q116_ann_ivfpq",
+      "q118_stream_incr_dedup")
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (heavyLast.contains(name), name) }

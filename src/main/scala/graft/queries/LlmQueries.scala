@@ -271,6 +271,16 @@ object LlmQueries {
         exactTruth(s, dir, qMax = 20, k = 3))
     }),
 
+    // Symmetric int8 embedding quantization — the embedding STORAGE
+    // path at corpus scale (4x smaller than float32). Every published
+    // column is an integer derived from the codes (dims, saturation
+    // count, plain + position-weighted code sums), so DuckDB recomputes
+    // the whole pipeline bit-for-bit — no float hashing anywhere.
+    "q119_embed_quant" -> ((s, dir) => {
+      graft.llm.Quantize.int8Report(t(s, dir, "embeddings"))
+        .orderBy("vec_id")
+    }),
+
     // IVF-PQ composition (the canonical 100 TB ANN layout): coarse
     // cells prune the scan to nProbe/nCells of the corpus, PQ codes
     // bound the bytes per scanned vector, exact decimal re-rank of
@@ -622,6 +632,30 @@ object LlmQueries {
     "q75_ann_lsh" -> annRecallOracle("q.vec_id < 50", 3, 138),
     "q82_ann_ivf" -> annRecallOracle("q.vec_id < 20", 3, 58),
     "q86_ann_pq" -> annRecallOracle("q.vec_id < 20", 3, 51),
+    // Integer-exact quantization recompute: same IEEE double ops
+    // (cast, max, divide) and the same round-half-away tie rule on
+    // both engines, then integer-only aggregation.
+    "q119_embed_quant" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+        |    embedding
+        |  FROM embeddings),
+        |el AS (
+        |  SELECT vec_id, scale,
+        |    unnest(embedding) AS x,
+        |    unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM s),
+        |c AS (
+        |  SELECT vec_id, i,
+        |    CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(round(CAST(x AS DOUBLE) / scale, 0) AS BIGINT) END AS code
+        |  FROM el)
+        |SELECT vec_id, CAST(COUNT(*) AS INTEGER) AS n_dims,
+        |  SUM(CASE WHEN abs(code) >= 127 THEN 1 ELSE 0 END)::BIGINT AS n_sat,
+        |  SUM(code)::BIGINT AS code_sum,
+        |  SUM(code * i)::BIGINT AS weighted_sum
+        |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // IVF-PQ: cell prune can only drop candidates plain PQ would score,
     // yet the measured pin sits ABOVE q86's 51 — the probed-cell scan
     // plus refine=32 recovers more of the true top-3 than the unpruned
