@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.util.Tables._
@@ -127,6 +128,31 @@ object LlmQueries {
       TextDedup.clusterAssignments(d, threshold = 0.95, k = 32, bands = 8,
         shingleW = 1)
         .orderBy("doc_id")
+    }),
+
+    // Quality-aware keeper selection — the step AFTER clustering: for
+    // each duplicate cluster keep the highest-quality member (q76's
+    // score; ties → min doc_id), not blindly the min id. Composes the
+    // full LSH→verify→CC cluster pipeline with the quality scorer; the
+    // oracle recomputes clusters from all-pairs ground truth + the same
+    // score, so a green hash certifies the whole composition.
+    "q120_quality_keeper" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      val clusters = TextDedup.clusterAssignments(d, threshold = 0.95,
+        k = 32, bands = 8, shingleW = 1)
+      val quality = d.select(col("doc_id"),
+        TextStats.qualityScore(col("text"), stopwords).as("quality"))
+      val j = clusters.select("doc_id", "cluster_id").join(quality, "doc_id")
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("quality").desc, col("doc_id"))
+      j.withColumn("rn", row_number().over(w))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keeper"),
+          col("n_members"), col("quality").as("keeper_quality"))
+        .orderBy("cluster_id")
     }),
 
     // Benchmark decontamination: trigram overlap of each training doc
@@ -720,6 +746,45 @@ object LlmQueries {
         |  CAST(LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) = d.doc_id AS INT) AS is_canonical
         |FROM (SELECT doc_id FROM s) d LEFT JOIN mins m ON m.a = d.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // Clusters from all-pairs ground truth (q83's recursive CTE) +
+    // q76's quality expression, argmax per cluster with min-id tiebreak.
+    "q120_quality_keeper" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.95),
+        |edges AS (
+        |  SELECT doc_a AS s0, doc_b AS d0 FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT s0 AS a, d0 AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.d0 FROM reach r JOIN edges e ON r.b = e.s0 WHERE e.d0 != r.a),
+        |mins AS (SELECT a, MIN(b) AS mn FROM reach GROUP BY a),
+        |clusters AS (
+        |  SELECT d.doc_id, LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS cluster_id
+        |  FROM (SELECT doc_id FROM s) d LEFT JOIN mins m ON m.a = d.doc_id),
+        |q AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN len(string_split_regex(text, '\s+')) BETWEEN 10 AND 1000 THEN 0.5 ELSE 0.0 END +
+        |     CASE WHEN CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |       t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+        |       / len(string_split_regex(lower(text), '\s+')) > 0.01 THEN 0.3 ELSE 0.0 END +
+        |     CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |       / length(text) < 0.2 THEN 0.2 ELSE 0.0 END) AS quality
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+        |ranked AS (
+        |  SELECT c.cluster_id, c.doc_id, q.quality,
+        |    row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        |  FROM clusters c JOIN q USING (doc_id))
+        |SELECT cluster_id, doc_id AS keeper, n_members::BIGINT AS n_members,
+        |  quality AS keeper_quality
+        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "q84_decontaminate" ->
       """WITH block AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks
