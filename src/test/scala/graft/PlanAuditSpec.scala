@@ -116,6 +116,19 @@ class PlanAuditSpec extends SparkTestBase {
       s"LUT/codebook side did not broadcast:\n$p")
   }
 
+  test("incremental dedup joins the batch against the index on (band,key), no cartesian (q117)") {
+    val p = formatted("q117_incremental_dedup")
+    assert(!p.contains("CartesianProduct"), s"cartesian in incremental dedup plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in incremental dedup plan:\n$p")
+    assert(p.contains("Scan parquet"), s"persisted index not scanned from parquet:\n$p")
+  }
+
+  test("quality keeper composes clusters x quality without any cartesian (q120)") {
+    val p = formatted("q120_quality_keeper")
+    assert(!p.contains("CartesianProduct"), s"cartesian in keeper plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in keeper plan:\n$p")
+  }
+
   test("forecast CV grids shuffle once on segment, no cartesian (q110/q114)") {
     Seq("q110_forecast_cv", "q114_forecast_grid2").foreach { name =>
       val p = formatted(name)
