@@ -44,7 +44,6 @@ object Ann {
   /** Squared L2 norm, same exact-decimal scheme. */
   def norm2Decimal(a: Column): Column = dotDecimal(a, a)
 
-  /** Cosine similarity from precomputed decimal dot + norms. */
   /** Materialize a SMALL frame (centroids/codebooks — bounded by
     * construction, never data-sized) as a local relation: multi-consumer
     * plans would otherwise re-execute the whole upstream k-means once
@@ -54,6 +53,7 @@ object Ann {
     df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
+  /** Cosine similarity from precomputed decimal dot + norms. */
   def cosineFrom(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast(DoubleType) / (sqrt(n2a.cast(DoubleType)) * sqrt(n2b.cast(DoubleType)))
 
