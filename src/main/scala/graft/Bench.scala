@@ -57,7 +57,13 @@ object Bench {
     val heavyLast = Set("q56_stream_dedup", "q69_stream_join",
       "q94_stream_window", "q107_sessionize", "q109_corpus_exec",
       "q83_dedup_clusters", "q86_ann_pq", "q75_ann_lsh", "q116_ann_ivfpq",
-      "q118_stream_incr_dedup")
+      "q118_stream_incr_dedup",
+      // r9 record: q120's ~6 s of shuffle/GC debt landed mid-sequence
+      // (name order puts it before q12) and inflated the untouched
+      // q22-q32 band >2x. q113 (HTTP pool) and q115 (codec frames) are
+      // the next-heaviest mid-sequence entries — move all three to the
+      // tail with the other footprint-heavy queries.
+      "q120_quality_keeper", "q113_ml_enrich", "q115_video_frames")
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (heavyLast.contains(name), name) }

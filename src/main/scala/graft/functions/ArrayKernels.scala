@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -18,10 +19,31 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * allocates an intermediate array per row and walks two lambdas —
   * per-candidate cost that dominates k-means assignment and candidate
   * pruning at scale.
+  *
+  * PRECONDITION (hot-path contract, deliberately unchecked per row):
+  * both arrays must have the same length and contain no null elements.
+  * On mismatched lengths the kernels fold over the first min(n)
+  * elements, where the HOF chain's zip_with null-pads and yields NULL;
+  * a null element is read as the raw slot value instead of propagating
+  * null. Every caller in this library (k-means assignment, ADC/re-rank
+  * prefilters, LSH plane dots) meets the precondition by construction:
+  * fixed-dim embeddings / codebooks with non-null elements. Wrong
+  * input TYPES fail at analysis time via [[checkInputDataTypes]].
   */
 trait ArrayKernel extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float> or array<double> on both sides, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
 
   protected def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true

@@ -102,12 +102,20 @@ object Ann {
     * Each bit is one native-kernel dot against a constant weight array;
     * the per-row cost is nBits tight codegen loops, not nBits
     * HOF-walks each re-hashing every dimension index. */
-  def lshSignature(emb: Column, nBits: Int, planeOffset: Int = 0): Column =
-    (0 until nBits).map { p =>
+  def lshSignature(emb: Column, nBits: Int, planeOffset: Int = 0): Column = {
+    val sig = (0 until nBits).map { p =>
       val proj = graft.functions.ArrayKernels.dotArr(emb,
         typedLit(planeWeights(planeOffset + p)))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
+    // The plane arrays are materialized to maxPlaneDim entries and
+    // dot_arr stops at the shorter operand, so a longer embedding would
+    // silently hash only its first maxPlaneDim dims — diverging from
+    // lshSignatureHof with no error and degrading recall. Fail loudly.
+    when(size(emb) <= maxPlaneDim, sig).otherwise(raise_error(concat(
+      lit("lshSignature: embedding dim "), size(emb).cast(StringType),
+      lit(s" exceeds materialized plane dim $maxPlaneDim"))))
+  }
 
   /** The original per-row HOF signature (element-wise xxhash64 inside a
     * zip_with/aggregate walk) — kept as the reference implementation for

@@ -117,6 +117,26 @@ object TextDedup {
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** Storage-partition prefix for the persisted signature index: a
+    * stable hash prefix of the bucket key, `pkey = xxhash64(key) mod
+    * parts`. The index is laid out `partitionBy("band", "pkey")`, so a
+    * probe filtered to its touched pkeys reads only those directories —
+    * partition PRUNING at the scan, not a full index pass. `band` never
+    * prunes a minhash probe (every doc emits every band) but gives
+    * single-band interactive lookups a static first-level prune and
+    * keeps band-locality on disk. `parts` scales with the corpus (8 at
+    * test SF; thousands at 100 TB so a daily batch touches a fraction
+    * of the directories). */
+  def sigPartition(key: Column, parts: Int): Column =
+    pmod(xxhash64(key), lit(parts.toLong)).cast(IntegerType)
+
+  /** Write `sigs` (id, band, key) as the persisted signature index at
+    * `path`, partitioned by (band, pkey) — see [[sigPartition]]. */
+  def writeSigIndex(sigs: DataFrame, path: String, parts: Int,
+      mode: String = "overwrite"): Unit =
+    sigs.withColumn("pkey", sigPartition(col("key"), parts))
+      .write.mode(mode).partitionBy("band", "pkey").parquet(path)
+
   /** Incremental LSH dedup: candidates INVOLVING a new batch, computed
     * by signing only the batch and equi-joining against the persisted
     * signature index (old ∪ new) — never re-signing or self-joining the
@@ -126,15 +146,33 @@ object TextDedup {
     * spec-asserted). At 100 TB this is THE daily-dedup shape: cost is
     * O(batch signatures + bucket-join against the index), not O(corpus).
     * Pairs are canonicalized (doc_a < doc_b) regardless of which side
-    * is newer. */
+    * is newer.
+    *
+    * With `pruneParts > 0` the index is expected to carry the `pkey`
+    * partition column ([[writeSigIndex]] layout); the batch's touched
+    * pkeys (≤ pruneParts values — a bounded driver-side pin by
+    * construction) become a static `isin` filter on the partition
+    * column, so the index scan PRUNES to the touched directories
+    * instead of reading the whole index. Rows outside those partitions
+    * cannot equi-join the batch (pkey is a function of key), so the
+    * result is identical. The extra pass that computes the touched set
+    * re-signs only the batch — the cheap side, per the contract. */
   def incrementalCandidates(newDocs: DataFrame, indexSigs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id", k: Int = 16,
       bands: Int = 4, shingleW: Int = 3,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false, pruneParts: Int = 0): DataFrame = {
     val newSigs = bandedSignatures(newDocs, textCol, idCol, k, bands,
       shingleW, portable)
-    val all = indexSigs.select("id", "band", "key")
-      .union(newSigs.select("id", "band", "key"))
+    val index =
+      if (pruneParts <= 0) indexSigs.select("id", "band", "key")
+      else {
+        val touched = newSigs
+          .select(sigPartition(col("key"), pruneParts).as("pkey"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        indexSigs.filter(col("pkey").isin(touched: _*))
+          .select("id", "band", "key")
+      }
+    val all = index.union(newSigs.select("id", "band", "key"))
     newSigs.alias("a").join(all.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") =!= col("b.id"))

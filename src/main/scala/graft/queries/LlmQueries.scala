@@ -45,13 +45,53 @@ object LlmQueries {
   private val sigIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** q118's staged (batch-docs dir, seeded index dir), once per
-    * (JVM, sf dir). The index GROWS across invocations (each run
-    * re-appends the batch's signatures) — by construction that only
-    * re-finds the same canonicalized pairs, so the query stays
-    * idempotent (see StreamOps.incrementalDedupStream). */
+  /** Partition fan-out of the persisted signature index (band × pkey
+    * directories — see TextDedup.sigPartition). 8 at test SF keeps the
+    * directory count sane; at corpus scale this is thousands so a daily
+    * batch's probe prunes to a fraction of the index. */
+  private val sigIndexParts = 8
+
+  /** q118's staged (batch-docs dir, seeded PRISTINE index dir), once
+    * per (JVM, sf dir). Each invocation copies the pristine seed to a
+    * FRESH working index (the stream appends its batch signatures to
+    * the working copy), so repeated runs — bench min-of-2, bench then
+    * correctness — measure the SAME input instead of an index that
+    * grew by one batch per prior run. */
   private val streamDedupDirs =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** q118's previous invocation's (working index, stream output) temp
+    * dirs, deleted at the start of the next invocation (the returned
+    * DataFrame reads the output dir lazily, so cleanup must wait until
+    * the next run rather than happen in the query body). */
+  private val streamDedupScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def copyTree(src: String, dst: String): Unit = {
+    val sp = java.nio.file.Paths.get(src)
+    val dp = java.nio.file.Paths.get(dst)
+    val it = java.nio.file.Files.walk(sp)
+    try it.forEach { p =>
+      val t = dp.resolve(sp.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally it.close()
+  }
+
+  private def deleteTree(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val it = java.nio.file.Files.walk(p)
+      try {
+        val all = new java.util.ArrayList[java.nio.file.Path]()
+        it.forEach(x => { all.add(x); () })
+        java.util.Collections.reverse(all)
+        all.forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
+      } finally it.close()
+    }
+  }
 
   /** Exact top-k ground truth for the ANN recall gates, computed ONCE
     * per (sf dir, query set, k) and pinned as a local relation. The
@@ -208,14 +248,17 @@ object LlmQueries {
       val docs = t(s, dir, "documents")
       val idxPath = sigIndexDirs.computeIfAbsent(dir, _ => {
         val p = java.nio.file.Files.createTempDirectory("graft_sigidx").toString
-        TextDedup.bandedSignatures(docs.filter(col("doc_id") % 5 =!= 0),
-            k = 32, bands = 4, shingleW = 3, portable = true)
-          .write.mode("overwrite").parquet(p)
+        // partitionBy(band, pkey) layout: batch probes prune the scan
+        // to their touched pkey directories (asserted in PlanAuditSpec)
+        TextDedup.writeSigIndex(
+          TextDedup.bandedSignatures(docs.filter(col("doc_id") % 5 =!= 0),
+            k = 32, bands = 4, shingleW = 3, portable = true),
+          p, parts = sigIndexParts)
         p
       })
       TextDedup.incrementalCandidates(docs.filter(col("doc_id") % 5 === 0),
           s.read.parquet(idxPath), k = 32, bands = 4, shingleW = 3,
-          portable = true)
+          portable = true, pruneParts = sigIndexParts)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -228,20 +271,34 @@ object LlmQueries {
     // oracle as q117 proves it end-to-end).
     "q118_stream_incr_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val (batchDir, idxDir) = streamDedupDirs.computeIfAbsent(dir, _ => {
+      val (batchDir, seedDir) = streamDedupDirs.computeIfAbsent(dir, _ => {
         val bd = java.nio.file.Files.createTempDirectory("graft_sbatch").toString
         docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
           .repartition(4).write.mode("overwrite").parquet(bd)
         val ix = java.nio.file.Files.createTempDirectory("graft_sigidx_s").toString
-        TextDedup.bandedSignatures(docs.filter(col("doc_id") % 5 =!= 0),
-            k = 32, bands = 4, shingleW = 3, portable = true)
-          .write.mode("overwrite").parquet(ix)
+        TextDedup.writeSigIndex(
+          TextDedup.bandedSignatures(docs.filter(col("doc_id") % 5 =!= 0),
+            k = 32, bands = 4, shingleW = 3, portable = true),
+          ix, parts = sigIndexParts)
         (bd, ix)
       })
-      graft.streaming.StreamOps.incrementalDedupStream(s, batchDir, idxDir,
+      // truncate-on-reuse: previous run's working index + output are
+      // dropped, the pristine seed is copied to a fresh working dir —
+      // every invocation streams against an identical input.
+      Option(streamDedupScratch.remove(dir)).foreach {
+        case (oldIdx, oldOut) => deleteTree(oldIdx); deleteTree(oldOut)
+      }
+      val workIdx = java.nio.file.Files
+        .createTempDirectory("graft_sigidx_w").toString
+      copyTree(seedDir, workIdx)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_sdedup_out").toString
+      streamDedupScratch.put(dir, (workIdx, outDir))
+      graft.streaming.StreamOps.incrementalDedupStream(s, batchDir, workIdx,
           queryName = "q118_" +
             java.util.UUID.randomUUID().toString.replace("-", ""),
-          k = 32, bands = 4, shingleW = 3, portable = true)
+          k = 32, bands = 4, shingleW = 3, portable = true,
+          pruneParts = sigIndexParts, outDir = Some(outDir))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -473,7 +530,14 @@ object LlmQueries {
           concat(lit("doc "), col("doc_id")).as("title"),
           col("text").as("body"))
           .repartition(s.sparkContext.defaultParallelism)
+        // n_attempts is deliberately NOT published: a task retry (or
+        // speculative duplicate) re-POSTs an already-seen uuid and the
+        // server answers ready=true immediately, so attempts=1 where a
+        // single clean run records 2 — a red row for a non-bug. The
+        // retry-until-ready protocol itself stays spec-asserted
+        // (MlServiceSpec) under controlled single-run conditions.
         val df = MlService.enrich(s, reports, server.base).toDF()
+          .drop("n_attempts")
         val rows = df.collect() // bounded: one fixed-width row per doc
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
           .orderBy("uuid")
@@ -949,7 +1013,9 @@ object LlmQueries {
     // word-reversal (status 'error' for uuid%97=0 → original body),
     // probability is the first 6 md5 hex digits of the classified body
     // over 2^24 (an exact binary fraction — no float rounding on either
-    // engine), not-ready-on-first-attempt for uuid%5=0.
+    // engine). The retry count (not-ready-on-first-attempt for uuid%5=0)
+    // is exercised but not published — task re-execution would legally
+    // change it (see the query body comment).
     "q113_ml_enrich" ->
       """WITH used AS (
         |  SELECT doc_id AS uuid,
@@ -962,8 +1028,7 @@ object LlmQueries {
         |SELECT uuid, detected_lang, translated,
         |  CASE WHEN CAST(('0x' || substr(md5(body), 1, 6)) AS BIGINT) / 16777216.0 >= 0.5
         |    THEN 'invalid' ELSE 'valid' END AS prediction,
-        |  CAST(('0x' || substr(md5(body), 1, 6)) AS BIGINT) / 16777216.0 AS probability,
-        |  CAST(CASE WHEN uuid % 5 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_attempts
+        |  CAST(('0x' || substr(md5(body), 1, 6)) AS BIGINT) / 16777216.0 AS probability
         |FROM used ORDER BY uuid""".stripMargin,
     // Closed-form pixel sums over the stride-2 sampled frames — no
     // codec on the oracle side; the engine must reproduce these

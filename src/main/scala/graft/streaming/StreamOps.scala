@@ -190,17 +190,25 @@ object StreamOps {
   def incrementalDedupStream(spark: SparkSession, batchDocsDir: String,
       indexDir: String, queryName: String, k: Int, bands: Int,
       shingleW: Int, portable: Boolean,
-      maxFilesPerTrigger: Int = 1): DataFrame = {
+      maxFilesPerTrigger: Int = 1, pruneParts: Int = 0,
+      outDir: Option[String] = None): DataFrame = {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", org.apache.spark.sql.types.StringType)))
-    // key is a string under the portable hash, a long under xxhash64
-    val sigSchema = StructType(Seq(
-      StructField("id", LongType),
-      StructField("band", org.apache.spark.sql.types.IntegerType),
-      StructField("key",
-        if (portable) org.apache.spark.sql.types.StringType else LongType)))
-    val outDir = java.nio.file.Files.createTempDirectory(queryName).toString
+    // key is a string under the portable hash, a long under xxhash64;
+    // with pruneParts > 0 the index carries the (band, pkey) partition
+    // layout (TextDedup.writeSigIndex) and each micro-batch probe
+    // prunes the scan to its touched pkey directories.
+    val sigSchema = StructType(
+      Seq(StructField("id", LongType),
+        StructField("band", org.apache.spark.sql.types.IntegerType),
+        StructField("key",
+          if (portable) org.apache.spark.sql.types.StringType else LongType)) ++
+      (if (pruneParts > 0)
+        Seq(StructField("pkey", org.apache.spark.sql.types.IntegerType))
+      else Nil))
+    val out = outDir.getOrElse(
+      java.nio.file.Files.createTempDirectory(queryName).toString)
     val src = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(batchDocsDir)
@@ -209,11 +217,16 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val idx = spark.read.schema(sigSchema).parquet(indexDir)
         graft.llm.TextDedup.incrementalCandidates(batch, idx,
-            k = k, bands = bands, shingleW = shingleW, portable = portable)
-          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
-        graft.llm.TextDedup.bandedSignatures(batch,
-            k = k, bands = bands, shingleW = shingleW, portable = portable)
-          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(indexDir)
+            k = k, bands = bands, shingleW = shingleW, portable = portable,
+            pruneParts = pruneParts)
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(out)
+        val sigs = graft.llm.TextDedup.bandedSignatures(batch,
+          k = k, bands = bands, shingleW = shingleW, portable = portable)
+        if (pruneParts > 0)
+          graft.llm.TextDedup.writeSigIndex(sigs, indexDir, pruneParts,
+            mode = "append")
+        else sigs.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(indexDir)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -222,7 +235,7 @@ object StreamOps {
     unloadStateStores()
     val outSchema = StructType(Seq(
       StructField("doc_a", LongType), StructField("doc_b", LongType)))
-    spark.read.schema(outSchema).parquet(outDir).distinct()
+    spark.read.schema(outSchema).parquet(out).distinct()
   }
 
   final case class SessionEvent(user_id: Long, ts_micros: Long, event_type: String)

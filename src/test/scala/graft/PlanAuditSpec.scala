@@ -123,6 +123,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("Scan parquet"), s"persisted index not scanned from parquet:\n$p")
   }
 
+  test("incremental dedup probe PRUNES the partitioned index scan (q117)") {
+    // the persisted index is laid out partitionBy(band, pkey); the batch's
+    // touched pkeys become a static isin over the partition column, so the
+    // index scan must show non-empty PartitionFilters on pkey — a pruned
+    // directory read, not a full index pass (the 100 TB probe shape)
+    val p = formatted("q117_incremental_dedup")
+    val scanLines = p.linesIterator.filter(_.contains("PartitionFilters")).toList
+    assert(scanLines.exists(l => l.contains("pkey") &&
+        !l.contains("PartitionFilters: []")),
+      s"index scan not partition-pruned on pkey:\n$p")
+  }
+
   test("quality keeper composes clusters x quality without any cartesian (q120)") {
     val p = formatted("q120_quality_keeper")
     assert(!p.contains("CartesianProduct"), s"cartesian in keeper plan:\n$p")
