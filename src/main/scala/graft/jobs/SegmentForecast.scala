@@ -211,6 +211,64 @@ object SegmentForecast {
     (1 to 3).map(i => i -> residuals.map(r => full.predict(lastX + i) + r))
   }
 
+  /** One (segment, horizon step) of the predictive sample matrix: the
+    * reference's nPaths pandas columns become one array column. */
+  final case class SegmentPathRow(segment: String, h: Int, samples: Seq[Double])
+
+  /** First 15 hex chars of md5 as a non-negative 60-bit long — the same
+    * engine-portable convention as TextDedup.portableHash, computed
+    * JVM-side for use inside mapGroups (DuckDB:
+    * CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)). */
+  private def md5Prefix60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.take(8).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** SEEDED residual-bootstrap predictive sample paths for the CV
+    * winner (prophet_forecast.py:52-59 predictive_samples — 1000
+    * simulation paths per horizon step from the fitted model — with
+    * base_forecast.py:151-160's pinned seed): the winner refits on full
+    * history, the full-history residuals form the bootstrap pool, and
+    * path i's step-h draw resamples pool index md5("segment|i|h") mod n
+    * — a deterministic, engine-portable RNG, so DuckDB independently
+    * recomputes every draw (unlike [[cvSamples]], which enumerates the
+    * pool without resampling). Each (segment, h) row carries its nPaths
+    * samples as one array, ready for the q61/ForecastSummary row-axis
+    * mean/p10/p50/p90 reductions. */
+  def cvBootstrapPaths(data: Seq[Obs], grid: Seq[ModelSpec], cv: CvSettings,
+      nPaths: Int, horizon: Int): Seq[SegmentPathRow] = {
+    val sorted = data.sortBy(_.x)
+    val segment = sorted.head.segment
+    val scored = grid.map(spec => spec -> cvBias(spec, sorted, cv))
+    val (best, _) = scored.minBy { case (_, b) => math.abs(b) }
+    val full = fit(best, sorted)
+    val residuals = sorted.map(o => o.y - full.predict(o.x)).toIndexedSeq
+    val n = residuals.size
+    val lastX = sorted.last.x
+    (1 to horizon).map { h =>
+      val yhat = full.predict(lastX + h)
+      val samples = (0 until nPaths).map { i =>
+        yhat + residuals((md5Prefix60(s"$segment|$i|$h") % n).toInt)
+      }
+      SegmentPathRow(segment, h, samples)
+    }
+  }
+
+  /** Distributed path generation: one shuffle on segment; each group
+    * emits horizon rows of nPaths samples — the executor-side matrix
+    * never visits the driver. */
+  def runCvPaths(spark: SparkSession, observed: Dataset[Obs],
+      grid: Seq[ModelSpec] = defaultGrid,
+      cv: CvSettings = CvSettings(initial = 6, period = 2, horizon = 2),
+      nPaths: Int = 1000, horizon: Int = 3): Dataset[SegmentPathRow] = {
+    implicit val enc = Encoders.product[SegmentPathRow]
+    observed.groupByKey(_.segment)(Encoders.STRING)
+      .flatMapGroups((_, rows) =>
+        cvBootstrapPaths(rows.toSeq, grid, cv, nPaths, horizon).iterator)
+  }
+
   /** Distributed CV grid search: one shuffle on segment, bounded
     * per-group work — the applyInPandas boundary of the reference,
     * expressed as mapGroups. */

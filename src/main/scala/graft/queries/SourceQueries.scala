@@ -241,6 +241,35 @@ object SourceQueries {
           round(col("f1"), 6).as("f1"), round(col("f2"), 6).as("f2"),
           round(col("f3"), 6).as("f3"))
         .orderBy("segment")
+    }),
+
+    // F8 closure — SEEDED predictive sample paths (prophet_forecast.py:
+    // 52-59 predictive_samples: 1000 uncertainty paths per horizon step
+    // from the fitted model, seed pinned at base_forecast.py:151-160):
+    // the q110 CV winner refits on full history, its full-history
+    // residuals form the bootstrap pool, and path i's step-h draw picks
+    // pool index md5("segment|i|h") mod n — an engine-portable seeded
+    // RNG, so DuckDB recomputes every draw. The 1000×3 matrix is then
+    // reduced through the same row-axis mean/p10/p50/p90 HOFs as q61 /
+    // ForecastSummary — fit → paths → summary, end-to-end oracle-checked.
+    "q121_forecast_paths" -> ((s, dir) => {
+      import graft.jobs.SegmentForecast
+      import graft.operators.Stats
+      implicit val obsEnc = Encoders.product[SegmentForecast.Obs]
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type").as("segment"),
+          datediff(col("ts").cast(DateType),
+            lit("1970-01-01").cast(DateType)).cast(DoubleType).as("x"))
+        .agg(dsum(col("value")).as("y"))
+      val obs = daily.select(col("segment"), col("x"), col("y"))
+        .as[SegmentForecast.Obs]
+      SegmentForecast.runCvPaths(s, obs, nPaths = 1000, horizon = 3).toDF()
+        .select(col("segment"), col("h"),
+          round(Stats.arrayMean(col("samples")), 6).as("mean"),
+          round(Stats.arrayPercentile(col("samples"), 0.1), 6).as("p10"),
+          round(Stats.arrayPercentile(col("samples"), 0.5), 6).as("p50"),
+          round(Stats.arrayPercentile(col("samples"), 0.9), 6).as("p90"))
+        .orderBy("segment", "h")
     })
   )
 
@@ -575,6 +604,121 @@ object SourceQueries {
         |      CASE CAST(xmax + 3 AS BIGINT) % 7 WHEN 0 THEN s0 WHEN 1 THEN s1
         |        WHEN 2 THEN s2 WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END
         |    ELSE intercept + slope * (xmax + 3) END, 6) AS f3
-        |FROM final ORDER BY segment""".stripMargin
+        |FROM final ORDER BY segment""".stripMargin,
+    // q110's CTE chain (defaultGrid CV winner) extended with the seeded
+    // residual bootstrap: residual pool in x order, draw index =
+    // md5(segment|i|h) first-15-hex-digits mod n (the portableHash
+    // convention), sample = yhat(h) + pool[idx]; then the q61-style
+    // list_sort interpolation and prepend-0.0 left-fold mean mirror the
+    // engine's arrayPercentile/arrayMean op order exactly.
+    "q121_forecast_paths" ->
+      """WITH daily AS (
+        |  SELECT event_type AS segment,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE) AS x,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |obs AS (
+        |  SELECT segment, x, y,
+        |    row_number() OVER (PARTITION BY segment ORDER BY x) AS rn,
+        |    COUNT(*) OVER (PARTITION BY segment) AS n
+        |  FROM daily),
+        |cuts AS (
+        |  SELECT DISTINCT segment, n - 2 - 2 * m.m AS j
+        |  FROM obs CROSS JOIN (VALUES (0), (1), (2)) m(m)
+        |  WHERE n - 2 - 2 * m.m >= 6),
+        |specs AS (SELECT * FROM (VALUES ('mean', 0, 0), ('mean', 8, 1),
+        |  ('linear', 0, 2), ('linear', 8, 3)) s(kind, w, ord)),
+        |train AS (
+        |  SELECT o.segment, c.j, s.kind, s.w, s.ord, o.x, o.y
+        |  FROM obs o
+        |  JOIN cuts c ON o.segment = c.segment AND o.rn <= c.j
+        |  CROSS JOIN specs s
+        |  WHERE s.w = 0 OR o.rn > c.j - s.w),
+        |fits AS (
+        |  SELECT segment, j, kind, w, ord,
+        |    CAST(COUNT(*) AS DOUBLE) AS fn,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,2)) * y) AS DOUBLE) AS sxy
+        |  FROM train GROUP BY 1, 2, 3, 4, 5),
+        |params AS (
+        |  SELECT segment, j, kind, w, ord,
+        |    CASE WHEN kind = 'linear'
+        |      THEN (fn * sxy - sx * sy) / (fn * sxx - sx * sx) ELSE 0 END AS slope,
+        |    CASE WHEN kind = 'linear'
+        |      THEN (sy - ((fn * sxy - sx * sy) / (fn * sxx - sx * sx)) * sx) / fn
+        |      ELSE sy / fn END AS intercept
+        |  FROM fits),
+        |preds AS (
+        |  SELECT p.segment, p.j, p.kind, p.w, p.ord,
+        |    SUM(p.intercept + p.slope * o.x) AS yhat,
+        |    SUM(CAST(o.y AS DOUBLE)) AS yy
+        |  FROM params p
+        |  JOIN obs o ON o.segment = p.segment AND o.rn > p.j AND o.rn <= p.j + 2
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |biases AS (
+        |  SELECT segment, kind, w, ord, yhat / yy - 1 AS b,
+        |    row_number() OVER (PARTITION BY segment, ord ORDER BY j) AS bi
+        |  FROM preds),
+        |metrics AS (
+        |  SELECT segment, kind, w, ord,
+        |    ((MAX(CASE WHEN bi = 1 THEN b END) + MAX(CASE WHEN bi = 2 THEN b END))
+        |      + MAX(CASE WHEN bi = 3 THEN b END)) / 3 AS bias
+        |  FROM biases GROUP BY 1, 2, 3, 4),
+        |best AS (
+        |  SELECT segment, kind, w, ord, bias,
+        |    row_number() OVER (PARTITION BY segment ORDER BY ABS(bias), ord) AS r
+        |  FROM metrics),
+        |fullfit AS (
+        |  SELECT o.segment, b.kind, b.w,
+        |    CAST(COUNT(*) AS DOUBLE) AS fn,
+        |    CAST(SUM(CAST(o.x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(o.y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(o.x AS DECIMAL(18,2)) * CAST(o.x AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(o.x AS DECIMAL(18,2)) * o.y) AS DOUBLE) AS sxy,
+        |    MAX(o.x) AS xmax
+        |  FROM obs o
+        |  JOIN best b ON b.segment = o.segment AND b.r = 1
+        |  WHERE b.w = 0 OR o.rn > o.n - b.w
+        |  GROUP BY 1, 2, 3),
+        |fullparams AS (
+        |  SELECT segment, kind, w, xmax,
+        |    CASE WHEN kind = 'linear'
+        |      THEN (fn * sxy - sx * sy) / (fn * sxx - sx * sx) ELSE 0 END AS slope,
+        |    CASE WHEN kind = 'linear'
+        |      THEN (sy - ((fn * sxy - sx * sy) / (fn * sxx - sx * sx)) * sx) / fn
+        |      ELSE sy / fn END AS intercept
+        |  FROM fullfit),
+        |resid AS (
+        |  SELECT o.segment, o.rn,
+        |    CAST(o.y AS DOUBLE) - (fp.intercept + fp.slope * o.x) AS r
+        |  FROM obs o JOIN fullparams fp ON fp.segment = o.segment),
+        |rl AS (SELECT segment, list(r ORDER BY rn) AS rs, COUNT(*) AS nr
+        |  FROM resid GROUP BY 1),
+        |hs AS (SELECT unnest(generate_series(1, 3)) AS h),
+        |ii AS (SELECT unnest(generate_series(0, 999)) AS i),
+        |paths AS (
+        |  SELECT rl.segment, hs.h, ii.i,
+        |    (fp.intercept + fp.slope * (fp.xmax + hs.h)) + rl.rs[
+        |      CAST(CAST(('0x' || substr(md5(rl.segment || '|' ||
+        |        CAST(ii.i AS VARCHAR) || '|' || CAST(hs.h AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % rl.nr AS INTEGER) + 1] AS v
+        |  FROM rl JOIN fullparams fp ON fp.segment = rl.segment
+        |  CROSS JOIN hs CROSS JOIN ii),
+        |agg AS (
+        |  SELECT segment, h, list(v ORDER BY i) AS vi,
+        |    list_sort(list(v)) AS vs, COUNT(*) AS n
+        |  FROM paths GROUP BY 1, 2),
+        |iq AS (SELECT segment, h, vi, vs, n,
+        |  CAST(0.1 AS DOUBLE) * (n - 1) AS i10,
+        |  CAST(0.5 AS DOUBLE) * (n - 1) AS i50,
+        |  CAST(0.9 AS DOUBLE) * (n - 1) AS i90 FROM agg)
+        |SELECT segment, CAST(h AS INTEGER) AS h,
+        |  ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vi), (a, x) -> a + x) / n, 6) AS mean,
+        |  ROUND(vs[CAST(FLOOR(i10) AS INTEGER) + 1] + (vs[CAST(CEIL(i10) AS INTEGER) + 1] - vs[CAST(FLOOR(i10) AS INTEGER) + 1]) * (i10 - FLOOR(i10)), 6) AS p10,
+        |  ROUND(vs[CAST(FLOOR(i50) AS INTEGER) + 1] + (vs[CAST(CEIL(i50) AS INTEGER) + 1] - vs[CAST(FLOOR(i50) AS INTEGER) + 1]) * (i50 - FLOOR(i50)), 6) AS p50,
+        |  ROUND(vs[CAST(FLOOR(i90) AS INTEGER) + 1] + (vs[CAST(CEIL(i90) AS INTEGER) + 1] - vs[CAST(FLOOR(i90) AS INTEGER) + 1]) * (i90 - FLOOR(i90)), 6) AS p90
+        |FROM iq ORDER BY segment, h""".stripMargin
   )
 }

@@ -92,6 +92,25 @@ class SegmentForecastSpec extends SparkTestBase {
     }
   }
 
+  test("seeded bootstrap paths: deterministic, matrix-shaped, pool-valued") {
+    val cv = SegmentForecast.CvSettings(initial = 6, period = 2, horizon = 2)
+    val noisy = (0 until 20).map(i =>
+      Obs("n", i, 2.0 * i + 1 + (if (i % 2 == 0) 1.0 else -1.0)))
+    val a = SegmentForecast.cvBootstrapPaths(noisy,
+      SegmentForecast.defaultGrid, cv, nPaths = 50, horizon = 3)
+    val b = SegmentForecast.cvBootstrapPaths(noisy,
+      SegmentForecast.defaultGrid, cv, nPaths = 50, horizon = 3)
+    assert(a == b, "seeded draws must be bit-identical across runs")
+    assert(a.map(_.h) == Seq(1, 2, 3) && a.forall(_.samples.size == 50))
+    // every draw is yhat + some pool residual: with a 20-point pool and
+    // 50 draws per step, the distinct sample count per step is <= 20
+    a.foreach(row =>
+      assert(row.samples.distinct.size <= 20, s"draws outside pool: $row"))
+    // the draw index depends on (i, h): steps must not all reuse one
+    // residual (a constant-index bug would make each step's set size 1)
+    assert(a.exists(_.samples.distinct.size > 5), "degenerate index hash")
+  }
+
   test("saturating model wins on plateauing data where linear overshoots") {
     val cv = SegmentForecast.CvSettings(initial = 6, period = 2, horizon = 2)
     // logistic-shaped curve rising to a plateau near 100: by the CV
