@@ -20,7 +20,11 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$n.parquet").count()
       catch { case _: Throwable => () }
     }
-    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+    // Warm the SAME evaluation path the timed loop uses (noop write) —
+    // otherwise the noop datasource/write-path class init lands on the
+    // first timed query (measured ~1 s on q01).
+    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
     // Codec class-loading is driver-measurable noise (±0.5 s on q111 in
     // the committed noise floor): touch imageio + javax.sound once so
@@ -63,7 +67,13 @@ object Bench {
       // q22-q32 band >2x. q113 (HTTP pool) and q115 (codec frames) are
       // the next-heaviest mid-sequence entries — move all three to the
       // tail with the other footprint-heavy queries.
-      "q120_quality_keeper", "q113_ml_enrich", "q115_video_frames")
+      "q120_quality_keeper", "q113_ml_enrich", "q115_video_frames",
+      // r10 noop-eval fix surfaced the true cost of queries whose
+      // projections count() used to prune — those still ≥3 s after the
+      // hashed-gram-key optimizations (q57 5.6→0.7 s, q68 2.9→1.4 s,
+      // q84 3.0→0.9 s stay mid-sequence) join the tail so their
+      // footprint can't taint the light band.
+      "q106_approx_variants")
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (heavyLast.contains(name), name) }
@@ -76,9 +86,22 @@ object Bench {
         graft.streaming.StreamOps.unloadStateStores()
         System.gc(); Thread.sleep(200)
       }
+      // Evaluate via the noop sink, NOT count(): under count() Catalyst
+      // prunes every unreferenced projection (and eliminates sorts), so a
+      // pure per-row query (q76 text stats, q79 fingerprint, ...) would
+      // "time" a parquet metadata row-count — measured flat from sf0.1 to
+      // 100x. The noop write materializes every output column on the
+      // executors with zero sink cost, so the timed number is the real
+      // operator. SPARK_GRAFT_BENCH_EVAL=count restores the old body for
+      // A/B comparisons against pre-r10 records.
+      val evalCount = sys.env.get("SPARK_GRAFT_BENCH_EVAL").contains("count")
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try {
+          val df = fn(spark, sfDir)
+          if (evalCount) df.count()
+          else df.write.mode("overwrite").format("noop").save()
+        } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
@@ -103,6 +126,23 @@ object Bench {
     // after us. A full-name line (~2.5 KB) truncates mid-string, so print a
     // short-key variant: the unique qNN prefix per query, 3-decimal values
     // (~1.4 KB) — whole line survives the tail window.
+    // Mechanical 2x gate: BASELINE_BENCH.json pins the best-known
+    // per-query time at sf0.1; any query now >2x its pin is flagged
+    // here, making "within 2x of recorded baseline" a per-query check
+    // instead of a round-over-round narrative. Printed BEFORE the JSON
+    // line so the driver's 2000-byte stdout tail keeps the JSON whole.
+    val basePath = java.nio.file.Path.of(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BASELINE_BENCH.json"))
+    if (sfDir.contains("sf0.1") && java.nio.file.Files.exists(basePath)) {
+      val entry = """"(q[^"]+)"\s*:\s*([0-9.]+)""".r
+      val base = entry.findAllMatchIn(java.nio.file.Files.readString(basePath))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val flags = resultsMap.collect {
+        case (k, v) if base.get(k).exists(b => v > 2 * b) =>
+          f"$k:${v}%.2fs>2x*${base(k)}%.2fs"
+      }
+      println(s"bench_2x_flags=${flags.mkString("[", ",", "]")}")
+    }
     val prefixes = resultsMap.keys.map(k => k.takeWhile(_ != '_')).toSeq
     val shortKeys = prefixes.size == prefixes.distinct.size
     println(jsonLine(k => if (shortKeys) k.takeWhile(_ != '_') else k, 3))
