@@ -131,10 +131,15 @@ object TextDedup {
     pmod(xxhash64(key), lit(parts.toLong)).cast(IntegerType)
 
   /** Write `sigs` (id, band, key) as the persisted signature index at
-    * `path`, partitioned by (band, pkey) — see [[sigPartition]]. */
+    * `path`, partitioned by (band, pkey) — see [[sigPartition]]. The
+    * pre-write repartition on the partition columns collapses the
+    * output to ~one file per directory (otherwise every write task
+    * emits a sliver into every directory — tasks × dirs small files,
+    * which taxes every subsequent listing, probe, and append). */
   def writeSigIndex(sigs: DataFrame, path: String, parts: Int,
       mode: String = "overwrite"): Unit =
     sigs.withColumn("pkey", sigPartition(col("key"), parts))
+      .repartition(col("band"), col("pkey"))
       .write.mode(mode).partitionBy("band", "pkey").parquet(path)
 
   /** Incremental LSH dedup: candidates INVOLVING a new batch, computed
@@ -161,8 +166,14 @@ object TextDedup {
       textCol: String = "text", idCol: String = "doc_id", k: Int = 16,
       bands: Int = 4, shingleW: Int = 3,
       portable: Boolean = false, pruneParts: Int = 0): DataFrame = {
-    val newSigs = bandedSignatures(newDocs, textCol, idCol, k, bands,
+    val rawSigs = bandedSignatures(newDocs, textCol, idCol, k, bands,
       shingleW, portable)
+    // The pruned path consumes the batch signatures TWICE (touched-pkey
+    // collect + the join); localCheckpoint materializes them once —
+    // batch-sized by contract, executor-resident, freed by the context
+    // cleaner when the result DF is dropped. Without it the batch is
+    // re-signed per consumer (measured 2x on q117).
+    val newSigs = if (pruneParts > 0) rawSigs.localCheckpoint() else rawSigs
     val index =
       if (pruneParts <= 0) indexSigs.select("id", "band", "key")
       else {
