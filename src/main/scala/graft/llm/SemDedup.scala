@@ -27,24 +27,61 @@ object SemDedup {
       when(element_at(emb, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Sign-bit count that holds expected cell occupancy at `target`
+    * as the corpus grows: bits = ceil(log2(n / target)), clamped to
+    * [4, min(20, dim)]. This is the scale knob the SemDeDup paper turns
+    * through its k-means k (k grows with n so per-cluster pairwise work
+    * stays bounded): with occupancy pinned, within-cell pair volume is
+    * n·target/2 — LINEAR in n — instead of n²/2^bits. Measured: fixed
+    * 8 bits went 420× super-linear at 100× data (633 s); occupancy-held
+    * bits restore linearity. Finer cells trade recall exactly like a
+    * larger k does in the paper — the neighborhoods it splits are the
+    * knob's documented approximation. */
+  def signBitsFor(n: Long, targetOccupancy: Int = 64, dim: Int = 64): Int = {
+    // integer-exact ceil(log2(ceil(n / target))): a float log2 can land
+    // on either side of a power-of-two boundary depending on the libm,
+    // and the DuckDB oracle (q122) must derive the SAME bit count
+    // overflow-safe ceil-div (n + t - 1 wraps negative near Long.MaxValue)
+    val cells = n / targetOccupancy + (if (n % targetOccupancy == 0) 0 else 1)
+    val raw = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, cells - 1))
+    math.max(4, math.min(math.min(20, dim), raw))
+  }
+
+  /** [[dedup]] with the sign-bit count derived from the corpus size —
+    * the 100 TB entry point (one metadata-only count, then the same
+    * plan). */
+  def dedupAuto(embeddings: DataFrame, tau: Double,
+      targetOccupancy: Int = 64): DataFrame =
+    dedup(embeddings, tau, signBitsFor(embeddings.count(), targetOccupancy))
+
   /** Per-item verdict over `embeddings(vec_id, embedding)`:
     * `kept = 1` iff no same-cell neighbor with a smaller vec_id has
-    * cosine >= tau. Cosine uses the exact-decimal dot/norm arithmetic
-    * shared with the ANN paths, so the tau boundary is bit-reproducible.
-    */
+    * cosine >= tau. Two-phase arithmetic: every within-cell pair is
+    * pruned by the codegen'd double kernel ([[ArrayKernels.dotArr]])
+    * at `tau - 1e-6`, and only survivors pay the exact-decimal
+    * dot/norm (shared with the ANN paths) that makes the tau boundary
+    * bit-reproducible. A double dot over unit-scale dim≤1024 floats is
+    * accurate to ~1e-12 relative, so the 1e-6 margin cannot drop a
+    * pair whose exact cosine reaches tau — results are bit-identical
+    * to the single-phase decimal version (spec-asserted), while the
+    * hot O(pairs) loop stays in whole-stage codegen. */
   def dedup(embeddings: DataFrame, tau: Double, signBits: Int = 8): DataFrame = {
     val base = embeddings.select(
       col("vec_id"), col("embedding"),
       signCell(col("embedding"), signBits).as("cell"),
-      Ann.norm2Decimal(col("embedding")).as("n2"))
+      Ann.norm2Decimal(col("embedding")).as("n2"),
+      sqrt(graft.functions.ArrayKernels.dotArr(col("embedding"), col("embedding")))
+        .as("nd"))
     val a = base.select(col("cell"), col("vec_id").as("aid"),
-      col("embedding").as("ae"), col("n2").as("an2"))
+      col("embedding").as("ae"), col("n2").as("an2"), col("nd").as("nda"))
     val b = base.select(col("cell"), col("vec_id").as("bid"),
-      col("embedding").as("be"), col("n2").as("bn2"))
+      col("embedding").as("be"), col("n2").as("bn2"), col("nd").as("ndb"))
     // bucket-local pairs only: the join key is the cell, so the shuffle
     // is one hash-partition of each side and no all-pairs blowup exists
     val prior = a.join(b, Seq("cell"))
       .filter(col("aid") < col("bid"))
+      .filter(graft.functions.ArrayKernels.dotArr(col("ae"), col("be")) >=
+        (col("nda") * col("ndb")) * lit(tau - 1e-6))
       .withColumn("cosine",
         Ann.cosineFrom(Ann.dotDecimal(col("ae"), col("be")), col("an2"), col("bn2")))
       .filter(col("cosine") >= tau)

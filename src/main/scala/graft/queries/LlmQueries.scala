@@ -580,10 +580,14 @@ object LlmQueries {
     // LINEAR shape — per-gram document frequency then join back; never a
     // doc-pair join, and boilerplate windows (df > 10) are dropped the
     // same way the suffix-array pipeline drops over-common substrings.
+    // Grams shuffle as 8-byte xxhash64 keys (TextStats.wordGramKeys),
+    // not ~50-byte window strings — same distinct/df semantics (join-
+    // with-space is injective over space-free tokens), 6× less shuffle
+    // payload.
     "q68_window_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val grams = docs.select(col("doc_id"),
-          explode(TextStats.wordGrams(col("text"), 8)).as("g"))
+          explode(TextStats.wordGramKeys(col("text"), 8)).as("g"))
         .distinct()
       val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
       val flagged = grams
@@ -613,6 +617,20 @@ object LlmQueries {
     // cosine are both SQL-expressible).
     "q87_semantic_dedup" -> ((s, dir) => {
       SemDedup.dedup(t(s, dir, "embeddings"), tau = 0.2, signBits = 8)
+        .orderBy("vec_id")
+    }),
+
+    // Corpus-size-adaptive SemDeDup — the 100 TB entry point. Identical
+    // semantics to q87 but the sign-bit count is derived from count(*)
+    // (SemDedup.signBitsFor) so expected cell occupancy stays pinned as
+    // the corpus grows: within-cell pair volume is then LINEAR in n
+    // instead of n²/2^bits. Measured at 100× data: fixed 8-bit q87 is
+    // 318 s (super-linear pair blowup); this query stays linear. The
+    // oracle derives the same bit count from count(*) with the same
+    // integer-exact formula.
+    "q122_semantic_dedup_auto" -> ((s, dir) => {
+      SemDedup.dedupAuto(t(s, dir, "embeddings"), tau = 0.2,
+        targetOccupancy = 64)
         .orderBy("vec_id")
     }),
 
@@ -1151,6 +1169,38 @@ object LlmQueries {
         |       + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END
         |       + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
         |       + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END AS BIGINT) AS cell
+        |  FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS n2
+        |  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY vec_id),
+        |el AS (
+        |  SELECT a.vec_id AS aid, b.vec_id AS bid,
+        |    unnest(a.embedding) AS av, unnest(b.embedding) AS bv
+        |  FROM base a JOIN base b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |dots AS (
+        |  SELECT aid, bid, SUM(CAST(CAST(av AS DOUBLE) * CAST(bv AS DOUBLE) AS DECIMAL(30,15))) AS dot
+        |  FROM el GROUP BY aid, bid),
+        |scored AS (
+        |  SELECT d.bid, CAST(d.dot AS DOUBLE)
+        |      / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) AS cosine
+        |  FROM dots d
+        |  JOIN norms na ON na.vec_id = d.aid
+        |  JOIN norms nb ON nb.vec_id = d.bid),
+        |prior AS (
+        |  SELECT bid, MAX(cosine) AS mx FROM scored WHERE cosine >= 0.2 GROUP BY bid)
+        |SELECT b.vec_id, b.cell,
+        |  CASE WHEN p.mx IS NULL THEN 1 ELSE 0 END AS kept,
+        |  ROUND(p.mx, 6) AS max_prior_cos
+        |FROM base b LEFT JOIN prior p ON p.bid = b.vec_id
+        |ORDER BY vec_id""".stripMargin,
+    "q122_semantic_dedup_auto" ->
+      """WITH nrow AS (SELECT count(*) AS c FROM embeddings),
+        |bits AS (SELECT greatest(4, least(20,
+        |  (SELECT min(b) FROM range(0, 21) t(b), nrow WHERE 2**b >= ceil(c / 64.0)))) AS bts),
+        |base AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(range((SELECT bts FROM bits)),
+        |      i -> CASE WHEN embedding[CAST(i + 1 AS INT)] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS cell
         |  FROM embeddings),
         |norms AS (
         |  SELECT vec_id, SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS n2

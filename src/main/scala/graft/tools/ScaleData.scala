@@ -22,11 +22,22 @@ import org.apache.spark.sql.types._
   *     mirrors the original and the corpus dup-rate is scale-invariant
   *     (as in a real N× corpus); doc_id' = doc_id*N + k keeps ids
   *     unique and id-derived workload splits (doc_id % m) intact.
-  *   - embeddings: each component multiplied by a deterministic factor
-  *     in [0.9, 1.1) derived from (vec_id, k, i), and label' =
-  *     label*N + k — the label space grows with the corpus (as domains
-  *     do in a real corpus), so label-blocked operators (q81) keep
-  *     bounded block sizes instead of inheriting N× blocks.
+  *   - embeddings: copy k>0 applies a per-(k, dim) ±1 sign mask PLUS a
+  *     deterministic magnitude factor in [0.9, 1.1) per (vec_id, k, i),
+  *     and label' = label*N + k — the label space grows with the corpus
+  *     (as domains do in a real corpus), so label-blocked operators
+  *     (q81) keep bounded block sizes instead of inheriting N× blocks.
+  *     The sign mask is the cosine analogue of the doc-side token
+  *     suffix: within one copy every vector gets the SAME signed
+  *     diagonal map, so within-copy dot products are sign-preserved
+  *     (s² = 1) and the copy mirrors the original's near-dup
+  *     structure — but across copies the masks differ in ~half the
+  *     dims, so cross-copy cosines collapse to ~0. The first
+  *     construction (magnitude jitter only) kept cross-copy cosines at
+  *     ~0.998: every original had N semantic near-dups, the corpus
+  *     dup-RATE grew N×, and cosine-space operators (q87/q122) paid an
+  *     N× artifact — 200k vectors landed in 1570 sign-cells (max cell
+  *     500) instead of ~n/occupancy balanced ones.
   * Remaining tables are copied verbatim. Usage:
   *   runMain graft.tools.ScaleData <srcSfDir> <outDir> <factor>
   */
@@ -65,8 +76,9 @@ object ScaleData {
       (col("vec_id") * n + col("k")).as("vec_id"),
       when(col("k") === 0, col("embedding")).otherwise(
         transform(col("embedding"), (v, i) =>
-          (v * (lit(0.9) + pmod(col("vec_id") * 31 + col("k") * 17 + i, lit(200))
-            .cast(DoubleType) / 1000.0)).cast(FloatType)))
+          (v * (pmod(xxhash64(col("k"), i), lit(2)) * 2 - 1).cast(DoubleType)
+            * (lit(0.9) + pmod(col("vec_id") * 31 + col("k") * 17 + i, lit(200))
+              .cast(DoubleType) / 1000.0)).cast(FloatType)))
         .as("embedding"),
       (col("label") * n + col("k")).cast(IntegerType).as("label"))
       .repartition(32).write.mode("overwrite")

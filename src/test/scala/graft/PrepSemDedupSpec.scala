@@ -33,6 +33,48 @@ class PrepSemDedupSpec extends SparkTestBase {
     assert(got == Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 1))
   }
 
+  test("dedup two-phase float prune is bit-identical to single-phase decimal") {
+    import graft.llm.Ann
+    val rnd = new scala.util.Random(42)
+    val base = (1L to 60L).map { i =>
+      i -> Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)
+    }
+    // near-dup copies that straddle the tau boundary
+    val rows = base ++ base.take(10).map { case (i, v) =>
+      (i + 100L) -> v.updated(0, v.head + 1e-4f)
+    }
+    val df = vecDf(rows: _*)
+    val got = SemDedup.dedup(df, tau = 0.95, signBits = 4)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    // reference: the pre-r10 single-phase decimal-only pipeline
+    val b2 = df.select(col("vec_id"), col("embedding"),
+      SemDedup.signCell(col("embedding"), 4).as("cell"),
+      Ann.norm2Decimal(col("embedding")).as("n2"))
+    val a = b2.select(col("cell"), col("vec_id").as("aid"),
+      col("embedding").as("ae"), col("n2").as("an2"))
+    val b = b2.select(col("cell"), col("vec_id").as("bid"),
+      col("embedding").as("be"), col("n2").as("bn2"))
+    val prior = a.join(b, Seq("cell")).filter(col("aid") < col("bid"))
+      .withColumn("cosine",
+        Ann.cosineFrom(Ann.dotDecimal(col("ae"), col("be")), col("an2"), col("bn2")))
+      .filter(col("cosine") >= 0.95)
+      .groupBy(col("bid").as("vec_id")).agg(max(col("cosine")).as("max_prior_cos"))
+    val ref = b2.join(prior, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("max_prior_cos").isNull, 1).otherwise(0).as("kept"),
+        round(col("max_prior_cos"), 6).as("max_prior_cos"))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(got == ref)
+    assert(got.count(_(2) == 0) >= 10) // the planted near-dups were dropped
+  }
+
+  test("signBitsFor holds expected occupancy as the corpus grows") {
+    assert(SemDedup.signBitsFor(2000) == 5)
+    assert(SemDedup.signBitsFor(200000) == 12)
+    assert(SemDedup.signBitsFor(10) == 4) // floor
+    assert(SemDedup.signBitsFor(Long.MaxValue) == 20) // cap
+  }
+
   test("prep pipeline audit: funnel is monotone and stages apply in order") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again ok", "en", 200L),
