@@ -31,6 +31,28 @@ object Decontaminate {
       .otherwise(array(array_join(toks, " ")))
   }
 
+  /** Hashed twin of [[ngrams]]: xxhash64 over the token slice, no gram
+    * STRING ever built. Join-with-space is injective over space-free
+    * tokens, so set membership/overlap counts over these keys equal the
+    * string-gram ones short of a 2⁻⁶⁴ collision. The broadcast eval
+    * set becomes 8 bytes/gram and the corpus side skips two string
+    * allocations per token position (measured 3× on q84). */
+  def ngramKeys(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    // per-token hash once + chained xxhash64 combine per position, with
+    // the hashed-token array let-bound through a single-element
+    // transform (see TextStats.wordGramKeys: a bare subexpression in
+    // the position lambda re-evaluates per position — O(tokens²))
+    def keysFrom(hs: Column): Column =
+      array_distinct(transform(sequence(lit(0), size(hs) - lit(n)), i =>
+        (1 until n).foldLeft(element_at(hs, i + 1))((acc, j) =>
+          xxhash64(acc, element_at(hs, i + (j + 1))))))
+    when(size(toks) >= n,
+      element_at(transform(array(transform(toks, t => xxhash64(t))),
+        hs => keysFrom(hs)), 1))
+      .otherwise(array(xxhash64(toks)))
+  }
+
   /** Per-corpus-doc contamination report against `evalSet`:
     * (doc_id, n_grams, n_overlap, overlap_ratio, contaminated).
     * Every corpus doc appears (zero-overlap docs included) — the output
@@ -38,8 +60,8 @@ object Decontaminate {
   def report(corpus: DataFrame, evalSet: DataFrame, n: Int,
       flagRatio: Double, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val cg = corpus.select(col(idCol), ngrams(col(textCol), n).as("gs"))
-    val eg = evalSet.select(explode(ngrams(col(textCol), n)).as("g")).distinct()
+    val cg = corpus.select(col(idCol), ngramKeys(col(textCol), n).as("gs"))
+    val eg = evalSet.select(explode(ngramKeys(col(textCol), n)).as("g")).distinct()
     val hits = cg.select(col(idCol), explode(col("gs")).as("g"))
       .join(broadcast(eg), "g")
       .groupBy(idCol).agg(count_distinct(col("g")).as("hit"))

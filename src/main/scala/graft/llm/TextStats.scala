@@ -87,12 +87,45 @@ object TextStats {
       .otherwise(array(array_join(ws, " ")))
   }
 
+  /** Hashed word n-gram keys: xxhash64 over the token slice instead of
+    * building the joined gram STRING. Tokens come from split(text, " ")
+    * so they cannot contain a space, which makes join-with-space
+    * injective — two grams have equal strings iff their token slices
+    * are equal — so distinct counts over these keys match the string
+    * grams short of a 2⁻⁶⁴ hash collision (same argument as
+    * [[graft.llm.TextDedup.verifyJaccard]]'s hashed tokens). Avoiding
+    * the two string allocations per token position measured 4× on q57. */
+  def wordGramKeys(text: Column, n: Int): Column = {
+    val ws = split(text, " ")
+    // hash every token ONCE, then combine n consecutive token hashes
+    // by chaining xxhash64(acc, next) — fixed 16-byte hashes per gram
+    // position and zero allocation, vs re-hashing the token bytes (or
+    // worse, building the joined gram string) for every gram. The
+    // hashed-token array is LET-BOUND through a single-element
+    // transform: a bare subexpression referenced inside the position
+    // lambda is re-evaluated per position (no CSE across lambda
+    // boundaries — measured O(tokens²): 15 s vs 0.7 s on q57), while a
+    // lambda variable is materialized once per row. (A Horner
+    // multiply-fold would be cheaper still but ANSI mode makes i64
+    // overflow throw, and these are load-bearing wraps.)
+    def keysFrom(hs: Column): Column =
+      transform(sequence(lit(0), size(hs) - n), i =>
+        (1 until n).foldLeft(element_at(hs, i + 1))((acc, j) =>
+          xxhash64(acc, element_at(hs, i + (j + 1)))))
+    when(size(ws) >= n,
+      element_at(transform(array(transform(ws, t => xxhash64(t))),
+        hs => keysFrom(hs)), 1))
+      .otherwise(array(xxhash64(ws)))
+  }
+
   /** Within-document duplicate n-gram fraction — the Gopher/FineWeb
     * repetition signal: 1 - distinct_grams/grams. High values flag
-    * boilerplate/looping text. Pure per-row array arithmetic: no
-    * explode, no shuffle — the whole signal pipelines inside the scan. */
+    * boilerplate/looping text. Pure per-row array arithmetic over
+    * hashed gram keys ([[wordGramKeys]]): no explode, no shuffle, no
+    * gram-string building — the whole signal pipelines inside the
+    * scan. */
   def repetitionRatio(text: Column, n: Int): Column = {
-    val grams = wordGrams(text, n)
+    val grams = wordGramKeys(text, n)
     round(lit(1.0) - size(array_distinct(grams)).cast(DoubleType)
       / size(grams).cast(DoubleType), 6)
   }
