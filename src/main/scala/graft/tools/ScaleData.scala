@@ -49,6 +49,10 @@ object ScaleData {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS); read as long (the same
+      // flag Verify/Bench set) — the scaled copy then carries a plain
+      // INT64 ts, which util.Tables.t converts back to a timestamp
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -84,9 +88,27 @@ object ScaleData {
       .repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
 
+    // events: copy k>0 suffixes event_type — the forecast family
+    // (q104/q110/q114/q121) fits per segment = event_type, so an N×
+    // corpus means N× INDEPENDENT segments with identical per-segment
+    // series (the real shape: more products, not denser history). ids
+    // stay unique; ts/value are copied verbatim so every copy fits the
+    // same closed-form model as its original.
+    spark.read.parquet(s"$src/events.parquet")
+      .select(col("*"), copies)
+      .select(
+        (col("event_id") * n + col("k")).as("event_id"), col("ts"),
+        (col("user_id") * n + col("k")).as("user_id"),
+        when(col("k") === 0, col("event_type"))
+          .otherwise(concat(col("event_type"), lit("·"),
+            col("k").cast(StringType))).as("event_type"),
+        col("value"), col("props"))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+
     // remaining tables verbatim (single-file parquet from the generator)
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events").foreach { t =>
+      "lineitem").foreach { t =>
       java.nio.file.Files.copy(
         java.nio.file.Path.of(s"$src/$t.parquet"),
         java.nio.file.Path.of(s"$out/$t.parquet"),
