@@ -659,6 +659,18 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // Integer-exact distributed k-means (Lloyd's; k=8, 2 fixed
+    // iterations, grid-snapped vectors, deterministic lowest-id init):
+    // the centroid-LEARNING operator behind IVF cell maps and semantic
+    // dedup, expressed so DuckDB replays the whole two-iteration fit
+    // bit-for-bit as unrolled CTEs (integer distances, portable
+    // round-half-away centroid means). Report = per-cluster sizes, id
+    // checksums and integer inertia.
+    "q123_kmeans" -> ((s, dir) => {
+      graft.llm.KMeans.report(
+        graft.llm.KMeans.fit(s, t(s, dir, "embeddings"), k = 8, iters = 2))
+    }),
+
     // Deterministic shard export: md5-derived shard id, write partitioned
     // parquet (the real training-data sink layout), read back and report
     // per-shard balance stats. The md5 shard key is what keeps shards
@@ -789,6 +801,63 @@ object LlmQueries {
         |  SUM(code)::BIGINT AS code_sum,
         |  SUM(code * i)::BIGINT AS weighted_sum
         |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // The full two-iteration Lloyd fit unrolled: grid codes -> long
+    // form -> (assign, update, carry-empty) x2 -> final assignment ->
+    // per-cluster report. Every value is an exact integer or a
+    // correctly-rounded double op both engines share, so this is a
+    // bit-for-bit replay, not an approximation gate.
+    "q123_kmeans" ->
+      """WITH codes AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS codes
+        |  FROM embeddings),
+        |cl AS (
+        |  SELECT vec_id, unnest(codes) AS v,
+        |    unnest(range(1, len(codes) + 1)) AS i
+        |  FROM codes),
+        |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, i, v FROM cl WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT cl.vec_id, c0.cid, SUM((cl.v - c0.v) * (cl.v - c0.v)) AS d2
+        |  FROM cl JOIN c0 USING (i) GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |u1 AS (
+        |  SELECT a1.cid, cl.i,
+        |    CAST(round(CAST(SUM(cl.v) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS v
+        |  FROM cl JOIN a1 USING (vec_id) GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT c0.cid, c0.i, COALESCE(u1.v, c0.v) AS v
+        |  FROM c0 LEFT JOIN u1 ON u1.cid = c0.cid AND u1.i = c0.i),
+        |d2_ AS (
+        |  SELECT cl.vec_id, c1.cid, SUM((cl.v - c1.v) * (cl.v - c1.v)) AS d2
+        |  FROM cl JOIN c1 USING (i) GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM d2_) WHERE rn = 1),
+        |u2 AS (
+        |  SELECT a2.cid, cl.i,
+        |    CAST(round(CAST(SUM(cl.v) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS v
+        |  FROM cl JOIN a2 USING (vec_id) GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT c1.cid, c1.i, COALESCE(u2.v, c1.v) AS v
+        |  FROM c1 LEFT JOIN u2 ON u2.cid = c1.cid AND u2.i = c1.i),
+        |d3 AS (
+        |  SELECT cl.vec_id, c2.cid, SUM((cl.v - c2.v) * (cl.v - c2.v)) AS d2
+        |  FROM cl JOIN c2 USING (i) GROUP BY 1, 2),
+        |a3 AS (
+        |  SELECT vec_id, cid, d2 FROM (
+        |    SELECT vec_id, cid, d2,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM d3) WHERE rn = 1)
+        |SELECT cid AS cluster, COUNT(*) AS n_members, MIN(vec_id) AS first_vec,
+        |  SUM(vec_id)::BIGINT AS sum_vec, SUM(d2)::BIGINT AS inertia
+        |FROM a3 GROUP BY cid ORDER BY cluster""".stripMargin,
     // IVF-PQ: cell prune can only drop candidates plain PQ would score,
     // yet the measured pin sits ABOVE q86's 51 — the probed-cell scan
     // plus refine=32 recovers more of the true top-3 than the unpruned
