@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** BM25 keyword retrieval over the document corpus — the lexical half
+  * of a retrieval stack (the ANN operators in Ann/Pq are the dense
+  * half). Engine-portable by construction:
+  *
+  *  - k1 = 6/5 and b = 3/4 are RATIONAL, and the idf uses the raw
+  *    Robertson ratio (N − df + ½)/(df + ½) without the usual ln(·) —
+  *    libm logs differ across engines, rationals don't. Each term's
+  *    score is then one exact integer ratio num/den (cross-multiplied
+  *    through the tf/length normalization), divided ONCE in IEEE
+  *    double: num/den = (2N−2df+1)·22·tf·T / (2df+1)·(10·tf·T+3·T+9·dl·N)
+  *    where T = Σ dl (so dl/avgdl = dl·N/T stays integral).
+  *  - Per-query scores sum the term ratios in FIXED term order (a+b+c
+  *    left-to-right), never through a SUM aggregate whose float order
+  *    is partition-dependent.
+  *  - Products run in DECIMAL(38,0) (HUGEINT on the oracle side):
+  *    tf·T·N terms overflow int64 already at ~10⁹-token corpora.
+  *
+  * Scale shape: ONE projection pass computes per-doc (dl, tf per query
+  * term) as codegen'd array ops inside the scan stage — no explode, no
+  * shuffle; a single 1-row global aggregate (N, T, df per term)
+  * broadcasts back; ranking is one window partitioned by query over
+  * docs with a nonzero score (the only shuffle, pruned to matching
+  * docs). At 100 TB you'd persist the 1-row stats table and an
+  * inverted (term → postings) index instead of rescanning — the
+  * scoring arithmetic and ranking stay exactly this.
+  */
+object Bm25 {
+
+  private def toks(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Top-k docs per query by BM25, ties to the lower doc_id.
+    * @param queries (query_id, terms) — terms are scored and SUMMED in
+    *                the given order, so the oracle can replay the exact
+    *                float addition sequence. */
+  def topK(docs: DataFrame, queries: Seq[(Int, Seq[String])], k: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val terms = queries.flatMap(_._2).distinct
+    def tfCol(t: String) = s"tf_${terms.indexOf(t)}"
+    val dec = DecimalType(38, 0)
+
+    val base = docs.select(
+      (col(idCol).as("doc_id") +:
+        size(toks(col(textCol))).cast(LongType).as("dl") +:
+        terms.map(t => size(filter(toks(col(textCol)), x => x === lit(t)))
+          .cast(LongType).as(tfCol(t)))): _*)
+
+    val statCols = sum(col("dl")).as("t_toks") +:
+      terms.map(t => sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L))
+        .as(s"df_${terms.indexOf(t)}"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), statCols: _*)
+
+    val scored = base.crossJoin(broadcast(stats))
+    def termScore(t: String): Column = {
+      val tf = col(tfCol(t))
+      val df = col(s"df_${terms.indexOf(t)}")
+      val n = col("n_docs")
+      val tt = col("t_toks")
+      val num = (lit(2) * n - lit(2) * df + lit(1)).cast(dec) *
+        lit(22).cast(dec) * tf.cast(dec) * tt.cast(dec)
+      val den = (lit(2) * df + lit(1)).cast(dec) *
+        (lit(10).cast(dec) * tf.cast(dec) * tt.cast(dec) +
+          lit(3).cast(dec) * tt.cast(dec) +
+          lit(9).cast(dec) * col("dl").cast(dec) * n.cast(dec))
+      when(tf > 0, num.cast(DoubleType) / den.cast(DoubleType)).otherwise(lit(0.0))
+    }
+
+    val perQuery = queries.map { case (qid, qTerms) =>
+      scored
+        .withColumn("score", qTerms.map(termScore).reduceLeft(_ + _))
+        .filter(col("score") > 0.0)
+        .select(lit(qid).as("query_id"), col("doc_id"), col("score"))
+    }
+    val all = perQuery.reduceLeft(_.unionAll(_))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    all.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 6).as("score"))
+  }
+}

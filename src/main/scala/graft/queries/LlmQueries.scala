@@ -659,6 +659,17 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // BM25 keyword retrieval (log-free Robertson idf, rational k1/b →
+    // every term score is one exact integer ratio divided once in
+    // double; per-query sums in fixed term order). One scan pass for
+    // (dl, tf*), a 1-row broadcast stats agg, one ranking window over
+    // matching docs. The oracle replays the identical arithmetic from
+    // the SAME term list (bm25Sql is generated from bm25Queries).
+    "q124_bm25" -> ((s, dir) => {
+      graft.llm.Bm25.topK(t(s, dir, "documents"), bm25Queries, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Integer-exact distributed k-means (Lloyd's; k=8, 2 fixed
     // iterations, grid-snapped vectors, deterministic lowest-id init):
     // the centroid-LEARNING operator behind IVF cell maps and semantic
@@ -721,6 +732,57 @@ object LlmQueries {
     * achieved n_hits is PINNED — measured deterministic (bit-stable
     * across partitionings; decimal-mean k-means) at the gate SF. A recall
     * regression in the approximate path turns the row red. */
+  /** q124's fixed retrieval workload. The oracle SQL is GENERATED from
+    * this list (bm25Sql), so the Spark plan and the DuckDB replay score
+    * the same terms in the same float-addition order by construction. */
+  private val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "join"),
+    2 -> Seq("scan", "filter", "slow"),
+    3 -> Seq("spark", "stream", "window"))
+
+  /** DuckDB replay of Bm25.topK: same tokenizer (string_split_regex ↔
+    * split, the q76-proven pair), same integer ratios in HUGEINT
+    * (DECIMAL(38,0) on the Spark side), one double divide per term,
+    * left-to-right term addition. */
+  private def bm25Sql(queries: Seq[(Int, Seq[String])], k: Int): String = {
+    val terms = queries.flatMap(_._2).distinct
+    def tf(t: String) = s"tf_${terms.indexOf(t)}"
+    def df(t: String) = s"df_${terms.indexOf(t)}"
+    val baseCols = terms.map(t =>
+      s"    len(list_filter(string_split_regex(lower(text), '\\s+'), " +
+        s"x -> x = '$t')) AS ${tf(t)}").mkString(",\n")
+    val dfCols = terms.map(t =>
+      s"    SUM(CASE WHEN ${tf(t)} > 0 THEN 1 ELSE 0 END)::BIGINT AS ${df(t)}")
+      .mkString(",\n")
+    def termScore(t: String) =
+      s"(CASE WHEN ${tf(t)} > 0 THEN " +
+        s"CAST((2*n_docs - 2*${df(t)} + 1)::HUGEINT * 22 * ${tf(t)} * t_toks AS DOUBLE) / " +
+        s"CAST((2*${df(t)} + 1)::HUGEINT * " +
+        s"(10*${tf(t)}*t_toks + 3*t_toks + 9*dl*n_docs) AS DOUBLE) ELSE 0.0 END)"
+    val qSelects = queries.map { case (qid, qTerms) =>
+      s"  SELECT $qid AS query_id, doc_id,\n    " +
+        qTerms.map(termScore).mkString("\n    + ") + s" AS score\n  FROM sc"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    len(string_split_regex(lower(text), '\\s+')) AS dl,
+       |$baseCols
+       |  FROM documents),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs, SUM(dl)::BIGINT AS t_toks,
+       |$dfCols
+       |  FROM base),
+       |sc AS (SELECT * FROM base, stats),
+       |allq AS (
+       |$qSelects),
+       |r AS (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |  FROM allq WHERE score > 0)
+       |SELECT query_id, rank, doc_id, round(score, 6) AS score
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Full portable MinHash-LSH pipeline in DuckDB SQL (q72's oracle),
     * with an optional final pair filter (q117's incremental gate). */
   private def portableLshSql(pairFilter: String): String = {
@@ -801,6 +863,7 @@ object LlmQueries {
         |  SUM(code)::BIGINT AS code_sum,
         |  SUM(code * i)::BIGINT AS weighted_sum
         |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q124_bm25" -> bm25Sql(bm25Queries, 10),
     // The full two-iteration Lloyd fit unrolled: grid codes -> long
     // form -> (assign, update, carry-empty) x2 -> final assignment ->
     // per-cluster report. Every value is an exact integer or a
