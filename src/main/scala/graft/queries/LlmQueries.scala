@@ -659,6 +659,16 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // Temperature-scaled mixture sampling (sqrt-flattening): per-source
+    // keep rate sqrt(min_n/n_s) — integer min_n, so no order-dependent
+    // float normalizer — against the md5-derived portable per-doc
+    // uniform. Report = per-source totals, kept counts, id checksums,
+    // applied rate.
+    "q125_temp_mixture" -> ((s, dir) => {
+      MixtureSample.temperatureReport(t(s, dir, "documents"))
+        .orderBy("source")
+    }),
+
     // BM25 keyword retrieval (log-free Robertson idf, rational k1/b →
     // every term score is one exact integer ratio divided once in
     // double; per-query sums in fixed term order). One scan pass for
@@ -864,6 +874,23 @@ object LlmQueries {
         |  SUM(code * i)::BIGINT AS weighted_sum
         |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q124_bm25" -> bm25Sql(bm25Queries, 10),
+    // sqrt-flattened mixture replay: same integer min_n rate formula,
+    // same md5-derived 60-bit uniform scaled by 2^-60.
+    "q125_temp_mixture" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1),
+        |m AS (SELECT MIN(n_src) AS min_n FROM c),
+        |k AS (
+        |  SELECT d.doc_id, d.source, c.n_src,
+        |    sqrt(CAST(m.min_n AS DOUBLE) / CAST(c.n_src AS DOUBLE)) AS p,
+        |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents d JOIN c USING (source), m)
+        |SELECT source, n_src AS n_total,
+        |  SUM(CASE WHEN u < p THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  MIN(CASE WHEN u < p THEN doc_id END) AS min_kept,
+        |  SUM(CASE WHEN u < p THEN doc_id ELSE 0 END)::BIGINT AS sum_kept,
+        |  ROUND(MAX(p), 6) AS rate
+        |FROM k GROUP BY source, n_src ORDER BY source""".stripMargin,
     // The full two-iteration Lloyd fit unrolled: grid codes -> long
     // form -> (assign, update, carry-empty) x2 -> final assignment ->
     // per-cluster report. Every value is an exact integer or a
