@@ -108,6 +108,21 @@ object InfraQueries {
       Closure.transitiveClosure(edges, maxIter = 10).orderBy("src", "dst")
     }),
 
+    // Z-order (Morton) layout over orders (customer × order-day): grid
+    // both keys to 16 bits from their actual min/max, interleave, and
+    // audit the top-10-bit z-buckets — each bucket's min/max box bounds
+    // BOTH dimensions, which is the parquet-stats skippability a 2-D
+    // box query exploits at scale (see ZOrder scaladoc + PlanAuditSpec
+    // for the partition-prune side). Oracle replays the exact bit
+    // interleave (generated from the same positions).
+    "q126_zorder_layout" -> ((s, dir) => {
+      val day = datediff(to_date(col("o_orderdate")),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast(LongType)
+      graft.operators.ZOrder.layoutReport(
+        t(s, dir, "orders").select(col("o_custkey").as("x"), day.as("y")))
+        .orderBy("bucket")
+    }),
+
     // Structured Streaming — watermarked tumbling-window daily counts,
     // driven synchronously; semantics equal the batch group-by oracle.
     "q94_stream_window" -> ((s, dir) => {
@@ -264,6 +279,25 @@ object InfraQueries {
     "q94_stream_window" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q126_zorder_layout" ->
+      s"""WITH d AS (
+        |  SELECT o_custkey AS x,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS y
+        |  FROM orders),
+        |mm AS (
+        |  SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(y) AS ymin, MAX(y) AS ymax
+        |  FROM d),
+        |g AS (
+        |  SELECT x, y,
+        |    CAST(floor(CAST(x - xmin AS DOUBLE) * 65535.0 /
+        |      greatest(CAST(xmax - xmin AS DOUBLE), 1.0)) AS BIGINT) AS gx,
+        |    CAST(floor(CAST(y - ymin AS DOUBLE) * 65535.0 /
+        |      greatest(CAST(ymax - ymin AS DOUBLE), 1.0)) AS BIGINT) AS gy
+        |  FROM d, mm),
+        |z AS (SELECT x, y, ${graft.operators.ZOrder.interleaveSql("gx", "gy")} AS z FROM g)
+        |SELECT z >> 22 AS bucket, COUNT(*) AS n_rows,
+        |  MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q69_stream_join" ->
       """WITH a AS (
         |  SELECT event_id AS a_id, user_id, ts AS a_ts
