@@ -123,6 +123,21 @@ object InfraQueries {
         .orderBy("bucket")
     }),
 
+    // SCD Type-2 dimension build over the events changelog: each user's
+    // event_type stream becomes versioned [valid_from, valid_to)
+    // episodes with change detection (consecutive duplicates extend the
+    // episode). One shuffle: every window pass shares the user_id hash
+    // partitioning. Timestamps published as unix micros (the q107
+    // epoch_us idiom).
+    "q127_scd2_build" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("tsm"), col("event_id"),
+        col("event_type").as("segment"))
+      graft.operators.Scd2.build(ev, key = "user_id", attr = "segment",
+          ord = Seq("tsm", "event_id"))
+        .orderBy("user_id", "version")
+    }),
+
     // Structured Streaming — watermarked tumbling-window daily counts,
     // driven synchronously; semantics equal the batch group-by oracle.
     "q94_stream_window" -> ((s, dir) => {
@@ -279,6 +294,24 @@ object InfraQueries {
     "q94_stream_window" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q127_scd2_build" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm, event_id,
+        |    event_type AS segment
+        |  FROM events),
+        |c AS (
+        |  SELECT *, lag(segment) OVER
+        |    (PARTITION BY user_id ORDER BY tsm, event_id) AS prev
+        |  FROM e),
+        |v AS (SELECT user_id, segment, tsm, event_id FROM c
+        |      WHERE prev IS NULL OR prev <> segment)
+        |SELECT user_id, segment, tsm AS valid_from,
+        |  lead(tsm) OVER w AS valid_to,
+        |  lead(tsm) OVER w IS NULL AS is_current,
+        |  row_number() OVER w AS version
+        |FROM v
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "q126_zorder_layout" ->
       s"""WITH d AS (
         |  SELECT o_custkey AS x,
