@@ -123,6 +123,26 @@ object InfraQueries {
         .orderBy("bucket")
     }),
 
+    // Integer-exact PageRank (3 damped iterations) over the undirected
+    // customer↔supplier purchase graph — fixed-point BIGINT ranks,
+    // floor-div contributions, so the unrolled-CTE oracle replays the
+    // whole fit bit-for-bit. Edges are distinct'd once and stay
+    // partitioned by src across iterations; only the rank vector moves.
+    "q128_pagerank" -> ((s, dir) => {
+      val cs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + 10000000L).as("sup"))
+        .distinct()
+      val edges = cs.select(col("c").as("src"), col("sup").as("dst"))
+        .union(cs.select(col("sup").as("src"), col("c").as("dst")))
+      graft.operators.PageRank.run(edges, iters = 3)
+        .select(col("id").as("node_id"), col("r").as("pr"),
+          (col("id") >= 10000000L).as("is_supplier"))
+        .orderBy(desc("pr"), col("node_id")).limit(25)
+    }),
+
     // SCD Type-2 dimension build over the events changelog: each user's
     // event_type stream becomes versioned [valid_from, valid_to)
     // episodes with change detection (consecutive duplicates extend the
@@ -294,6 +314,19 @@ object InfraQueries {
     "q94_stream_window" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q128_pagerank" -> {
+      val edgesSql =
+        """SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |UNION
+          |SELECT l_suppkey + 10000000 AS src, o_custkey AS dst
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
+      graft.operators.PageRank.unrolledSql(edgesSql, iters = 3) +
+        """
+          |SELECT id AS node_id, CAST(r AS BIGINT) AS pr,
+          |  id >= 10000000 AS is_supplier
+          |FROM r3 ORDER BY pr DESC, node_id LIMIT 25""".stripMargin
+    },
     "q127_scd2_build" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS tsm, event_id,
