@@ -123,6 +123,36 @@ object InfraQueries {
         .orderBy("bucket")
     }),
 
+    // CDC changelog apply (MERGE INTO): an out-of-order I/U/D changelog
+    // with duplicate keys folds onto a base snapshot — latest-(seq, op)
+    // wins, tombstones delete, untouched rows pass through. One window
+    // shuffle of the changelog + one key join; the snapshot is scanned
+    // exactly once. All money arithmetic in decimal (exact, order-free).
+    "q129_cdc_apply" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val snap = o.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+          col("o_orderstatus").as("status"))
+      val upserts = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), (col("o_orderkey") % 7).as("seq"),
+          lit("U").as("op"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) + lit(10)).as("price"),
+          col("o_orderpriority").as("status"))
+      val deletes = o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("k"), (col("o_orderkey") % 11).as("seq"),
+          lit("D").as("op"), lit(null).cast(DecimalType(18, 2)).as("price"),
+          lit(null).cast(StringType).as("status"))
+      graft.operators.CdcApply(snap, upserts.unionByName(deletes),
+          key = "k", seqCols = Seq("seq"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          sum("price").cast(DoubleType).as("sum_price"),
+          sum("k").as("sum_key"),
+          sum(when(col("from_change"), 1L).otherwise(0L)).as("n_changed"))
+        .orderBy("status")
+    }),
+
     // Integer-exact PageRank (3 damped iterations) over the undirected
     // customer↔supplier purchase graph — fixed-point BIGINT ranks,
     // floor-div contributions, so the unrolled-CTE oracle replays the
@@ -314,6 +344,33 @@ object InfraQueries {
     "q94_stream_window" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q129_cdc_apply" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |ch AS (
+        |  SELECT o_orderkey AS k, o_orderkey % 7 AS seq, 'U' AS op,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) + 10 AS price,
+        |    o_orderpriority AS status
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderkey % 11, 'D', NULL, NULL
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY k ORDER BY seq DESC, op DESC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |final AS (
+        |  SELECT s.k, s.price, s.status, FALSE AS from_change
+        |  FROM snap s LEFT JOIN latest l ON s.k = l.k WHERE l.k IS NULL
+        |  UNION ALL
+        |  SELECT k, price, status, TRUE FROM latest WHERE op <> 'D')
+        |SELECT status, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(k) AS BIGINT) AS sum_key,
+        |  CAST(COUNT(*) FILTER (WHERE from_change) AS BIGINT) AS n_changed
+        |FROM final GROUP BY status ORDER BY status""".stripMargin,
     "q128_pagerank" -> {
       val edgesSql =
         """SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
