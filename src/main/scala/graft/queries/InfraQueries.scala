@@ -188,6 +188,20 @@ object InfraQueries {
         .orderBy("user_id", "version")
     }),
 
+    // Hilbert-curve layout over the same (customer × order-day) keys as
+    // q126 — the better-locality clustering: unit-step curve traversal
+    // keeps every bucket's 2-D box tighter than the Morton seams allow.
+    // The 16-level rotate/reflect walk is pure integer CASE/shift/xor,
+    // generated for both engines from the same loop (Hilbert.withH /
+    // hilbertSql), so the oracle replays the layout bit-for-bit.
+    "q130_hilbert_layout" -> ((s, dir) => {
+      val day = datediff(to_date(col("o_orderdate")),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast(LongType)
+      graft.operators.Hilbert.layoutReport(
+        t(s, dir, "orders").select(col("o_custkey").as("x"), day.as("y")))
+        .orderBy("bucket")
+    }),
+
     // Structured Streaming — watermarked tumbling-window daily counts,
     // driven synchronously; semantics equal the batch group-by oracle.
     "q94_stream_window" -> ((s, dir) => {
@@ -402,6 +416,27 @@ object InfraQueries {
         |FROM v
         |WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    "q130_hilbert_layout" ->
+      s"""WITH d AS (
+        |  SELECT o_custkey AS x,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS y
+        |  FROM orders),
+        |mm AS (
+        |  SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(y) AS ymin, MAX(y) AS ymax
+        |  FROM d),
+        |g AS (
+        |  SELECT x, y,
+        |    CAST(floor(CAST(x - xmin AS DOUBLE) * 65535.0 /
+        |      greatest(CAST(xmax - xmin AS DOUBLE), 1.0)) AS BIGINT) AS gx,
+        |    CAST(floor(CAST(y - ymin AS DOUBLE) * 65535.0 /
+        |      greatest(CAST(ymax - ymin AS DOUBLE), 1.0)) AS BIGINT) AS gy
+        |  FROM d, mm),
+        |${graft.operators.Hilbert.hilbertSql(
+           "SELECT x, y, gx AS hx, gy AS hy, CAST(0 AS BIGINT) AS h FROM g",
+           Seq("x", "y"))}
+        |SELECT h >> 22 AS bucket, COUNT(*) AS n_rows,
+        |  MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+        |FROM h0 GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q126_zorder_layout" ->
       s"""WITH d AS (
         |  SELECT o_custkey AS x,
