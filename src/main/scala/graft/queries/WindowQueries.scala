@@ -20,6 +20,25 @@ object WindowQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Per-key gap fill: each user's daily error-count series densified
+    // onto its own [min,max] day spine (per-key sequence explode — no
+    // global calendar join), holes repaired by forward-fill and by
+    // linear interpolation (exact-integer numerator, one IEEE divide →
+    // engine-portable). One shuffle by user_id carries the spine and
+    // both window fills.
+    "q131_gap_fill" -> ((s, dir) => {
+      val obs = t(s, dir, "events")
+        .filter(col("event_type") === "error")
+        .groupBy(col("user_id"),
+          datediff(to_date(col("ts")),
+            lit(java.sql.Date.valueOf("1970-01-01"))).cast(LongType).as("day"))
+        .agg(count(lit(1)).as("v"))
+      graft.operators.GapFill.fillDaily(obs, key = "user_id")
+        .select(col("user_id"), col("day"), col("is_gap"), col("ffill"),
+          col("lerp"))
+        .orderBy("user_id", "day")
+    }),
+
     // W1 — latest event per user (QUALIFY row_number = 1,
     // graphics_dashboard.sql:165-169).
     "q30_dedup_latest" -> ((s, dir) => {
@@ -154,6 +173,38 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q131_gap_fill" ->
+      """WITH obs AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    COUNT(*) AS v
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(MIN(day), MAX(day))) AS day
+        |  FROM obs GROUP BY user_id),
+        |dense AS (
+        |  SELECT s.user_id, s.day, o.v FROM spine s
+        |  LEFT JOIN obs o ON o.user_id = s.user_id AND o.day = s.day),
+        |f AS (
+        |  SELECT user_id, day, v,
+        |    last_value(v IGNORE NULLS) OVER wb AS prev_v,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wb AS prev_d,
+        |    first_value(v IGNORE NULLS) OVER wf AS next_v,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wf AS next_d
+        |  FROM dense
+        |  WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY day
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day, v IS NULL AS is_gap, prev_v AS ffill,
+        |  CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+        |    ELSE CAST(prev_v AS DOUBLE) +
+        |      CAST((next_v - prev_v) * (day - prev_d) AS DOUBLE) /
+        |        CAST(next_d - prev_d AS DOUBLE) END AS lerp
+        |FROM f ORDER BY user_id, day""".stripMargin,
     "q30_dedup_latest" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
