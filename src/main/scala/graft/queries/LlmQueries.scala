@@ -145,6 +145,24 @@ object LlmQueries {
     "zh" -> Seq("de", "shi"))
 
   val queries: Map[String, Q] = Map(
+    // Typo-tolerant entity resolution: deterministic single-char
+    // corruption of a third of the part names, then block (4-char
+    // prefix) → levenshtein verify → best-match-per-record. The q72
+    // block/verify/keep shape on short strings, with the verify step a
+    // codegen'd levenshtein both engines implement identically.
+    "q132_fuzzy_join" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      val dirty = p.filter(col("id") % 3 === 0)
+        .withColumn("pos", (col("id") % (length(col("name")) - 6)) + 5)
+        .select(col("id"), expr(
+          "concat(substring(name, 1, CAST(pos AS INT)), 'q', " +
+            "substring(name, CAST(pos + 2 AS INT)))").as("name"))
+      graft.operators.FuzzyJoin.resolve(dirty, p, maxDist = 2, prefixLen = 4)
+        .withColumn("dist", col("dist").cast(LongType))
+        .orderBy("dirty_id")
+    }),
+
     // Exact dedup: normalized-content digest groups, one row per distinct
     // content with its keeper (min doc_id) and duplicate count.
     "q70_exact_dedup" -> ((s, dir) => {
@@ -967,6 +985,26 @@ object LlmQueries {
     // growing index makes the result trigger-split-invariant.
     "q118_stream_incr_dedup" ->
       portableLshSql("WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0"),
+    "q132_fuzzy_join" ->
+      """WITH p AS (SELECT p_partkey AS id, p_name AS name FROM part),
+        |dirty AS (
+        |  SELECT id, concat(substring(name, 1, pos), 'q',
+        |    substring(name, pos + 2)) AS name
+        |  FROM (SELECT id, name, (id % (length(name) - 6)) + 5 AS pos
+        |        FROM p WHERE id % 3 = 0)),
+        |cand AS (
+        |  SELECT d.id AS dirty_id, d.name AS dirty_name,
+        |    c.id AS clean_id, c.name AS clean_name,
+        |    levenshtein(d.name, c.name) AS dist
+        |  FROM dirty d JOIN p c
+        |    ON substring(d.name, 1, 4) = substring(c.name, 1, 4)
+        |  WHERE abs(length(d.name) - length(c.name)) <= 2
+        |    AND levenshtein(d.name, c.name) <= 2),
+        |best AS (SELECT *, row_number() OVER
+        |  (PARTITION BY dirty_id ORDER BY dist, clean_id) AS rn FROM cand)
+        |SELECT dirty_id, dirty_name, clean_id, clean_name,
+        |  CAST(dist AS BIGINT) AS dist
+        |FROM best WHERE rn = 1 ORDER BY dirty_id""".stripMargin,
     "q70_exact_dedup" ->
       """WITH g AS (
         |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,
