@@ -111,21 +111,22 @@ object Bench {
     // Locale.ROOT: "%.Nf" must never emit a comma decimal separator.
     def fmt(v: Double, dec: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dec}f", v)
-    def jsonLine(keyOf: String => String, dec: Int): String = {
+    def jsonLine(keyOf: String => String, dec: Int, sfLabel: String): String = {
       val qs = resultsMap.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
       val total = if (resultsMap.nonEmpty) resultsMap.values.sum else 0.0
-      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
     }
     // Full-name 4-decimal payload → file (complete record for humans/tools).
     val out = java.nio.file.Path.of(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json"))
-    java.nio.file.Files.write(out, jsonLine(identity, 4).getBytes("UTF-8"))
+    java.nio.file.Files.write(out, jsonLine(identity, 4, sfDir).getBytes("UTF-8"))
     // The driver captures only the LAST 2000 bytes of stdout and parses the
-    // JSON line out of that tail; sbt appends ~150 bytes of [info]/[success]
-    // after us. A full-name line (~2.5 KB) truncates mid-string, so print a
-    // short-key variant: the unique qNN prefix per query, 3-decimal values
-    // (~1.4 KB) — whole line survives the tail window.
+    // JSON line out of that tail; sbt appends its [success] line after us,
+    // so the WHOLE short line + that noise must fit in 2000 bytes or the
+    // driver records parsed:null (it did, rounds 1-9 — the line's head got
+    // clipped). Budget per BenchLineSpec: short qNN keys, 2-decimal values,
+    // short sf label, and NOTHING printed after the line.
     // Mechanical 2x gate: BASELINE_BENCH.json pins the best-known
     // per-query time at sf0.1; any query now >2x its pin is flagged
     // here, making "within 2x of recorded baseline" a per-query check
@@ -145,8 +146,11 @@ object Bench {
     }
     val prefixes = resultsMap.keys.map(k => k.takeWhile(_ != '_')).toSeq
     val shortKeys = prefixes.size == prefixes.distinct.size
-    println(jsonLine(k => if (shortKeys) k.takeWhile(_ != '_') else k, 3))
-    println(s"bench_out=${out.toAbsolutePath}")
+    val sfLabel = java.nio.file.Path.of(sfDir).getFileName.toString
+    // stop Spark BEFORE the line: executor-shutdown warnings land above
+    // it instead of pushing it out of the driver's tail window
     spark.stop()
+    println(jsonLine(k => if (shortKeys) k.takeWhile(_ != '_') else k, 2,
+      sfLabel))
   }
 }

@@ -39,6 +39,20 @@ object WindowQueries {
         .orderBy("user_id", "day")
     }),
 
+    // Last-touch attribution via the union-carry trick: touches and
+    // conversions share ONE stream ordered per user, the latest touch
+    // is carried forward with last(ignoreNulls), and the 3-day lookback
+    // is a post-predicate — no range join, one shuffle, one window.
+    "q134_attribution" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id").as("key"),
+        unix_micros(col("ts")).as("ts"), col("event_type").as("kind"),
+        col("event_id").as("id"))
+      graft.operators.Attribution.lastTouch(e,
+          touchKinds = Seq("click", "view"), convKind = "purchase",
+          lookback = 259200000000L) // 3 days in micros
+        .orderBy("key", "conv_id")
+    }),
+
     // W1 — latest event per user (QUALIFY row_number = 1,
     // graphics_dashboard.sql:165-169).
     "q30_dedup_latest" -> ((s, dir) => {
@@ -173,6 +187,27 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q134_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id AS key, epoch_us(ts) AS ts, event_type AS kind,
+        |    event_id AS id
+        |  FROM events),
+        |c AS (
+        |  SELECT key, id, ts, kind,
+        |    last_value(CASE WHEN kind IN ('click','view') THEN id END
+        |      IGNORE NULLS) OVER w AS t_id,
+        |    last_value(CASE WHEN kind IN ('click','view') THEN ts END
+        |      IGNORE NULLS) OVER w AS t_ts,
+        |    last_value(CASE WHEN kind IN ('click','view') THEN kind END
+        |      IGNORE NULLS) OVER w AS t_kind
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY key ORDER BY ts, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT key, id AS conv_id, ts AS conv_ts,
+        |  CASE WHEN t_ts >= ts - 259200000000 THEN t_id END AS touch_id,
+        |  CASE WHEN t_ts >= ts - 259200000000 THEN t_ts END AS touch_ts,
+        |  CASE WHEN t_ts >= ts - 259200000000 THEN t_kind END AS touch_kind
+        |FROM c WHERE kind = 'purchase' ORDER BY key, conv_id""".stripMargin,
     "q131_gap_fill" ->
       """WITH obs AS (
         |  SELECT user_id,

@@ -14,12 +14,14 @@ class BenchLineSpec extends AnyFunSuite {
     val prefixes = keys.map(_.takeWhile(_ != '_'))
     assert(prefixes.size == prefixes.distinct.size,
       "duplicate qNN prefixes would force full-name keys past the tail window")
-    // worst case: every value prints as 999.999 (7 chars)
+    // worst case: every value prints as 999.99 (6 chars, 2 decimals)
     val perQuery = prefixes.map(p => p.length + 2 /* quotes */ + 1 /* : */ +
-      7 /* value */ + 1 /* comma */).sum
-    val overhead = """{"metric":"total","value":9999.999,"unit":"sec","queries":{}""".length +
-      ""","sf":"/root/testdata/sf0.1"}""".length
-    val sbtNoise = 7 /* [info]  */ + 200 /* bench_out + [success] lines */
+      6 /* value */ + 1 /* comma */).sum
+    val overhead = """{"metric":"total","value":9999.99,"unit":"sec","queries":{}""".length +
+      ""","sf":"sf0.1"}""".length
+    // nothing is printed after the JSON line (Bench stops Spark first);
+    // only sbt's [info] prefix + [success] trailer share the tail
+    val sbtNoise = 7 /* [info]  */ + 100 /* [success] Total time line */
     assert(perQuery + overhead + sbtNoise < 2000,
       s"bench line estimate ${perQuery + overhead + sbtNoise}B nears the 2000B tail " +
         "window - shorten keys or split the line before adding more queries")
