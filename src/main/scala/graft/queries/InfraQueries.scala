@@ -123,6 +123,29 @@ object InfraQueries {
         .orderBy("bucket")
     }),
 
+    // Bounded-hop weighted shortest paths (4 Bellman-Ford rounds) from
+    // every 400th customer over the weighted purchase graph (edge
+    // weight = min lineitem quantity for the pair). Integer min/plus
+    // with an Inf sentinel — the unrolled oracle replays every round
+    // exactly. Same stationary-edge shape as q128.
+    "q135_shortest_path" -> ((s, dir) => {
+      val pair = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_quantity"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"),
+          (col("l_suppkey") + 10000000L).as("sup"))
+        .agg(min(col("l_quantity")).cast(LongType).as("w"))
+      val edges = pair.select(col("c").as("src"), col("sup").as("dst"), col("w"))
+        .union(pair.select(col("sup").as("src"), col("c").as("dst"), col("w")))
+      val sources = t(s, dir, "orders")
+        .filter(col("o_custkey") % 400 === 0)
+        .select(col("o_custkey").as("id")).distinct()
+      graft.operators.ShortestPath.run(edges, sources, rounds = 4)
+        .select(col("id").as("node_id"), col("dist"))
+        .orderBy("dist", "node_id").limit(50)
+    }),
+
     // CDC changelog apply (MERGE INTO): an out-of-order I/U/D changelog
     // with duplicate keys folds onto a base snapshot — latest-(seq, op)
     // wins, tombstones delete, untouched rows pass through. One window
@@ -358,6 +381,22 @@ object InfraQueries {
     "q94_stream_window" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q135_shortest_path" -> {
+      val pairSql =
+        """SELECT o_custkey AS src, l_suppkey + 10000000 AS dst,
+          |  CAST(MIN(l_quantity) AS BIGINT) AS w
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |GROUP BY 1, 2""".stripMargin
+      val edgesSql =
+        s"SELECT src, dst, w FROM ($pairSql)\n" +
+          s"UNION ALL SELECT dst, src, w FROM ($pairSql)"
+      graft.operators.ShortestPath.unrolledSql(edgesSql,
+        "SELECT DISTINCT o_custkey AS id FROM orders WHERE o_custkey % 400 = 0",
+        rounds = 4) +
+        """
+          |SELECT id AS node_id, dist
+          |FROM d4 ORDER BY dist, node_id LIMIT 50""".stripMargin
+    },
     "q129_cdc_apply" ->
       """WITH snap AS (
         |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
