@@ -60,6 +60,20 @@ object SourceQueries {
             .as("est_within_bound"))
         .orderBy("event_type")
     }),
+    // ANALYZE-style stats collection over orders: one distributed agg
+    // pass (multi-DISTINCT expand — the standard ANALYZE cost), k
+    // metadata rows out. Ambiguous string forms pre-cast (double →
+    // DECIMAL(18,2), timestamp → DATE) so min/max strings are portable.
+    "q136_table_stats" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"),
+        to_date(col("o_orderdate")).as("o_day"))
+      graft.operators.TableStats.collect(o,
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_price", "o_day"))
+        .orderBy("column_name")
+    }),
+
     // S5/S6 — schema'd CSV source with header, overwrite-by-run semantics
     // (Tranco CSV import etl/siterank.py:138-159; AMO CSV load
     // extensions/main.py:683-747): parquet → csv → csv-read → aggregate.
@@ -316,6 +330,22 @@ object SourceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q136_table_stats" -> {
+      def statRow(c: String, expr: String) =
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($expr) AS BIGINT) AS n_null,
+           |  COUNT(DISTINCT $expr) AS n_distinct,
+           |  CAST(MIN($expr) AS VARCHAR) AS min_s,
+           |  CAST(MAX($expr) AS VARCHAR) AS max_s
+           |FROM orders""".stripMargin
+      Seq(
+        statRow("o_orderkey", "o_orderkey"),
+        statRow("o_custkey", "o_custkey"),
+        statRow("o_orderstatus", "o_orderstatus"),
+        statRow("o_price", "CAST(o_totalprice AS DECIMAL(18,2))"),
+        statRow("o_day", "CAST(o_orderdate AS DATE)"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
     // exact columns recomputed independently; the estimate assertion is
     // the boolean (q106 pattern) — a sketch regression turns it false
     "q133_sketch_rollup" ->

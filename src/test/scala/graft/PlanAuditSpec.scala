@@ -177,4 +177,39 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("PushedFilters: [IsNotNull(label), GreaterThan(label,5)]"),
       s"nested predicate not pushed:\n$p")
   }
+
+  test("runtime bloom-filter semi-join reduction injects on a shuffled join") {
+    // The 100 TB fact⋈filtered-dim shape: Catalyst's InjectRuntimeFilter
+    // builds a bloom filter from the selective dim side and pushes a
+    // might_contain predicate into the fact scan — rows that cannot
+    // match never reach the shuffle. Production thresholds (10 GB
+    // application-side scan) are sized for clusters; lowered here to
+    // prove the mechanism on test data, with broadcast disabled so the
+    // join actually shuffles (broadcast joins don't need the filter).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val dim = t(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val fact = t(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter on the fact side:\n$p")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
