@@ -95,16 +95,24 @@ object Bench {
       // operator. SPARK_GRAFT_BENCH_EVAL=count restores the old body for
       // A/B comparisons against pre-r10 records.
       val evalCount = sys.env.get("SPARK_GRAFT_BENCH_EVAL").contains("count")
+      // A thrown query must NOT report its time-to-throw as a result:
+      // failed runs yield NaN, and a query with no successful run is
+      // recorded as -1 (flagged below), never as a fast pass.
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try {
+        val ok = try {
           val df = fn(spark, sfDir)
           if (evalCount) df.count()
           else df.write.mode("overwrite").format("noop").save()
-        } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       }
-      name -> times.min
+      val good = times.filterNot(_.isNaN)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
     // ListMap keeps the run order in the emitted JSON (humans diff these).
     val resultsMap = scala.collection.immutable.ListMap(results: _*)
@@ -114,7 +122,8 @@ object Bench {
     def jsonLine(keyOf: String => String, dec: Int, sfLabel: String): String = {
       val qs = resultsMap.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
-      val total = if (resultsMap.nonEmpty) resultsMap.values.sum else 0.0
+      // failed queries carry -1: excluded from the total, visible in `queries`
+      val total = resultsMap.values.filter(_ >= 0).sum
       s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
     }
     // Full-name 4-decimal payload → file (complete record for humans/tools).
@@ -144,6 +153,9 @@ object Bench {
       }
       println(s"bench_2x_flags=${flags.mkString("[", ",", "]")}")
     }
+    val failed = resultsMap.collect { case (k, v) if v < 0 => k }
+    if (failed.nonEmpty)
+      println(s"bench_failures=${failed.mkString("[", ",", "]")}")
     val prefixes = resultsMap.keys.map(k => k.takeWhile(_ != '_')).toSeq
     val shortKeys = prefixes.size == prefixes.distinct.size
     val sfLabel = java.nio.file.Path.of(sfDir).getFileName.toString

@@ -26,7 +26,22 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A thrown query must surface as FAIL, never as absence: write a
+        // one-row marker result (schema can't match any oracle → the
+        // driver's compare records a mismatch row) plus an error sidecar
+        // with the full message for humans.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(s"GRAFT_QUERY_FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            .toDF("graft_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+          val errDir = Paths.get(s"$outDir/_errors")
+          Files.createDirectories(errDir)
+          Files.writeString(errDir.resolve(s"$name.txt"),
+            s"${e.getClass.getName}: ${e.getMessage}\n" +
+              e.getStackTrace.take(20).mkString("", "\n", "\n"))
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -50,6 +50,15 @@ object BqShims {
     * deterministic ordering / bucketing at any scale. */
   def farmFingerprint(cols: Column*): Column = xxhash64(cols: _*)
 
+  /** UNIX_MICROS tolerant of both TIMESTAMP and TIMESTAMP_NTZ.
+    * Parquet `timestamp[us], isAdjustedToUTC=false` reads as
+    * TIMESTAMP_NTZ in Spark 4, where `unix_micros` throws
+    * DATATYPE_MISMATCH. Casting through TIMESTAMP first is a no-op for
+    * TIMESTAMP and, under a UTC session timezone (every graft session
+    * builder sets it), value-preserving for NTZ — so the result equals
+    * DuckDB's epoch_us over the same parquet file either way. */
+  def epochMicros(c: Column): Column = unix_micros(c.cast(TimestampType))
+
   /** Portable deterministic hash (also available in DuckDB): first 8 hex
     * digits of md5 as a bigint. Used where oracle parity matters. */
   def md5Bucket(c: Column): Column =

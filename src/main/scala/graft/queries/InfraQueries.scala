@@ -204,7 +204,7 @@ object InfraQueries {
     // epoch_us idiom).
     "q127_scd2_build" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(col("user_id"),
-        unix_micros(col("ts")).as("tsm"), col("event_id"),
+        graft.functions.BqShims.epochMicros(col("ts")).as("tsm"), col("event_id"),
         col("event_type").as("segment"))
       graft.operators.Scd2.build(ev, key = "user_id", attr = "segment",
           ord = Seq("tsm", "event_id"))
@@ -229,7 +229,7 @@ object InfraQueries {
     // driven synchronously; semantics equal the batch group-by oracle.
     "q94_stream_window" -> ((s, dir) => {
       val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("event_id", LongType), StructField("ts", TimestampNTZType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
       StreamOps.windowedCountsAvailableNow(s, dir, schema,
@@ -251,7 +251,7 @@ object InfraQueries {
     // semantics, correct for production but not oracle-comparable.
     "q56_stream_dedup" -> ((s, dir) => {
       val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("event_id", LongType), StructField("ts", TimestampNTZType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
       StreamOps.dedupAvailableNow(s, dir, schema, "event_id",
@@ -269,7 +269,7 @@ object InfraQueries {
     // same single-micro-batch precondition documented at q56.
     "q69_stream_join" -> ((s, dir) => {
       val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("event_id", LongType), StructField("ts", TimestampNTZType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
       StreamOps.streamSelfJoinAvailableNow(s, dir, schema,
@@ -289,7 +289,8 @@ object InfraQueries {
       import s.implicits._
       import graft.streaming.StreamOps
       val ev = t(s, dir, "events")
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_micros"),
+        .select(col("user_id"),
+          graft.functions.BqShims.epochMicros(col("ts")).as("ts_micros"),
           col("event_type"))
         .as[StreamOps.SessionEvent]
       StreamOps.sessionizeBatch(s, ev, gapMicros = 86400L * 1000000L)

@@ -105,7 +105,8 @@ object StatQueries {
       val recent = t(s, dir, "events")
         .groupBy("user_id")
         .agg(Collect.orderedLimitedCollect(
-          struct((-unix_micros(col("ts"))).as("nts"), col("event_id").as("tid")),
+          struct((-graft.functions.BqShims.epochMicros(col("ts"))).as("nts"),
+            col("event_id").as("tid")),
           col("value"), 3).as("vals"))
       recent
         .withColumn("latest", element_at(col("vals"), 1))

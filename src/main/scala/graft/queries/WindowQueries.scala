@@ -45,7 +45,8 @@ object WindowQueries {
     // is a post-predicate — no range join, one shuffle, one window.
     "q134_attribution" -> ((s, dir) => {
       val e = t(s, dir, "events").select(col("user_id").as("key"),
-        unix_micros(col("ts")).as("ts"), col("event_type").as("kind"),
+        graft.functions.BqShims.epochMicros(col("ts")).as("ts"),
+        col("event_type").as("kind"),
         col("event_id").as("id"))
       graft.operators.Attribution.lastTouch(e,
           touchKinds = Seq("click", "view"), convKind = "purchase",

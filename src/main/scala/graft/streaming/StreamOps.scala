@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType, TimestampType}
 
 /** Structured Streaming equivalents of the reference's batch-watermark
   * jobs (SURVEY §2.11: "optionally Trigger.AvailableNow streaming for
@@ -41,6 +41,18 @@ object StreamOps {
     }
   @volatile private var unloadWarned = false
 
+  /** Event-time (TIMESTAMP) from a `ts` field in any representation the
+    * testdata has carried across rounds: epoch-micros long, TIMESTAMP,
+    * or TIMESTAMP_NTZ (parquet `timestamp[us], isAdjustedToUTC=false`,
+    * which Spark 4 infers for the current fixtures). The NTZ→TIMESTAMP
+    * cast is value-preserving under the UTC session timezone every graft
+    * session sets. */
+  private def eventTime(dt: DataType, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    dt match {
+      case LongType => timestamp_micros(c)
+      case _        => c.cast(TimestampType)
+    }
+
   /** Windowed event counts as a stream: tumbling window + watermark for
     * late data, Trigger.AvailableNow, parquet result via foreachBatch.
     * Returns the final result read back from disk (window bounds
@@ -59,8 +71,7 @@ object StreamOps {
       .parquet(srcDir)
     val tsName = if (schema.fieldNames.contains("ts")) "ts" else "timestamp"
     val agg = events
-      // integer `div`: epoch-nanos overflow double precision
-      .withColumn("ts_ts", timestamp_micros(expr(s"$tsName div 1000")))
+      .withColumn("ts_ts", eventTime(schema(tsName).dataType, col(tsName)))
       .withWatermark("ts_ts", "1 hour")
       .groupBy(window(col("ts_ts"), windowDur), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -99,7 +110,7 @@ object StreamOps {
       globFilter.fold(reader)(g => reader.option("pathGlobFilter", g)).parquet(srcDir)
     }
     val doubled = src.union(src)
-      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_ts", eventTime(schema("ts").dataType, col("ts")))
       .withWatermark("ts_ts", "1 hour")
       .dropDuplicatesWithinWatermark(idCol)
       .drop("ts_ts")
@@ -135,11 +146,11 @@ object StreamOps {
     }
     val anchors = src.filter(anchorFilter)
       .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
-        timestamp_micros(expr("ts div 1000")).as("a_ts"))
+        eventTime(schema("ts").dataType, col("ts")).as("a_ts"))
       .withWatermark("a_ts", "1 hour")
     val others = src
       .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
-        timestamp_micros(expr("ts div 1000")).as("b_ts"))
+        eventTime(schema("ts").dataType, col("ts")).as("b_ts"))
       .withWatermark("b_ts", "1 hour")
     val joined = anchors.join(others,
       expr(s"a_user = b_user AND a_id != b_id AND " +

@@ -52,7 +52,7 @@ class AttributionSpec extends SparkTestBase {
 
   test("single pass: one exchange, no join anywhere in the plan") {
     val e = graft.util.Tables.t(spark, sfDir, "events")
-      .select(col("user_id").as("key"), unix_micros(col("ts")).as("ts"),
+      .select(col("user_id").as("key"), graft.functions.BqShims.epochMicros(col("ts")).as("ts"),
         col("event_type").as("kind"), col("event_id").as("id"))
     val out = Attribution.lastTouch(e, Seq("click", "view"), "purchase",
       259200000000L)

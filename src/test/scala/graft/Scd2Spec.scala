@@ -44,7 +44,7 @@ class Scd2Spec extends SparkTestBase {
 
   test("the whole build is a single exchange (one shuffle by key)") {
     val ev = graft.util.Tables.t(spark, sfDir, "events")
-      .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+      .select(col("user_id"), graft.functions.BqShims.epochMicros(col("ts")).as("tsm"),
         col("event_id"), col("event_type").as("segment"))
     val built = Scd2.build(ev, "user_id", "segment", Seq("tsm", "event_id"))
     val plan = built.queryExecution.executedPlan.toString
