@@ -44,9 +44,22 @@ object PageRank {
 
   /** Run `iters` damped iterations over a directed edge list
     * (`src`, `dst`; duplicates must be pre-distinct'd). Returns
-    * (id, r) — the scaled integer rank per node. */
+    * (id, r) — the scaled integer rank per node, eagerly materialized:
+    * the loop caches are released before returning (no session-lifetime
+    * cache leak from a library call) and the localCheckpoint truncates
+    * the iterated lineage (bounded plans at any iteration count). */
   def run(edges: DataFrame, iters: Int): DataFrame = {
-    val spark = edges.sparkSession
+    val (ranks, ed, nodes) = iterate(edges, iters)
+    val out = ranks.localCheckpoint()
+    ed.unpersist(false)
+    nodes.unpersist(false)
+    out
+  }
+
+  /** The lazy loop body (exposed for plan audits): returns the final
+    * rank plan plus the two cached loop tables, NOT yet released. */
+  private[graft] def iterate(edges: DataFrame, iters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     // out-degree rides WITH the edge row so the per-iteration join
     // touches one stationary table; |E|-row shuffle happens once, here.
     val ed = edges
@@ -63,7 +76,7 @@ object PageRank {
         .select(col("id"),
           (lit(Teleport) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
     }
-    ranks
+    (ranks, ed, nodes)
   }
 
   /** The DuckDB replay of [[run]]: one CTE per iteration, generated

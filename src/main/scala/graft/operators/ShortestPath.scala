@@ -47,7 +47,13 @@ object ShortestPath {
         .select(col("id"),
           least(col("dist"), coalesce(col("best"), lit(Inf))).as("dist"))
     }
-    dist
+    // Eagerly materialize the (small) distance vector, then release the
+    // loop caches — no session-lifetime cache leak from a library call;
+    // the localCheckpoint also truncates the per-round lineage.
+    val out = dist.localCheckpoint()
+    ed.unpersist(false)
+    nodes.unpersist(false)
+    out
   }
 
   /** DuckDB replay of [[run]]: one CTE per relax round from the same

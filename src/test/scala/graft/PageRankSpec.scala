@@ -37,11 +37,24 @@ class PageRankSpec extends SparkTestBase {
 
   test("edges are shuffled once: iteration joins reuse the cached layout") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
-    val ranks = PageRank.run(edges, iters = 3)
+    val (ranks, ed, nodes) = PageRank.iterate(edges, iters = 3)
     val plan = ranks.queryExecution.executedPlan.toString
     // the stationary edge+degree table enters every iteration as an
     // InMemoryTableScan (cached), never as a re-executed join pipeline
     assert(plan.contains("InMemoryTableScan"), plan)
     assert(ranks.count() == 3)
+    ed.unpersist(true); nodes.unpersist(true)
+  }
+
+  test("run releases its loop caches: no session-lifetime cache leak") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val ranks = PageRank.run(edges, iters = 3)
+    assert(ranks.count() == 3)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // only the localCheckpoint'd result vector may remain persisted (it
+    // is context-cleaned when the result is released); the ed/nodes loop
+    // caches must be gone
+    assert(leaked.size <= 1, s"leaked cached RDDs: $leaked")
   }
 }

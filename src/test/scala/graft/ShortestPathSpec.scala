@@ -36,4 +36,13 @@ class ShortestPathSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 0L))
   }
+  test("run releases its loop caches: no session-lifetime cache leak") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 2L)).toDF("src", "dst", "w")
+    val src = Seq(1L).toDF("id")
+    val dist = ShortestPath.run(edges, src, rounds = 2)
+    assert(dist.count() == 3)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked cached RDDs: $leaked")
+  }
 }
