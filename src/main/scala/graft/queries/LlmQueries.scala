@@ -701,6 +701,47 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Sliding-window chunking: overlapping 32-token windows every 16
+    // tokens, sub-8-token tails dropped, md5 chunk identity — the
+    // context-window shaping step before embedding/packing. Pure
+    // per-row array ops, no shuffle (scan-bound at any scale).
+    "q137_chunking" -> ((s, dir) => {
+      graft.llm.Chunker.chunk(t(s, dir, "documents"),
+          window = 32, stride = 16, minTokens = 8)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Hybrid retrieval: BM25 top-20 (q124's lexical scorer) fused with
+    // exact-cosine dense top-20 (q74's scorer, query vectors 1-3) by
+    // reciprocal-rank fusion — score-free combination, one IEEE divide
+    // per contribution so both engines replay the fused ranking
+    // exactly.
+    "q138_hybrid_rrf" -> ((s, dir) => {
+      val lex = graft.llm.Bm25.topK(t(s, dir, "documents"), bm25Queries, k = 20)
+      val emb = t(s, dir, "embeddings")
+      val dense = Ann.bruteForceTopK(emb,
+        emb.filter(col("vec_id").isin(1, 2, 3)), k = 20)
+      graft.llm.HybridRank.rrf(lex, dense, k0 = 60, topK = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Group-aware train/val/test split: the md5 bucket of the GROUP key
+    // (source), never the row, decides the split — so no group straddles
+    // splits by construction (the leakage guard a contamination-safe
+    // corpus split needs; row-hash splits leak near-duplicates across
+    // the boundary). Deterministic, RNG-free, one aggregation.
+    "q139_group_split" -> ((s, dir) => {
+      val b = graft.functions.BqShims.md5Bucket(col("source")) % 10
+      t(s, dir, "documents")
+        .withColumn("split", when(b < 8, lit("train"))
+          .when(b === 8, lit("val")).otherwise(lit("test")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_groups"),
+          sum("n_chars").as("total_chars"))
+        .orderBy("split")
+    }),
+
     // Integer-exact distributed k-means (Lloyd's; k=8, 2 fixed
     // iterations, grid-snapped vectors, deterministic lowest-id init):
     // the centroid-LEARNING operator behind IVF cell maps and semantic
@@ -814,6 +855,51 @@ object LlmQueries {
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q74's exact-cosine ranking parameterized by query ids — reused as
+    * the dense half of the q138 hybrid oracle. */
+  private def annBruteSql(ids: Seq[Int], k: Int): String =
+    s"""WITH norms AS (
+       |  SELECT vec_id, SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS n2
+       |  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY vec_id),
+       |el AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    unnest(q.embedding) AS qv, unnest(c.embedding) AS cv
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id IN (${ids.mkString(", ")}) AND c.vec_id != q.vec_id),
+       |dots AS (
+       |  SELECT qid, cid, SUM(CAST(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE) AS DECIMAL(30,15))) AS dot
+       |  FROM el GROUP BY qid, cid),
+       |scored AS (
+       |  SELECT d.qid, d.cid,
+       |    CAST(d.dot AS DOUBLE) / (SQRT(CAST(nq.n2 AS DOUBLE)) * SQRT(CAST(nc.n2 AS DOUBLE))) AS cosine
+       |  FROM dots d
+       |  JOIN norms nq ON nq.vec_id = d.qid
+       |  JOIN norms nc ON nc.vec_id = d.cid)
+       |SELECT qid, rank, cid FROM (
+       |  SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+       |  FROM scored) WHERE rank <= $k""".stripMargin
+
+  /** RRF fusion of the generated lexical + dense oracles — identical
+    * reciprocal-rank arithmetic to HybridRank.rrf (one double divide
+    * per side, lexical term added first). */
+  private def hybridSql(k: Int, k0: Int, topK: Int): String =
+    s"""WITH lex AS (${bm25Sql(bm25Queries, k)}),
+       |dense AS (${annBruteSql(Seq(1, 2, 3), k)}),
+       |fused AS (
+       |  SELECT COALESCE(l.query_id, d.qid) AS query_id,
+       |    COALESCE(l.doc_id, d.cid) AS doc_id,
+       |    l.rank AS lex_rank, d.rank AS dense_rank,
+       |    COALESCE(CAST(1 AS DOUBLE) / ($k0 + l.rank), CAST(0 AS DOUBLE)) +
+       |    COALESCE(CAST(1 AS DOUBLE) / ($k0 + d.rank), CAST(0 AS DOUBLE)) AS rrf
+       |  FROM lex l FULL OUTER JOIN dense d
+       |    ON d.qid = l.query_id AND d.cid = l.doc_id)
+       |SELECT query_id, rank, doc_id, lex_rank, dense_rank,
+       |  round(rrf, 6) AS rrf FROM (
+       |  SELECT query_id, doc_id, lex_rank, dense_rank, rrf,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM fused) WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
   /** Full portable MinHash-LSH pipeline in DuckDB SQL (q72's oracle),
     * with an optional final pair filter (q117's incremental gate). */
   private def portableLshSql(pairFilter: String): String = {
@@ -895,6 +981,21 @@ object LlmQueries {
         |  SUM(code * i)::BIGINT AS weighted_sum
         |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q124_bm25" -> bm25Sql(bm25Queries, 10),
+    "q137_chunking" ->
+      (graft.llm.Chunker.chunkSql(window = 32, stride = 16, minTokens = 8) +
+        "\nORDER BY doc_id, chunk_id"),
+    "q138_hybrid_rrf" -> hybridSql(k = 20, k0 = 60, topK = 10),
+    "q139_group_split" ->
+      """WITH b AS (
+        |  SELECT source, n_chars,
+        |    CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 10 AS bk
+        |  FROM documents)
+        |SELECT CASE WHEN bk < 8 THEN 'train' WHEN bk = 8 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  COUNT(*)::BIGINT AS n_docs,
+        |  COUNT(DISTINCT source)::BIGINT AS n_groups,
+        |  SUM(n_chars)::BIGINT AS total_chars
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
     // sqrt-flattened mixture replay: same integer min_n rate formula,
     // same md5-derived 60-bit uniform scaled by 2^-60.
     "q125_temp_mixture" ->
