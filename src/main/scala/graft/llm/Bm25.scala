@@ -84,4 +84,73 @@ object Bm25 {
       .select(col("query_id"), col("rank"), col("doc_id"),
         round(col("score"), 6).as("score"))
   }
+
+  /** Inverted index: one posting row per (term, doc) carrying tf and the
+    * doc length — the persisted layout the topK scaladoc promises for
+    * 100 TB (bucket/partition the physical table by term so a query's
+    * probe reads only its terms' postings). Built once per corpus, then
+    * [[topKFromIndex]] scores any query batch without rescanning text. */
+  def buildIndex(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t0 = docs.select(col(idCol).as("doc_id"),
+        toks(col(textCol)).as("w"))
+      .withColumn("dl", size(col("w")).cast(LongType))
+    t0.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+  }
+
+  /** Corpus stats (n_docs, t_toks) from the index — persisted alongside
+    * it in a real deployment; recomputed here in one distinct-doc agg. */
+  def indexStats(index: DataFrame): DataFrame =
+    index.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks"))
+
+  /** BM25 top-k from the persisted index: probe only the query terms'
+    * postings (an isin filter the scan prunes on), join the tiny df and
+    * 1-row stats tables broadcast, score each posting with the SAME
+    * rational arithmetic as [[topK]], and reassemble per-query sums in
+    * fixed term order via a per-term pivot (each (doc, term) has at most
+    * one posting, so the pivot's SUM is a single-value extraction —
+    * never a float-order-dependent accumulation). Results are
+    * bit-identical to [[topK]] by construction; the cost follows the
+    * probed postings, never the corpus. */
+  def topKFromIndex(index: DataFrame, queries: Seq[(Int, Seq[String])],
+      k: Int = 10): DataFrame = {
+    val terms = queries.flatMap(_._2).distinct
+    val dec = DecimalType(38, 0)
+    val postings = index.filter(col("term").isin(terms: _*))
+    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val scoredRows = postings.join(broadcast(dfs), "term")
+      .crossJoin(broadcast(indexStats(index)))
+      .withColumn("score", {
+        val tf = col("tf"); val df = col("df")
+        val n = col("n_docs"); val tt = col("t_toks")
+        val num = (lit(2) * n - lit(2) * df + lit(1)).cast(dec) *
+          lit(22).cast(dec) * tf.cast(dec) * tt.cast(dec)
+        val den = (lit(2) * df + lit(1)).cast(dec) *
+          (lit(10).cast(dec) * tf.cast(dec) * tt.cast(dec) +
+            lit(3).cast(dec) * tt.cast(dec) +
+            lit(9).cast(dec) * col("dl").cast(dec) * n.cast(dec))
+        num.cast(DoubleType) / den.cast(DoubleType)
+      })
+    def sCol(t: String) = s"s_${terms.indexOf(t)}"
+    val perTerm = terms.map(t =>
+      sum(when(col("term") === t, col("score"))).as(sCol(t)))
+    val byDoc = scoredRows.groupBy("doc_id")
+      .agg(perTerm.head, perTerm.tail: _*)
+    val perQuery = queries.map { case (qid, qTerms) =>
+      byDoc
+        .withColumn("score",
+          qTerms.map(t => coalesce(col(sCol(t)), lit(0.0))).reduceLeft(_ + _))
+        .filter(col("score") > 0.0)
+        .select(lit(qid).as("query_id"), col("doc_id"), col("score"))
+    }
+    val all = perQuery.reduceLeft(_.unionAll(_))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    all.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 6).as("score"))
+  }
 }

@@ -701,6 +701,19 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // BM25 from the PERSISTED inverted index — the q124 scale path made
+    // real: postings built once per corpus (pinned stage, the q117
+    // persisted-index principle), each query batch probes only its
+    // terms' postings and reassembles per-query sums in fixed term
+    // order. Bit-identical to q124's full-scan scorer by construction,
+    // so the same generated oracle gates both.
+    "q140_bm25_indexed" -> ((s, dir) => {
+      val idx = pinnedStage(s, s"bm25idx|$dir",
+        graft.llm.Bm25.buildIndex(t(s, dir, "documents")))
+      graft.llm.Bm25.topKFromIndex(idx, bm25Queries, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Sliding-window chunking: overlapping 32-token windows every 16
     // tokens, sub-8-token tails dropped, md5 chunk identity — the
     // context-window shaping step before embedding/packing. Pure
@@ -981,6 +994,8 @@ object LlmQueries {
         |  SUM(code * i)::BIGINT AS weighted_sum
         |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q124_bm25" -> bm25Sql(bm25Queries, 10),
+    // identical scoring arithmetic from the index probe — same oracle
+    "q140_bm25_indexed" -> bm25Sql(bm25Queries, 10),
     "q137_chunking" ->
       (graft.llm.Chunker.chunkSql(window = 32, stride = 16, minTokens = 8) +
         "\nORDER BY doc_id, chunk_id"),

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Bm25
+
+class Bm25IndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val queries = Seq(
+    1 -> Seq("hash", "join"),
+    2 -> Seq("scan", "filter", "slow"))
+
+  test("index probe reproduces the full-scan scorer bit-for-bit") {
+    val docs = graft.util.Tables.t(spark, sfDir, "documents")
+    val full = Bm25.topK(docs, queries, k = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val probed = Bm25.topKFromIndex(Bm25.buildIndex(docs), queries, k = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(full.sortBy(t => (t._1, t._2)).toSeq ==
+      probed.sortBy(t => (t._1, t._2)).toSeq)
+    assert(full.nonEmpty)
+  }
+
+  test("postings carry one row per (term, doc) with exact tf and dl") {
+    val docs = Seq((1L, "a b a c"), (2L, "b b")).toDF("doc_id", "text")
+    val idx = Bm25.buildIndex(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(idx == Set(("a", 1L, 4L, 2L), ("b", 1L, 4L, 1L), ("c", 1L, 4L, 1L),
+      ("b", 2L, 2L, 2L)))
+    val stats = Bm25.indexStats(Bm25.buildIndex(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(stats == ((2L, 6L)))
+  }
+
+  test("probe plan touches only query-term postings: isin filter present, stats broadcast") {
+    val docs = graft.util.Tables.t(spark, sfDir, "documents")
+    val plan = Bm25.topKFromIndex(Bm25.buildIndex(docs), queries, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("hash IN") || plan.contains("term#") && plan.contains(" IN "), plan)
+  }
+}
