@@ -1,0 +1,117 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** BPE merge learning — the tokenizer-training step of an LLM data
+  * pipeline: starting from characters, repeatedly merge the most
+  * frequent adjacent symbol pair across the corpus. Expressed the way
+  * real BPE trainers work: merges are learned over the DISTINCT-word
+  * frequency table (explode + count — the corpus pass), so per-merge
+  * cost follows the vocabulary, which SATURATES as the corpus grows
+  * (the q132 distinct-name principle); only the initial word count
+  * touches corpus-sized data.
+  *
+  * Determinism contract (the q123 k-means idiom): merge counts are
+  * integer sums, the winning pair is argmax by (weight DESC, left ASC,
+  * right ASC) — a total order — and merge application is LITERAL
+  * left-to-right string replacement on the sentinel-padded symbol
+  * sequence (` a b ` → ` ab `), semantics shared bit-for-bit by
+  * Spark's `replace` and DuckDB's `replace`. Fixed merge count, no
+  * convergence test: the learned table is a pure function of the
+  * corpus, and [[unrolledSql]] (generated from the same constants)
+  * replays every step.
+  *
+  * Scale shape: each merge step is one groupBy over the vocabulary's
+  * adjacent pairs plus a 1-row argmax collect (bounded — a scalar per
+  * step, the only driver traffic). The evolving vocab table is
+  * localCheckpoint'd per step so lineage stays flat at any merge
+  * count; the checkpoint blocks are context-cleaned when dropped.
+  */
+object Bpe {
+
+  /** Learn `m` merges over the corpus text. Returns one row per merge:
+    * (step, l, r, weight) — step 1-based, weight = the summed word
+    * frequency the (l, r) adjacency had when it won. */
+  def learnMerges(docs: DataFrame, m: Int, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(col("n"),
+        concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" "))
+          .as("seq"))
+    var cur = words.localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer[(Int, String, String, Long)]()
+    var step = 1
+    var exhausted = false
+    while (step <= m && !exhausted) {
+      val syms = split(trim(col("seq")), " ")
+      val pairs = cur
+        .select(col("n"), syms.as("a"))
+        .withColumn("p", explode(zip_with(
+          slice(col("a"), lit(1), greatest(size(col("a")) - 1, lit(0))),
+          slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
+          (l, r) => struct(l.as("l"), r.as("r")))))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("w"))
+      // bounded collect: exactly one scalar row per step
+      val top = pairs.orderBy(desc("w"), col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val Row(l: String, r: String, w: Long) = top(0)
+        merges += ((step, l, r, w))
+        // literal replace with Column args (no SQL-literal quoting pitfalls)
+        cur = cur.withColumn("seq",
+            call_function("replace", col("seq"), lit(s" $l $r "), lit(s" $l$r ")))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(merges.toSeq.map(t => Row(t._1, t._2, t._3, t._4)): _*),
+      StructType(Seq(StructField("step", IntegerType, nullable = false),
+        StructField("l", StringType), StructField("r", StringType),
+        StructField("weight", LongType))))
+  }
+
+  /** DuckDB replay of [[learnMerges]] over the `documents` table: same
+    * word counts, same sentinel-padded char sequences, one unrolled
+    * (counts → argmax → replace) CTE triple per merge step.
+    * `maxSyms` bounds the adjacency index series (any value ≥ the max
+    * initial word length is exact; corpus words are far shorter). */
+  def unrolledSql(m: Int, maxSyms: Int = 64): String = {
+    val steps = (1 to m).map { i =>
+      s"""c$i AS (
+         |  SELECT l, r, SUM(n)::BIGINT AS w FROM (
+         |    SELECT n, a[i] AS l, a[i + 1] AS r
+         |    FROM (SELECT n, string_split_regex(trim(seq), ' ') AS a FROM s${i - 1})
+         |    CROSS JOIN generate_series(1, $maxSyms) g(i)
+         |    WHERE i <= len(a) - 1)
+         |  GROUP BY l, r),
+         |b$i AS (SELECT l, r, w FROM c$i ORDER BY w DESC, l, r LIMIT 1),
+         |s$i AS (
+         |  SELECT n, replace(seq, ' ' || b$i.l || ' ' || b$i.r || ' ',
+         |    ' ' || b$i.l || b$i.r || ' ') AS seq
+         |  FROM s${i - 1}, b$i)""".stripMargin
+    }
+    val union = (1 to m)
+      .map(i => s"SELECT $i AS step, l, r, w AS weight FROM b$i")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH w0 AS (
+       |  SELECT word, COUNT(*)::BIGINT AS n FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |s0 AS (
+       |  SELECT n,
+       |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seq
+       |  FROM w0),
+       |${steps.mkString(",\n")}
+       |SELECT step, l, r, weight FROM (
+       |  $union)
+       |ORDER BY step""".stripMargin
+  }
+}

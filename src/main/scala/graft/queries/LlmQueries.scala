@@ -701,6 +701,17 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // BPE merge learning: 6 most-frequent-adjacent-pair merges over the
+    // corpus vocabulary (tokenizer training's core loop), learned on the
+    // distinct-word frequency table so per-merge cost follows the
+    // saturating vocab, not the corpus. Integer weights, total-order
+    // argmax, literal-replace application — the oracle replays all six
+    // steps unrolled.
+    "q141_bpe_merges" -> ((s, dir) => {
+      graft.llm.Bpe.learnMerges(t(s, dir, "documents"), m = 6)
+        .orderBy("step")
+    }),
+
     // BM25 from the PERSISTED inverted index — the q124 scale path made
     // real: postings built once per corpus (pinned stage, the q117
     // persisted-index principle), each query batch probes only its
@@ -996,6 +1007,7 @@ object LlmQueries {
     "q124_bm25" -> bm25Sql(bm25Queries, 10),
     // identical scoring arithmetic from the index probe — same oracle
     "q140_bm25_indexed" -> bm25Sql(bm25Queries, 10),
+    "q141_bpe_merges" -> graft.llm.Bpe.unrolledSql(m = 6),
     "q137_chunking" ->
       (graft.llm.Chunker.chunkSql(window = 32, stride = 16, minTokens = 8) +
         "\nORDER BY doc_id, chunk_id"),

@@ -1,0 +1,39 @@
+package graft
+
+import graft.llm.Bpe
+
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("merges follow frequency with deterministic tie-break") {
+    // "ab" x3, "abc" x2, "zz" x1:
+    // pair counts: (a,b)=5, (b,c)=2, (z,z)=1 → merge 1 = (a,b) w=5
+    // then seqs: " ab ", " ab c ", " z z ": (ab,c)=2, (z,z)=1 → merge 2 = (ab,c)
+    val docs = Seq((1L, "ab ab abc"), (2L, "abc zz ab")).toDF("doc_id", "text")
+    val got = Bpe.learnMerges(docs, m = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq((1, "a", "b", 5L), (2, "ab", "c", 2L), (3, "z", "z", 1L)))
+  }
+
+  test("merged symbols participate in later merges (hierarchy builds up)") {
+    // 4x "abcd": merges chain (a,b) → (ab,c) → (abc,d)
+    val docs = Seq((1L, "abcd abcd"), (2L, "abcd abcd")).toDF("doc_id", "text")
+    val got = Bpe.learnMerges(docs, m = 3)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(("a", "b"), ("ab", "c"), ("abc", "d")))
+  }
+
+  test("exhausted pair space stops early instead of emitting junk") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text") // single-char words: no pairs
+    assert(Bpe.learnMerges(docs, m = 5).count() == 0)
+  }
+
+  test("weights are word-frequency sums, not document counts") {
+    // one doc repeating "xy" 4 times: weight of (x,y) must be 4
+    val docs = Seq((1L, "xy xy xy xy")).toDF("doc_id", "text")
+    val got = Bpe.learnMerges(docs, m = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq(("x", "y", 4L)))
+  }
+}
