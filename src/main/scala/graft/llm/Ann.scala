@@ -202,6 +202,13 @@ object Ann {
     val probed = nearestCells(
       queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
         norm2Decimal(col("embedding")).as("qn2")), "qid", "qe", "qn2", nProbe, centroids)
+    ivfRerank(assigned, probed, k)
+  }
+
+  /** In-cell candidate re-rank shared by [[ivfTopK]] and
+    * [[ivfTopKFromIndex]]: fast double-dot prune to k+8, then exact
+    * decimal cosine for the final ordering. */
+  private def ivfRerank(assigned: DataFrame, probed: DataFrame, k: Int): DataFrame = {
     val joined = assigned.join(probed, Seq("cell"))
       .filter(col("cid") =!= col("qid"))
       // native codegen'd dot (bit-identical summation to dotDouble) —
@@ -219,6 +226,49 @@ object Ann {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Persist the IVF index: the trained centroids plus the corpus
+    * assignments laid out as parquet PARTITIONED BY cell — the 100 TB
+    * ANN serving layout (mirroring [[Bm25.buildIndex]] for the lexical
+    * side): the expensive train+assign pass is amortized once, and a
+    * query batch's probe reads only its nProbe cells' directories. */
+  def writeIvfIndex(corpus: DataFrame, nCells: Int, kmeansIters: Int,
+      path: String): Unit = {
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      norm2Decimal(col("embedding")).as("cn2"))
+    val centroids = cellCentroids(c, corpus, nCells, kmeansIters)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    nearestCells(c, "cid", "ce", "cn2", 1, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
+  }
+
+  /** IVF top-k against a [[writeIvfIndex]] layout: probe cells from the
+    * (tiny, pinned) persisted centroids, then scan ONLY the touched
+    * cell partitions (an isin partition filter the reader prunes on —
+    * the same prune contract as the q117 signature index) and re-rank
+    * identically to [[ivfTopK]]. Results are bit-identical to the
+    * in-query form on the same corpus by construction. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val centroids = pin(spark.read.parquet(s"$path/centroids"))
+    val probed = nearestCells(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm2Decimal(col("embedding")).as("qn2")), "qid", "qe", "qn2", nProbe, centroids)
+    // bounded collect: at most |queries| * nProbe cell ids
+    val touched = probed.select("cell").distinct().collect()
+      .map(_.get(0).toString.toLong)
+    val asg = spark.read.parquet(s"$path/assignments")
+    // partition-column type inference may read `cell` narrower than the
+    // written long — match the literals to the inferred type so the
+    // isin stays a pruning partition filter (no cast above the column)
+    val cellLits: Seq[Any] = asg.schema("cell").dataType match {
+      case IntegerType => touched.toSeq.map(_.toInt)
+      case _           => touched.toSeq
+    }
+    val assigned = asg.filter(col("cell").isin(cellLits: _*))
+      .withColumn("cell", col("cell").cast(LongType))
+    ivfRerank(assigned, probed, k)
   }
 
   /** Signature bits that keep expected bucket occupancy near

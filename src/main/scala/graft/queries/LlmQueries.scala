@@ -45,6 +45,12 @@ object LlmQueries {
   private val sigIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q142's persisted IVF index (centroids + cell-partitioned
+    * assignments), built ONCE per (JVM, sf dir) — same amortization
+    * contract as [[sigIndexDirs]]: the benched body is the PROBE. */
+  private val ivfIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Partition fan-out of the persisted signature index (band × pkey
     * directories — see TextDedup.sigPartition). 8 at test SF keeps the
     * directory count sane; at corpus scale this is thousands so a daily
@@ -394,6 +400,25 @@ object LlmQueries {
       val qs = emb.filter(col("vec_id") < 20)
       recallSummary(
         Ann.ivfTopK(emb, qs, k = 3, nCells = 16, nProbe = 8),
+        exactTruth(s, dir, qMax = 20, k = 3))
+    }),
+
+    // IVF ANN against the PERSISTED index (q82's scale path made real,
+    // the dense sibling of q140): centroids + cell-partitioned
+    // assignments written once; each query batch probes its nProbe
+    // cells and the assignment scan partition-prunes to exactly those
+    // directories. Bit-identical to the in-query IVF, so the same
+    // pinned-recall oracle gates both.
+    "q142_ann_ivf_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxPath = ivfIndexDirs.computeIfAbsent(dir, _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+        Ann.writeIvfIndex(emb, nCells = 16, kmeansIters = 1, p)
+        p
+      })
+      val qs = emb.filter(col("vec_id") < 20)
+      recallSummary(
+        Ann.ivfTopKFromIndex(s, idxPath, qs, k = 3, nProbe = 8),
         exactTruth(s, dir, qMax = 20, k = 3))
     }),
 
@@ -979,6 +1004,8 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "q75_ann_lsh" -> annRecallOracle("q.vec_id < 50", 3, 138),
     "q82_ann_ivf" -> annRecallOracle("q.vec_id < 20", 3, 58),
+    // the persisted-index probe must reproduce q82's result exactly
+    "q142_ann_ivf_indexed" -> annRecallOracle("q.vec_id < 20", 3, 58),
     "q86_ann_pq" -> annRecallOracle("q.vec_id < 20", 3, 51),
     // Integer-exact quantization recompute: same IEEE double ops
     // (cast, max, divide) and the same round-half-away tie rule on
