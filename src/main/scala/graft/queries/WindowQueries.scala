@@ -54,6 +54,36 @@ object WindowQueries {
         .orderBy("key", "conv_id")
     }),
 
+    // Generalized as-of join (merge_asof/kdb-aj): every purchase picks
+    // the user's latest click at-or-before it, within a 1-day
+    // tolerance — via the union-carry rewrite (one shuffle by user, one
+    // sort, zero joins) instead of the O(|L|·|R|)-per-key range θ-join.
+    // Clicks are pre-deduped to one row per (user, ts) so the oracle's
+    // NATIVE DuckDB ASOF JOIN — a genuinely independent implementation —
+    // agrees deterministically on ties.
+    "q143_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("tsu", graft.functions.BqShims.epochMicros(col("ts")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"),
+          col("event_id").as("conv_id"), col("value").as("conv_value"))
+      val wDedup = Window.partitionBy("user_id", "tsu")
+        .orderBy(col("event_id").desc)
+      val clicks = e.filter(col("event_type") === "click")
+        .withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1)
+        .select(col("user_id"), col("tsu"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.operators.AsOfJoin.backward(purchases, clicks,
+          key = "user_id", ts = "tsu", rightTieBreak = "click_id",
+          tolerance = Some(86400000000L)) // 1 day in micros
+        .select(col("user_id"), col("conv_id"), col("tsu").as("conv_ts"),
+          col("r_click_id").as("click_id"),
+          col("r_tsu").as("click_ts"),
+          col("r_click_value").as("click_value"),
+          (col("tsu") - col("r_tsu")).as("gap_us"))
+        .orderBy("user_id", "conv_id")
+    }),
+
     // W1 — latest event per user (QUALIFY row_number = 1,
     // graphics_dashboard.sql:165-169).
     "q30_dedup_latest" -> ((s, dir) => {
@@ -188,6 +218,36 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Independent implementation: DuckDB's NATIVE ASOF JOIN, not a
+    // replay of the union-carry rewrite — a true cross-check of the
+    // operator's semantics. Tolerance is the same post-predicate.
+    "q143_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id AS conv_id,
+        |    value AS conv_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, tsu, click_id, click_value FROM (
+        |    SELECT user_id, epoch_us(ts) AS tsu, event_id AS click_id,
+        |      value AS click_value,
+        |      row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+        |        ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click') WHERE rn = 1),
+        |j AS (
+        |  SELECT p.user_id, p.conv_id, p.tsu AS conv_ts,
+        |    c.click_id, c.tsu AS click_ts, c.click_value
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND c.tsu <= p.tsu)
+        |SELECT user_id, conv_id, conv_ts,
+        |  CASE WHEN click_ts >= conv_ts - 86400000000 THEN click_id END
+        |    AS click_id,
+        |  CASE WHEN click_ts >= conv_ts - 86400000000 THEN click_ts END
+        |    AS click_ts,
+        |  CASE WHEN click_ts >= conv_ts - 86400000000 THEN click_value END
+        |    AS click_value,
+        |  CASE WHEN click_ts >= conv_ts - 86400000000
+        |    THEN conv_ts - click_ts END AS gap_us
+        |FROM j ORDER BY user_id, conv_id""".stripMargin,
     "q134_attribution" ->
       """WITH e AS (
         |  SELECT user_id AS key, epoch_us(ts) AS ts, event_type AS kind,
