@@ -84,6 +84,30 @@ object WindowQueries {
         .orderBy("user_id", "conv_id")
     }),
 
+    // Range join without an equi-key: purchases falling inside each
+    // error's 2-hour incident window, across ALL users — the pure
+    // point-in-interval θ-join Spark would otherwise plan as a nested
+    // loop. Bin-explode (bin = interval width) turns it into an
+    // equi-join on the bin with the range check as a post-filter;
+    // candidate pairs are Σ|P_bin|·|I_bin|, not |P|·|I|. The oracle IS
+    // the naive inequality join (DuckDB's IEJoin) — proving the
+    // rewrite, not replaying it.
+    "q144_interval_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("tsu", graft.functions.BqShims.epochMicros(col("ts")))
+      val twoH = 7200000000L
+      val intervals = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("interval_id"), col("tsu").as("lo"),
+          (col("tsu") + twoH).as("hi"))
+      val points = e.filter(col("event_type") === "purchase")
+        .select(col("tsu").as("pts"))
+      graft.operators.IntervalJoin.countPerInterval(intervals, points,
+          lo = "lo", hi = "hi", ts = "pts", binWidth = twoH,
+          idCols = Seq("interval_id"))
+        .select("interval_id", "n_points", "first_ts", "last_ts")
+        .orderBy("interval_id")
+    }),
+
     // W1 — latest event per user (QUALIFY row_number = 1,
     // graphics_dashboard.sql:165-169).
     "q30_dedup_latest" -> ((s, dir) => {
@@ -218,6 +242,22 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Independent implementation: the NAIVE inequality join (DuckDB
+    // plans its IEJoin) — semantically the definition the binned
+    // rewrite must reproduce.
+    "q144_interval_join" ->
+      """WITH i AS (
+        |  SELECT event_id AS interval_id, epoch_us(ts) AS lo,
+        |    epoch_us(ts) + 7200000000 AS hi
+        |  FROM events WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT epoch_us(ts) AS pts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT i.interval_id, COUNT(p.pts)::BIGINT AS n_points,
+        |  MIN(p.pts) AS first_ts, MAX(p.pts) AS last_ts
+        |FROM i LEFT JOIN p ON p.pts >= i.lo AND p.pts < i.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Independent implementation: DuckDB's NATIVE ASOF JOIN, not a
     // replay of the union-carry rewrite — a true cross-check of the
     // operator's semantics. Tolerance is the same post-predicate.
