@@ -128,17 +128,26 @@ object Bench {
     // Locale.ROOT: "%.Nf" must never emit a comma decimal separator.
     def fmt(v: Double, dec: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dec}f", v)
-    def jsonLine(keyOf: String => String, dec: Int, sfLabel: String): String = {
-      val qs = resultsMap.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v, dec) }
+    // Short-line values are clamped to ≤4 chars ("99.9" / "135"): with
+    // ~150 queries the 2000-byte tail can't afford 2-decimal values; the
+    // 4-decimal per-query record lives in BENCH_OUT.json and the 2x-gate
+    // flags print exact numbers for any offender. A query ≥100 s would
+    // break its pin gate long before it breaks this format.
+    def fmtShort(v: Double): String =
+      if (v >= 99.95) fmt(v, 0) else fmt(v, 1)
+    def jsonLine(keyOf: String => String, fmtV: Double => String,
+        totalDec: Int, sfLabel: String): String = {
+      val qs = resultsMap.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmtV(v) }
         .mkString("{", ",", "}")
       // failed queries carry -1: excluded from the total, visible in `queries`
       val total = resultsMap.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
+      s"""{"metric":"total","value":${fmt(total, totalDec)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
     }
     // Full-name 4-decimal payload → file (complete record for humans/tools).
     val out = java.nio.file.Path.of(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json"))
-    java.nio.file.Files.write(out, jsonLine(identity, 4, sfDir).getBytes("UTF-8"))
+    java.nio.file.Files.write(out,
+      jsonLine(identity, fmt(_, 4), 4, sfDir).getBytes("UTF-8"))
     // The driver captures only the LAST 2000 bytes of stdout and parses the
     // JSON line out of that tail; sbt appends its [success] line after us,
     // so the WHOLE short line + that noise must fit in 2000 bytes or the
@@ -171,7 +180,7 @@ object Bench {
     // stop Spark BEFORE the line: executor-shutdown warnings land above
     // it instead of pushing it out of the driver's tail window
     spark.stop()
-    println(jsonLine(k => if (shortKeys) k.takeWhile(_ != '_') else k, 2,
-      sfLabel))
+    println(jsonLine(k => if (shortKeys) k.takeWhile(_ != '_') else k,
+      fmtShort, 2, sfLabel))
   }
 }

@@ -15,6 +15,23 @@ object StatQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Grouped top-k through the native bounded-heap aggregate
+    // (operators/TopKAgg): each map task keeps ≤ k entries per group,
+    // so the shuffle moves k·groups·tasks entries, not the table —
+    // unlike the row_number() window the oracle uses, which shuffles
+    // and sorts every row. Ties break by (value DESC, event_id ASC) on
+    // both sides.
+    "q145_grouped_topk" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(graft.operators.TopKAgg.topK(col("value"), col("event_id"), 3)
+          .as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).as("rank"),
+          col("col.id").as("event_id"), col("col.value").as("value"))
+        .orderBy("event_type", "rank")
+    }),
+
     // A11 — grouped exact quantiles p10/p50/p90
     // (prophet_forecast.py:176-204; pandas_extras.py:5-12).
     "q60_group_quantiles" -> ((s, dir) => {
@@ -146,6 +163,13 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q145_grouped_topk" ->
+      """SELECT event_type, rank, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id ASC) AS rank
+        |  FROM events)
+        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
     "q60_group_quantiles" ->
       """WITH g AS (
         |  SELECT o_orderpriority, list_sort(list(o_totalprice)) AS v, COUNT(*) AS n
