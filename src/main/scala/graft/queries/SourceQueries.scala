@@ -22,7 +22,58 @@ object SourceQueries {
   private val sketchDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q146's persisted daily quantile-sketch cube (same lifecycle). */
+  private val qsketchDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val queries: Map[String, Q] = Map(
+    // Mergeable QUANTILE sketch rollup — q133's percentile sibling:
+    // per-(event_type, day) sparse bin-histograms persisted once, any
+    // range query merges sketch rows (native hist_sum aggregate) and
+    // reads the rank-p bin off the cumulative counts — error < binWidth
+    // by construction (the chosen bin CONTAINS the true rank element),
+    // so unlike HLL the estimate itself is deterministic and the oracle
+    // replays est AND exact AND the bound booleans bit-for-bit.
+    "q146_quantile_rollup" -> ((s, dir) => {
+      import graft.operators.QuantileSketch
+      val w = 0.5
+      val path = qsketchDirs.computeIfAbsent(dir, _ => {
+        val p = tmpDir("graft_qsketch")
+        QuantileSketch.build(
+            t(s, dir, "events").withColumn("day", to_date(col("ts"))),
+            Seq("event_type", "day"), "value", w)
+          .write.mode(SaveMode.Overwrite).parquet(p)
+        p
+      })
+      val est = QuantileSketch.mergeEstimate(s.read.parquet(path),
+        Seq("event_type"), w,
+        Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("value")
+      val ranked = t(s, dir, "events").select(col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(wr))
+      val targets = est.select(col("event_type"),
+        expr("(1 * n_rows + 1) div 2").as("t50"),
+        expr("(9 * n_rows + 9) div 10").as("t90"),
+        expr("(99 * n_rows + 99) div 100").as("t99"))
+      val exact = ranked.join(broadcast(targets), "event_type")
+        .groupBy("event_type")
+        .agg(min(when(col("rn") === col("t50"), col("value"))).as("exact_p50"),
+          min(when(col("rn") === col("t90"), col("value"))).as("exact_p90"),
+          min(when(col("rn") === col("t99"), col("value"))).as("exact_p99"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n_rows"),
+          col("n_sketches").as("n_days"),
+          col("est_p50"), col("est_p90"), col("est_p99"),
+          col("exact_p50"), col("exact_p90"), col("exact_p99"),
+          (col("exact_p50") >= col("est_p50") &&
+            col("exact_p50") < col("est_p50") + w).as("ok_p50"),
+          (col("exact_p90") >= col("est_p90") &&
+            col("exact_p90") < col("est_p90") + w).as("ok_p90"),
+          (col("exact_p99") >= col("est_p99") &&
+            col("exact_p99") < col("est_p99") + w).as("ok_p99"))
+        .orderBy("event_type")
+    }),
     // Mergeable-sketch rollup — the 100 TB pre-aggregation contract:
     // per-(event_type, day) HLL sketches of the user set are built in
     // ONE scan and PERSISTED (the daily cube a 1000-executor job would
@@ -346,6 +397,54 @@ object SourceQueries {
         statRow("o_day", "CAST(o_orderdate AS DATE)"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
+    // Full replay — binning, cumulative rank lookup, integer ceil-div
+    // targets, and the bound booleans are all deterministic shared-IEEE
+    // arithmetic, so unlike q133 no TRUE-gate is needed.
+    "q146_quantile_rollup" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(floor(value / 0.5) AS INT) AS bin,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+        |  FROM events GROUP BY 1),
+        |cum AS (
+        |  SELECT event_type, bin, SUM(c) OVER (PARTITION BY event_type
+        |    ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cm
+        |  FROM b),
+        |est AS (
+        |  SELECT c.event_type,
+        |    MIN(CASE WHEN c.cm >= (1 * t.n_rows + 1) // 2 THEN c.bin END)
+        |      * 0.5 AS est_p50,
+        |    MIN(CASE WHEN c.cm >= (9 * t.n_rows + 9) // 10 THEN c.bin END)
+        |      * 0.5 AS est_p90,
+        |    MIN(CASE WHEN c.cm >= (99 * t.n_rows + 99) // 100 THEN c.bin END)
+        |      * 0.5 AS est_p99
+        |  FROM cum c JOIN tot t USING (event_type) GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, value, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY value) AS rn
+        |  FROM events),
+        |x AS (
+        |  SELECT r.event_type,
+        |    MIN(CASE WHEN rn = (1 * n_rows + 1) // 2 THEN value END)
+        |      AS exact_p50,
+        |    MIN(CASE WHEN rn = (9 * n_rows + 9) // 10 THEN value END)
+        |      AS exact_p90,
+        |    MIN(CASE WHEN rn = (99 * n_rows + 99) // 100 THEN value END)
+        |      AS exact_p99
+        |  FROM r JOIN tot USING (event_type) GROUP BY 1)
+        |SELECT t.event_type, t.n_rows, t.n_days,
+        |  est_p50, est_p90, est_p99, exact_p50, exact_p90, exact_p99,
+        |  exact_p50 >= est_p50 AND exact_p50 < est_p50 + 0.5 AS ok_p50,
+        |  exact_p90 >= est_p90 AND exact_p90 < est_p90 + 0.5 AS ok_p90,
+        |  exact_p99 >= est_p99 AND exact_p99 < est_p99 + 0.5 AS ok_p99
+        |FROM tot t JOIN est ON t.event_type = est.event_type
+        |JOIN x ON t.event_type = x.event_type
+        |ORDER BY t.event_type""".stripMargin,
+
     // exact columns recomputed independently; the estimate assertion is
     // the boolean (q106 pattern) — a sketch regression turns it false
     "q133_sketch_rollup" ->
