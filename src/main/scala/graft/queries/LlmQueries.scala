@@ -705,6 +705,20 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // Weighted sampling without replacement via PRIORITY SAMPLING
+    // (Duffield–Lund–Thorup): priority = w·2^32 / (md5_32(id)+1), keep
+    // the top k, and publish the unbiased total-weight estimator
+    // ŵ = max(w, τ) against the (k+1)-th priority threshold. Top-k is
+    // TakeOrderedAndProject (bounded per-partition heaps), never a
+    // global sort; every number replays bit-for-bit in the oracle.
+    "q147_priority_sample" -> ((s, dir) => {
+      graft.llm.PrioritySample.sample(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          idCol = "doc_id", weightCol = "n_chars", k = 64)
+        .select("rank", "doc_id", "source", "n_chars", "priority", "w_hat")
+        .orderBy("rank")
+    }),
+
     // Temperature-scaled mixture sampling (sqrt-flattening): per-source
     // keep rate sqrt(min_n/n_s) — integer min_n, so no order-dependent
     // float normalizer — against the md5-derived portable per-doc
@@ -1039,6 +1053,21 @@ object LlmQueries {
       (graft.llm.Chunker.chunkSql(window = 32, stride = 16, minTokens = 8) +
         "\nORDER BY doc_id, chunk_id"),
     "q138_hybrid_rrf" -> hybridSql(k = 20, k0 = 60, topK = 10),
+    "q147_priority_sample" ->
+      """WITH pr AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(n_chars AS DOUBLE) * 4294967296.0 /
+        |      (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) + 1) AS priority
+        |  FROM documents),
+        |top AS (
+        |  SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id)
+        |    AS rank
+        |  FROM pr ORDER BY priority DESC, doc_id LIMIT 65),
+        |tau AS (SELECT MIN(priority) AS tau FROM top)
+        |SELECT rank, doc_id, source, n_chars, priority,
+        |  GREATEST(CAST(n_chars AS DOUBLE), tau) AS w_hat
+        |FROM top, tau WHERE rank <= 64 ORDER BY rank""".stripMargin,
     "q139_group_split" ->
       """WITH b AS (
         |  SELECT source, n_chars,
