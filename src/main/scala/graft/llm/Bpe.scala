@@ -36,6 +36,18 @@ object Bpe {
     * frequency the (l, r) adjacency had when it won. */
   def learnMerges(docs: DataFrame, m: Int, textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
+    val merges = learnMergeList(docs, m, textCol)
+    spark.createDataFrame(
+      java.util.Arrays.asList(merges.map(t => Row(t._1, t._2, t._3, t._4)): _*),
+      StructType(Seq(StructField("step", IntegerType, nullable = false),
+        StructField("l", StringType), StructField("r", StringType),
+        StructField("weight", LongType))))
+  }
+
+  /** [[learnMerges]] as a local list (bounded: one scalar row per
+    * step) — the form [[encodeCorpus]] consumes. */
+  def learnMergeList(docs: DataFrame, m: Int,
+      textCol: String = "text"): Seq[(Int, String, String, Long)] = {
     val words = docs
       .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
@@ -70,11 +82,79 @@ object Bpe {
         step += 1
       }
     }
-    spark.createDataFrame(
-      java.util.Arrays.asList(merges.toSeq.map(t => Row(t._1, t._2, t._3, t._4)): _*),
-      StructType(Seq(StructField("step", IntegerType, nullable = false),
-        StructField("l", StringType), StructField("r", StringType),
-        StructField("weight", LongType))))
+    merges.toSeq
+  }
+
+  /** ENCODE the corpus with the learned merges — the tokenizer-apply
+    * step: every distinct word's char sequence gets the m literal
+    * replaces (one narrow chained projection over the vocabulary, no
+    * shuffle), token count = final symbol count, and the corpus joins
+    * back to the vocab on the word (vocab-sized build side — broadcast
+    * at today's SF, an ordinary equi-join shuffle at 100 TB). Report =
+    * per-source word and token totals, the "how many tokens is my
+    * corpus" question every training-budget estimate starts with. */
+  def encodeCorpus(docs: DataFrame, m: Int, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val merges = learnMergeList(docs, m, textCol)
+    val words = docs
+      .select(col(sourceCol).as("source"),
+        explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocab0 = words.select("word").distinct()
+      .withColumn("seq",
+        concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")))
+    val vocab = merges.foldLeft(vocab0) { case (v, (_, l, r, _)) =>
+      v.withColumn("seq",
+        call_function("replace", col("seq"), lit(s" $l $r "), lit(s" $l$r ")))
+    }
+    val toks = vocab.withColumn("n_tokens",
+      size(split(trim(col("seq")), " ")).cast(LongType))
+    words.join(toks.select("word", "n_tokens"), "word")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
+  /** DuckDB replay of [[encodeCorpus]]: the [[unrolledSql]] learning
+    * chain with the word column carried through every step, then token
+    * counts per word joined back onto the exploded corpus. */
+  def encodeSql(m: Int, maxSyms: Int = 64): String = {
+    val steps = (1 to m).map { i =>
+      s"""c$i AS (
+         |  SELECT l, r, SUM(n)::BIGINT AS w FROM (
+         |    SELECT n, a[i] AS l, a[i + 1] AS r
+         |    FROM (SELECT n, string_split_regex(trim(seq), ' ') AS a FROM s${i - 1})
+         |    CROSS JOIN generate_series(1, $maxSyms) g(i)
+         |    WHERE i <= len(a) - 1)
+         |  GROUP BY l, r),
+         |b$i AS (SELECT l, r, w FROM c$i ORDER BY w DESC, l, r LIMIT 1),
+         |s$i AS (
+         |  SELECT word, n, replace(seq, ' ' || b$i.l || ' ' || b$i.r || ' ',
+         |    ' ' || b$i.l || b$i.r || ' ') AS seq
+         |  FROM s${i - 1}, b$i)""".stripMargin
+    }
+    s"""WITH w0 AS (
+       |  SELECT word, COUNT(*)::BIGINT AS n FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |s0 AS (
+       |  SELECT word, n,
+       |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seq
+       |  FROM w0),
+       |${steps.mkString(",\n")},
+       |tok AS (
+       |  SELECT word, len(string_split(trim(seq), ' '))::BIGINT AS n_tokens
+       |  FROM s$m),
+       |corpus AS (
+       |  SELECT source, word FROM (
+       |    SELECT source,
+       |      unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE length(word) > 0)
+       |SELECT source, COUNT(*)::BIGINT AS n_words,
+       |  SUM(n_tokens)::BIGINT AS n_tokens
+       |FROM corpus JOIN tok USING (word)
+       |GROUP BY 1 ORDER BY source""".stripMargin
   }
 
   /** DuckDB replay of [[learnMerges]] over the `documents` table: same

@@ -751,6 +751,16 @@ object LlmQueries {
         .orderBy("step")
     }),
 
+    // BPE ENCODE — q141's learned merges applied back to the corpus:
+    // m literal replaces over the distinct-word vocab (one chained
+    // narrow projection, the vocab saturates while the corpus grows),
+    // token counts joined onto the exploded corpus, per-source totals —
+    // the "how many tokens is this corpus" training-budget question.
+    "q148_bpe_encode" -> ((s, dir) => {
+      graft.llm.Bpe.encodeCorpus(t(s, dir, "documents"), m = 6)
+        .orderBy("source")
+    }),
+
     // BM25 from the PERSISTED inverted index — the q124 scale path made
     // real: postings built once per corpus (pinned stage, the q117
     // persisted-index principle), each query batch probes only its
@@ -1049,6 +1059,7 @@ object LlmQueries {
     // identical scoring arithmetic from the index probe — same oracle
     "q140_bm25_indexed" -> bm25Sql(bm25Queries, 10),
     "q141_bpe_merges" -> graft.llm.Bpe.unrolledSql(m = 6),
+    "q148_bpe_encode" -> graft.llm.Bpe.encodeSql(m = 6),
     "q137_chunking" ->
       (graft.llm.Chunker.chunkSql(window = 32, stride = 16, minTokens = 8) +
         "\nORDER BY doc_id, chunk_id"),

@@ -29,6 +29,33 @@ class BpeSpec extends SparkTestBase {
     assert(Bpe.learnMerges(docs, m = 5).count() == 0)
   }
 
+  test("encodeCorpus: token counts shrink as merges apply") {
+    val docs = Seq((1L, "s1", "abcd abcd xy"), (2L, "s2", "abcd xy xy"))
+      .toDF("doc_id", "source", "text")
+    def totals(m: Int) = Bpe.encodeCorpus(docs, m).orderBy("source")
+      .select("source", "n_words", "n_tokens")
+      .as[(String, Long, Long)].collect().toSeq
+    // m=0: pure char counts — s1: 4+4+2=10, s2: 4+2+2=8
+    assert(totals(0) === Seq(("s1", 3L, 10L), ("s2", 3L, 8L)))
+    // merges learned on word frequency: abcd x3, xy x3 →
+    // (a,b) then (ab,c) then (abc,d)=1 token, then (x,y)=1 token
+    assert(totals(4) === Seq(("s1", 3L, 3L), ("s2", 3L, 3L)))
+    // monotone non-increasing token totals in m
+    val seq = (0 to 4).map(m => totals(m).map(_._3).sum)
+    assert(seq === seq.sorted.reverse)
+  }
+
+  test("encodeCorpus honors word frequency across docs (vocab is distinct)") {
+    // "zz" appears once per doc but in both docs: vocab row is one,
+    // corpus join restores per-source multiplicity
+    val docs = Seq((1L, "a", "zz zz zz"), (2L, "b", "zz"))
+      .toDF("doc_id", "source", "text")
+    val out = Bpe.encodeCorpus(docs, 1).orderBy("source")
+      .select("source", "n_tokens").as[(String, Long)].collect().toSeq
+    // merge (z,z) → every "zz" is 1 token
+    assert(out === Seq(("a", 3L), ("b", 1L)))
+  }
+
   test("weights are word-frequency sums, not document counts") {
     // one doc repeating "xy" 4 times: weight of (x,y) must be 4
     val docs = Seq((1L, "xy xy xy xy")).toDF("doc_id", "text")
