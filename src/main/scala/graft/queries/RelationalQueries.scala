@@ -255,6 +255,25 @@ object RelationalQueries {
         .orderBy("status")
     }),
 
+    // Skew-salted join — the explicit hot-key spreading form (AQE's
+    // skew split can't reach inside cached stages): the events fact is
+    // salted 8 ways on a stable row hash, the 5-row event-type dim is
+    // exploded ×8, and the equi-join result is aggregated. The oracle
+    // is the UNSALTED plain join — proving salt-invariance of the join
+    // semantics, which is the whole correctness obligation of salting.
+    "q152_salted_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val dim = e.groupBy("event_type")
+        .agg(count(lit(1)).as("type_n"))
+      graft.operators.SkewSalt.saltedJoin(
+          e.select(col("event_type"), col("event_id"), col("user_id")),
+          dim, key = "event_type", factIdCols = Seq("event_id"),
+          saltFactor = 8)
+        .groupBy(pmod(col("user_id"), lit(16)).as("user_bucket"))
+        .agg(count(lit(1)).as("n_events"), sum(col("type_n")).as("sum_type_n"))
+        .orderBy("user_bucket")
+    }),
+
     // S17 — deterministic bucket sampling (sample_id < n shape,
     // UO summary.sql:30). Bucket via a portable hash both engines share.
     "q25_sample_scan" -> ((s, dir) => {
@@ -269,6 +288,14 @@ object RelationalQueries {
   private val dec = "CAST(SUM(CAST(%s AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q152_salted_join" ->
+      """WITH dim AS (
+        |  SELECT event_type, COUNT(*) AS type_n FROM events GROUP BY 1)
+        |SELECT e.user_id % 16 AS user_bucket,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(d.type_n) AS BIGINT) AS sum_type_n
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,

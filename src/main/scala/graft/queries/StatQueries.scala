@@ -32,6 +32,56 @@ object StatQueries {
         .orderBy("event_type", "rank")
     }),
 
+    // EXACT stratified sampling — exactly k rows per stratum (sampleBy
+    // is only approximate), chosen by lowest portable md5 hash =
+    // a uniform without-replacement draw, deterministic across engines
+    // and partitionings. Composed from the native TopKAgg bounded heap
+    // (value = −hash), so each map task ships ≤ k candidates per
+    // stratum — no per-stratum window sort over the full table.
+    "q149_stratified_sample" -> ((s, dir) => {
+      val bucket = graft.functions.BqShims.md5Bucket(col("event_id"))
+      t(s, dir, "events")
+        .withColumn("neg_bucket", -bucket.cast(DoubleType))
+        .groupBy("event_type")
+        .agg(graft.operators.TopKAgg.topK(col("neg_bucket"), col("event_id"), 10)
+          .as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).as("rank"),
+          col("col.id").as("event_id"),
+          (-col("col.value")).cast(LongType).as("bucket"))
+        .orderBy("event_type", "rank")
+    }),
+
+    // Distribution-drift detection between two periods — the data-
+    // quality gate a training pipeline runs before ingesting a new
+    // crawl. Values are binned (w=50), and the drift metric is TOTAL
+    // VARIATION DISTANCE computed integer-exactly: tvd_scaled =
+    // Σ_bins |a·Nb − b·Na| is an order-independent BIGINT sum, and the
+    // normalized tvd = tvd_scaled / (2·Na·Nb) is ONE final IEEE
+    // divide — no order-dependent float accumulation anywhere.
+    "q150_drift_tvd" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("half",
+          when(to_date(col("ts")) < lit("2024-01-16"), lit("a"))
+            .otherwise(lit("b")))
+        .withColumn("bin", floor(col("value") / 50).cast(IntegerType))
+      val counts = e.groupBy("event_type", "bin")
+        .agg(count_if(col("half") === "a").as("a"),
+          count_if(col("half") === "b").as("b"))
+      val totals = e.groupBy("event_type")
+        .agg(count_if(col("half") === "a").as("na"),
+          count_if(col("half") === "b").as("nb"))
+      counts.join(broadcast(totals), "event_type")
+        .groupBy(col("event_type"), col("na"), col("nb"))
+        .agg(sum(abs(col("a") * col("nb") - col("b") * col("na")))
+          .as("tvd_scaled"))
+        .select(col("event_type"), col("na"), col("nb"), col("tvd_scaled"),
+          (col("tvd_scaled").cast(DoubleType) /
+            (lit(2.0) * col("na") * col("nb"))).as("tvd"))
+        .withColumn("drifted", col("tvd") > 0.05)
+        .orderBy("event_type")
+    }),
+
     // A11 — grouped exact quantiles p10/p50/p90
     // (prophet_forecast.py:176-204; pandas_extras.py:5-12).
     "q60_group_quantiles" -> ((s, dir) => {
@@ -163,6 +213,41 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q149_stratified_sample" ->
+      """SELECT event_type, rank, event_id, bucket FROM (
+        |  SELECT event_type, event_id,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS bucket,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+        |        1, 8)) AS BIGINT) ASC, event_id ASC) AS rank
+        |  FROM events)
+        |WHERE rank <= 10 ORDER BY event_type, rank""".stripMargin,
+    "q150_drift_tvd" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |      THEN 'a' ELSE 'b' END AS half,
+        |    CAST(floor(value / 50) AS INT) AS bin
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, bin,
+        |    COUNT(*) FILTER (WHERE half = 'a') AS a,
+        |    COUNT(*) FILTER (WHERE half = 'b') AS b
+        |  FROM e GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type,
+        |    COUNT(*) FILTER (WHERE half = 'a') AS na,
+        |    COUNT(*) FILTER (WHERE half = 'b') AS nb
+        |  FROM e GROUP BY 1),
+        |s AS (
+        |  SELECT c.event_type, t.na, t.nb,
+        |    CAST(SUM(abs(c.a * t.nb - c.b * t.na)) AS BIGINT) AS tvd_scaled
+        |  FROM c JOIN t USING (event_type) GROUP BY 1, 2, 3)
+        |SELECT event_type, na, nb, tvd_scaled,
+        |  CAST(tvd_scaled AS DOUBLE) / (2.0 * na * nb) AS tvd,
+        |  CAST(tvd_scaled AS DOUBLE) / (2.0 * na * nb) > 0.05 AS drifted
+        |FROM s ORDER BY event_type""".stripMargin,
     "q145_grouped_topk" ->
       """SELECT event_type, rank, event_id, value FROM (
         |  SELECT event_type, event_id, value,

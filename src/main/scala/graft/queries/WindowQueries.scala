@@ -108,6 +108,23 @@ object WindowQueries {
         .orderBy("interval_id")
     }),
 
+    // Quantile discretizer (the feature-engineering bucketizer): each
+    // order's price decile WITHIN its priority class via ntile(10) on a
+    // uniquely tie-broken order — deterministic bucket membership both
+    // engines agree on — then per-(priority, decile) count + integer-
+    // exact price bounds. One shuffle by priority, one window.
+    "q151_quantile_discretize" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("o_orderpriority", "decile")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("o_orderpriority", "decile")
+    }),
+
     // W1 — latest event per user (QUALIFY row_number = 1,
     // graphics_dashboard.sql:165-169).
     "q30_dedup_latest" -> ((s, dir) => {
@@ -242,6 +259,16 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q151_quantile_discretize" ->
+      """SELECT o_orderpriority, decile, COUNT(*) AS n,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    ntile(10) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Independent implementation: the NAIVE inequality join (DuckDB
     // plans its IEJoin) — semantically the definition the binned
     // rewrite must reproduce.
