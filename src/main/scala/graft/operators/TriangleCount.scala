@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{count => fcount}
+import org.apache.spark.sql.types._
+
+/** Distributed triangle counting by DEGREE-ORIENTED wedge join — the
+  * standard scalable formulation (Cohen's MapReduce triangles /
+  * GraphX's TriangleCount): orient every undirected edge from its
+  * lower-(degree, id) endpoint to the higher one, join oriented edges
+  * on their source to form wedges, and close each wedge against the
+  * oriented edge set. Each triangle is counted EXACTLY once (its
+  * smallest vertex in the total order is the wedge pivot), and the
+  * wedge fan-out per pivot is bounded by out-degree ≤ O(√|E|) after
+  * orientation — the property that keeps the join sub-quadratic on
+  * power-law graphs where a naive neighbor join explodes on hubs.
+  *
+  * Scale shape: two equi-join shuffles over the oriented edge list
+  * (pivot join, closing join) plus one degree aggregation. No
+  * cartesian, no driver-side adjacency. The total order is encoded as
+  * one long (deg·2^33 + id) so orientation is a plain comparison.
+  */
+object TriangleCount {
+
+  /** @param edges undirected (src, dst) long columns; self-loops and
+    *              duplicate/reversed copies are cleaned here
+    * @return one row: n_nodes, n_edges, n_wedges (Σ C(d,2)),
+    *         n_triangles, global_cc = 3T/W (one IEEE divide)
+    */
+  def count(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set: (u,v) with u < v, distinct
+    val e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("id"))
+      .unionAll(e.select(col("v").as("id")))
+      .groupBy("id").agg(fcount(lit(1)).as("d"))
+    // total order: one sortable long (graphs with ids < 2^33, deg < 2^30)
+    val ord = deg.select(col("id"),
+      (col("d") * lit(8589934592L) + col("id")).as("ord"), col("d"))
+    val withOrd = e
+      .join(ord.select(col("id").as("u"), col("ord").as("ou")), "u")
+      .join(ord.select(col("id").as("v"), col("ord").as("ov")), "v")
+    val oriented = withOrd.select(
+      when(col("ou") < col("ov"), col("u")).otherwise(col("v")).as("s"),
+      when(col("ou") < col("ov"), col("ov")).otherwise(col("ou")).as("to"),
+      when(col("ou") < col("ov"), col("v")).otherwise(col("u")).as("t"))
+    // wedges around the pivot s: two out-neighbors, kept ordered so each
+    // unordered pair appears once
+    val w1 = oriented.select(col("s"), col("t").as("a"), col("to").as("oa"))
+    val w2 = oriented.select(col("s"), col("t").as("b"), col("to").as("ob"))
+    val wedges = w1.join(w2, "s").filter(col("oa") < col("ob"))
+    // close the wedge: (a,b) must be an oriented edge a→b (oa < ob
+    // guarantees the orientation direction matches)
+    val closing = oriented.select(col("s").as("a"), col("t").as("b"))
+    val triangles = wedges.join(closing, Seq("a", "b"))
+    val tri = triangles.agg(fcount(lit(1)).as("n_triangles"))
+    val stats = e.agg(fcount(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(fcount(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1) div 2")).as("n_wedges")))
+      .crossJoin(tri)
+    stats.select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+      col("n_triangles"),
+      (col("n_triangles").cast(DoubleType) * 3.0 /
+        col("n_wedges").cast(DoubleType)).as("global_cc"))
+  }
+}

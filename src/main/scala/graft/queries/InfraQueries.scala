@@ -176,6 +176,24 @@ object InfraQueries {
         .orderBy("status")
     }),
 
+    // Triangle counting by degree-oriented wedge join over the supplier
+    // co-purchase graph (suppliers sharing an order, 1-in-7 order
+    // sample to keep the projection sparse). Orientation makes the
+    // wedge fan-out O(√E)-bounded on hubs and counts each triangle
+    // exactly once; the oracle is the NAIVE u<v<w three-way edge join —
+    // orientation is perf, the count is the invariant.
+    "q153_triangle_count" -> ((s, dir) => {
+      val ol = t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(7)) === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = ol.select(col("ok"), col("sk").as("src"))
+        .join(ol.select(col("ok"), col("sk").as("dst")), "ok")
+        .filter(col("src") < col("dst"))
+        .select("src", "dst")
+      graft.operators.TriangleCount.count(edges)
+    }),
+
     // Integer-exact PageRank (3 damped iterations) over the undirected
     // customer↔supplier purchase graph — fixed-point BIGINT ranks,
     // floor-div contributions, so the unrolled-CTE oracle replays the
@@ -425,6 +443,29 @@ object InfraQueries {
         |  CAST(SUM(k) AS BIGINT) AS sum_key,
         |  CAST(COUNT(*) FILTER (WHERE from_change) AS BIGINT) AS n_changed
         |FROM final GROUP BY status ORDER BY status""".stripMargin,
+    "q153_triangle_count" ->
+      """WITH ol AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |  FROM lineitem WHERE l_orderkey % 7 = 0),
+        |e AS (
+        |  SELECT DISTINCT a.sk AS u, b.sk AS v
+        |  FROM ol a JOIN ol b ON a.ok = b.ok AND a.sk < b.sk),
+        |deg AS (
+        |  SELECT id, COUNT(*) AS d FROM (
+        |    SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT COUNT(*) AS t FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT
+        |  (SELECT COUNT(*) FROM deg)::BIGINT AS n_nodes,
+        |  (SELECT COUNT(*) FROM e)::BIGINT AS n_edges,
+        |  (SELECT SUM(d * (d - 1) // 2) FROM deg)::BIGINT AS n_wedges,
+        |  (SELECT t FROM tri)::BIGINT AS n_triangles,
+        |  CAST((SELECT t FROM tri) AS DOUBLE) * 3.0 /
+        |    CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS DOUBLE)
+        |    AS global_cc""".stripMargin,
     "q128_pagerank" -> {
       val edgesSql =
         """SELECT o_custkey AS src, l_suppkey + 10000000 AS dst

@@ -82,6 +82,20 @@ object StatQueries {
         .orderBy("event_type")
     }),
 
+    // CUSUM changepoint detection on daily counts — "when did this
+    // metric's level shift". The mean subtraction is cross-multiplied
+    // into integers (c_k = D·cum_k − k·S), so the argmax day and max
+    // deviation are exact; only the final σ-normalization touches
+    // floats (one sqrt + one divide, IEEE-portable).
+    "q154_cusum_changepoint" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Cusum.changepoint(daily, Seq("event_type"),
+          ordCol = "day", xCol = "n", thresh = 3.0)
+        .orderBy("event_type")
+    }),
+
     // A11 — grouped exact quantiles p10/p50/p90
     // (prophet_forecast.py:176-204; pandas_extras.py:5-12).
     "q60_group_quantiles" -> ((s, dir) => {
@@ -213,6 +227,30 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q154_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS d,
+        |    SUM(n) OVER (PARTITION BY event_type) AS s
+        |  FROM daily),
+        |c AS (
+        |  SELECT event_type, day, d, s, abs(d * cum - k * s) AS a FROM w),
+        |best AS (
+        |  SELECT event_type, day, d, s, a, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY a DESC, day ASC) AS rn
+        |  FROM c)
+        |SELECT event_type, d::BIGINT AS n_steps, s::BIGINT AS total,
+        |  day AS cp_day, a::BIGINT AS max_abs_c,
+        |  CAST(a AS DOUBLE) / (d * sqrt(CAST(s AS DOUBLE))) AS stat,
+        |  CAST(a AS DOUBLE) / (d * sqrt(CAST(s AS DOUBLE))) > 3.0
+        |    AS changed
+        |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "q149_stratified_sample" ->
       """SELECT event_type, rank, event_id, bucket FROM (
         |  SELECT event_type, event_id,

@@ -125,6 +125,32 @@ object WindowQueries {
         .orderBy("o_orderpriority", "decile")
     }),
 
+    // Cohort retention matrix — the product-analytics staple: users
+    // grouped by first-activity week (their cohort), activity counted
+    // per (cohort, week-offset), retention = share of the cohort still
+    // active (one IEEE divide). Two shuffles total: the per-user
+    // first-week agg and the (cohort, offset) rollup; the user→cohort
+    // join is an ordinary equi-join on the user key.
+    "q155_retention_cohorts" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("day", datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast(LongType))
+        .withColumn("week", expr("day div 7"))
+        .select("user_id", "week")
+      val firstWeek = e.groupBy("user_id").agg(min("week").as("cohort"))
+      val sizes = firstWeek.groupBy("cohort")
+        .agg(countDistinct("user_id").as("cohort_size"))
+      e.join(firstWeek, "user_id")
+        .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .join(broadcast(sizes), "cohort")
+        .select(col("cohort"), col("week_offset"), col("n_users"),
+          col("cohort_size"),
+          (col("n_users").cast(DoubleType) / col("cohort_size"))
+            .as("retention"))
+        .orderBy("cohort", "week_offset")
+    }),
+
     // W1 — latest event per user (QUALIFY row_number = 1,
     // graphics_dashboard.sql:165-169).
     "q30_dedup_latest" -> ((s, dir) => {
@@ -259,6 +285,23 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q155_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+        |      AS week
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(week) AS cohort FROM e GROUP BY 1),
+        |sz AS (SELECT cohort, COUNT(DISTINCT user_id) AS cohort_size
+        |       FROM f GROUP BY 1),
+        |m AS (
+        |  SELECT f.cohort, e.week - f.cohort AS week_offset,
+        |    COUNT(DISTINCT e.user_id) AS n_users
+        |  FROM e JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT m.cohort, m.week_offset, m.n_users, sz.cohort_size,
+        |  CAST(m.n_users AS DOUBLE) / sz.cohort_size AS retention
+        |FROM m JOIN sz USING (cohort)
+        |ORDER BY cohort, week_offset""".stripMargin,
     "q151_quantile_discretize" ->
       """SELECT o_orderpriority, decile, COUNT(*) AS n,
         |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
