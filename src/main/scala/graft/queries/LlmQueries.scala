@@ -705,6 +705,29 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // Deterministic negative-pair generation for contrastive training:
+    // docs are placed on a B-bucket md5 ring, each bucket's canonical
+    // representative is its min doc_id, and anchor i's j-th negative is
+    // the representative of bucket (b(i) + stride_j) mod B — uniform-ish
+    // pairing with ZERO RNG state, reproducible under any partitioning,
+    // and one broadcast equi-join instead of any cross join. Self-pairs
+    // are filtered (an anchor can land on its own bucket's rep).
+    "q158_negative_pairs" -> ((s, dir) => {
+      val b = 64
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        pmod(graft.functions.BqShims.md5Bucket(col("doc_id")), lit(b.toLong))
+          .as("bk"))
+      val reps = d.groupBy("bk").agg(min("doc_id").as("neg_doc_id"))
+      d.select(col("doc_id"), col("bk"),
+          posexplode(array(Seq(7, 19, 31, 43).map(lit): _*)))
+        .select(col("doc_id"), (col("pos") + 1).as("neg_rank"),
+          pmod(col("bk") + col("col"), lit(b.toLong)).as("tb"))
+        .join(broadcast(reps.withColumnRenamed("bk", "tb")), "tb")
+        .filter(col("neg_doc_id") =!= col("doc_id"))
+        .select("doc_id", "neg_rank", "neg_doc_id")
+        .orderBy("doc_id", "neg_rank")
+    }),
+
     // Weighted sampling without replacement via PRIORITY SAMPLING
     // (Duffield–Lund–Thorup): priority = w·2^32 / (md5_32(id)+1), keep
     // the top k, and publish the unbiased total-weight estimator
@@ -1064,6 +1087,22 @@ object LlmQueries {
       (graft.llm.Chunker.chunkSql(window = 32, stride = 16, minTokens = 8) +
         "\nORDER BY doc_id, chunk_id"),
     "q138_hybrid_rrf" -> hybridSql(k = 20, k0 = 60, topK = 10),
+    "q158_negative_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 64 AS bk
+        |  FROM documents),
+        |reps AS (SELECT bk, MIN(doc_id) AS neg_doc_id FROM d GROUP BY 1),
+        |a AS (
+        |  SELECT d.doc_id, g.j + 1 AS neg_rank,
+        |    (d.bk + CASE g.j WHEN 0 THEN 7 WHEN 1 THEN 19
+        |            WHEN 2 THEN 31 ELSE 43 END) % 64 AS tb
+        |  FROM d CROSS JOIN generate_series(0, 3) g(j))
+        |SELECT a.doc_id, a.neg_rank, r.neg_doc_id
+        |FROM a JOIN reps r ON r.bk = a.tb
+        |WHERE r.neg_doc_id <> a.doc_id
+        |ORDER BY doc_id, neg_rank""".stripMargin,
     "q147_priority_sample" ->
       """WITH pr AS (
         |  SELECT doc_id, source, n_chars,

@@ -26,7 +26,45 @@ object SourceQueries {
   private val qsketchDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q157's persisted bloom-filter sidecar (same lifecycle). */
+  private val bloomDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val queries: Map[String, Q] = Map(
+    // Persisted Bloom-filter sidecar pruning — the membership analogue
+    // of the q133/q146 sketch cubes: "users who ever purchased" is
+    // distilled once into ≤ m lit bit positions; later scans prune by
+    // broadcasting those positions instead of joining the build side.
+    // The md5-positioned filter is fully deterministic, so the oracle
+    // replays build, probe, AND the false positives bit-for-bit.
+    "q157_bloom_prune" -> ((s, dir) => {
+      import graft.operators.BloomPrune
+      val (k, m) = (4, 4096)
+      val path = bloomDirs.computeIfAbsent(dir, _ => {
+        val p = tmpDir("graft_bloom")
+        BloomPrune.build(
+            t(s, dir, "orders")
+              .filter(col("o_orderpriority") === "1-URGENT")
+              .select("o_custkey").distinct(), "o_custkey", k, m)
+          .write.mode(SaveMode.Overwrite).parquet(p)
+        p
+      })
+      val probe = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey")).distinct()
+      val cand = BloomPrune.candidates(probe, "o_custkey",
+        s.read.parquet(path), k, m)
+      val members = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey").distinct()
+      // true members that are also customers (custkeys all are)
+      probe.agg(count(lit(1)).as("n_probed"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(members.agg(count(lit(1)).as("n_true")))
+        .select(col("n_probed"), col("n_candidates"), col("n_true"),
+          (col("n_candidates") - col("n_true")).as("n_false_pos"),
+          ((col("n_candidates") - col("n_true")).cast(DoubleType) /
+            (col("n_probed") - col("n_true"))).as("fp_rate"))
+    }),
     // Mergeable QUANTILE sketch rollup — q133's percentile sibling:
     // per-(event_type, day) sparse bin-histograms persisted once, any
     // range query merges sketch rows (native hist_sum aggregate) and
@@ -397,6 +435,38 @@ object SourceQueries {
         statRow("o_day", "CAST(o_orderdate AS DATE)"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
+    "q157_bloom_prune" ->
+      """WITH mem AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |probe AS (SELECT DISTINCT c_custkey AS o_custkey FROM customer),
+        |pos AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(
+        |      CAST(o_custkey AS VARCHAR) || '#' || j), 1, 8)) AS BIGINT)
+        |    % 4096 AS pos
+        |  FROM mem CROSS JOIN generate_series(0, 3) g(j)),
+        |pp AS (
+        |  SELECT o_custkey, CAST(('0x' || substr(md5(
+        |      CAST(o_custkey AS VARCHAR) || '#' || j), 1, 8)) AS BIGINT)
+        |    % 4096 AS pos
+        |  FROM probe CROSS JOIN generate_series(0, 3) g(j)),
+        |cand AS (
+        |  SELECT o_custkey FROM (
+        |    SELECT p.o_custkey,
+        |      MIN(CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END) AS ok
+        |    FROM pp p LEFT JOIN pos s USING (pos) GROUP BY 1)
+        |  WHERE ok = 1)
+        |SELECT
+        |  (SELECT COUNT(*) FROM probe)::BIGINT AS n_probed,
+        |  (SELECT COUNT(*) FROM cand)::BIGINT AS n_candidates,
+        |  (SELECT COUNT(*) FROM mem)::BIGINT AS n_true,
+        |  ((SELECT COUNT(*) FROM cand) -
+        |    (SELECT COUNT(*) FROM mem))::BIGINT AS n_false_pos,
+        |  CAST((SELECT COUNT(*) FROM cand) -
+        |      (SELECT COUNT(*) FROM mem) AS DOUBLE) /
+        |    ((SELECT COUNT(*) FROM probe) -
+        |      (SELECT COUNT(*) FROM mem)) AS fp_rate""".stripMargin,
+
     // Full replay — binning, cumulative rank lookup, integer ceil-div
     // targets, and the bound booleans are all deterministic shared-IEEE
     // arithmetic, so unlike q133 no TRUE-gate is needed.

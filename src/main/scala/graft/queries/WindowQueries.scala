@@ -125,6 +125,56 @@ object WindowQueries {
         .orderBy("o_orderpriority", "decile")
     }),
 
+    // ORDERED funnel with per-step deadlines — signup → first click
+    // within 7 days → first purchase within 7 days OF THE CLICK (q67's
+    // funnel counts ignore order; this is the strict sequential form).
+    // Composed from TWO forward as-of joins (AsOfJoin.forward), i.e.
+    // two union-carry window passes — no range joins anywhere. The
+    // oracle chains DuckDB's native ASOF JOIN twice.
+    "q156_ordered_funnel" -> ((s, dir) => {
+      val week7 = 604800000000L // 7 days in micros
+      val e = t(s, dir, "events")
+        .withColumn("tsu", graft.functions.BqShims.epochMicros(col("ts")))
+      def firstPer(kind: String, tsName: String, idName: String) = {
+        val w = Window.partitionBy("user_id", "tsu")
+          .orderBy(col("event_id").desc)
+        e.filter(col("event_type") === kind)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("tsu").as(tsName),
+            col("event_id").as(idName))
+      }
+      val signups = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("tsu")).as("signup_ts"))
+      val clicks = firstPer("click", "c_ts", "c_id")
+        .withColumnRenamed("c_ts", "signup_ts") // shared ts column name
+      val s1 = graft.operators.AsOfJoin.forward(signups, clicks,
+          key = "user_id", ts = "signup_ts", rightTieBreak = "c_id",
+          tolerance = Some(week7))
+        .select(col("user_id"), col("signup_ts"),
+          col("r_signup_ts").as("click_ts"), col("r_c_id").as("click_id"))
+      val purchases = firstPer("purchase", "click_ts", "p_id")
+      val s2ready = s1.filter(col("click_ts").isNotNull)
+      val s2 = graft.operators.AsOfJoin.forward(s2ready, purchases,
+          key = "user_id", ts = "click_ts", rightTieBreak = "p_id",
+          tolerance = Some(week7))
+        .select(col("user_id"), col("signup_ts"), col("click_ts"),
+          col("r_click_ts").as("purchase_ts"))
+      val perUser = s1.filter(col("click_ts").isNull)
+        .select(col("user_id"), col("signup_ts"),
+          col("click_ts"), lit(null).cast(LongType).as("purchase_ts"))
+        .unionByName(s2)
+      perUser
+        .groupBy(expr("(signup_ts div 604800000000)").as("signup_week"))
+        .agg(count(lit(1)).as("n_signups"),
+          count(col("click_ts")).as("n_clicked"),
+          count(col("purchase_ts")).as("n_purchased"))
+        .withColumn("cr_click",
+          col("n_clicked").cast(DoubleType) / col("n_signups"))
+        .withColumn("cr_purchase",
+          col("n_purchased").cast(DoubleType) / col("n_signups"))
+        .orderBy("signup_week")
+    }),
+
     // Cohort retention matrix — the product-analytics staple: users
     // grouped by first-activity week (their cohort), activity counted
     // per (cohort, week-offset), retention = share of the cohort still
@@ -285,6 +335,56 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Two chained NATIVE ASOF joins — again an independent
+    // implementation of the two union-carry passes.
+    "q156_ordered_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+        |  FROM events),
+        |su AS (
+        |  SELECT user_id, MIN(tsu) AS signup_ts FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |ck AS (
+        |  SELECT user_id, tsu, event_id FROM (
+        |    SELECT user_id, tsu, event_id, row_number() OVER (
+        |      PARTITION BY user_id, tsu ORDER BY event_id DESC) AS rn
+        |    FROM e WHERE event_type = 'click') WHERE rn = 1),
+        |pu AS (
+        |  SELECT user_id, tsu, event_id FROM (
+        |    SELECT user_id, tsu, event_id, row_number() OVER (
+        |      PARTITION BY user_id, tsu ORDER BY event_id DESC) AS rn
+        |    FROM e WHERE event_type = 'purchase') WHERE rn = 1),
+        |s1 AS (
+        |  SELECT su.user_id, su.signup_ts, ck.tsu AS click_ts
+        |  FROM su ASOF LEFT JOIN ck
+        |    ON su.user_id = ck.user_id AND ck.tsu >= su.signup_ts),
+        |s1t AS (
+        |  SELECT user_id, signup_ts,
+        |    CASE WHEN click_ts <= signup_ts + 604800000000
+        |      THEN click_ts END AS click_ts
+        |  FROM s1),
+        |s2 AS (
+        |  SELECT a.user_id, a.signup_ts, a.click_ts, p.tsu AS purchase_ts
+        |  FROM (SELECT * FROM s1t WHERE click_ts IS NOT NULL) a
+        |  ASOF LEFT JOIN pu p
+        |    ON a.user_id = p.user_id AND p.tsu >= a.click_ts),
+        |s2t AS (
+        |  SELECT user_id, signup_ts, click_ts,
+        |    CASE WHEN purchase_ts <= click_ts + 604800000000
+        |      THEN purchase_ts END AS purchase_ts
+        |  FROM s2),
+        |all_u AS (
+        |  SELECT user_id, signup_ts, click_ts,
+        |    CAST(NULL AS BIGINT) AS purchase_ts
+        |  FROM s1t WHERE click_ts IS NULL
+        |  UNION ALL SELECT * FROM s2t)
+        |SELECT signup_ts // 604800000000 AS signup_week,
+        |  COUNT(*)::BIGINT AS n_signups,
+        |  COUNT(click_ts)::BIGINT AS n_clicked,
+        |  COUNT(purchase_ts)::BIGINT AS n_purchased,
+        |  CAST(COUNT(click_ts) AS DOUBLE) / COUNT(*) AS cr_click,
+        |  CAST(COUNT(purchase_ts) AS DOUBLE) / COUNT(*) AS cr_purchase
+        |FROM all_u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q155_retention_cohorts" ->
       """WITH e AS (
         |  SELECT user_id,
