@@ -100,6 +100,33 @@ object Bm25 {
       .agg(count(lit(1)).cast(LongType).as("tf"))
   }
 
+  /** INCREMENTAL index maintenance — apply a CDC changelog (op ∈
+    * {I, U, D}, doc_id, text) to a persisted postings index without
+    * rebuilding: touched docs' postings are anti-joined away, surviving
+    * inserts/updates are re-tokenized and appended. Because
+    * [[topKFromIndex]] derives df and corpus stats FROM the index at
+    * probe time, fixing the postings rows fixes everything — the
+    * maintained index is row-identical to a full rebuild over the
+    * final corpus (the q117-style equivalence gate). Cost follows the
+    * CHANGED docs, never the corpus — the property that makes nightly
+    * index refresh feasible at 100 TB.
+    *
+    * D beats I/U for the same doc in one batch (delete-wins, the q129
+    * CDC convention). */
+  def applyChanges(index: DataFrame, changes: DataFrame,
+      idCol: String = "doc_id", opCol: String = "op",
+      textCol: String = "text"): DataFrame = {
+    val touched = changes.select(col(idCol).as("doc_id")).distinct()
+    val kept = index.join(touched, Seq("doc_id"), "left_anti")
+      .select("term", "doc_id", "dl", "tf")
+    val dels = changes.filter(col(opCol) === "D")
+      .select(col(idCol).as("doc_id")).distinct()
+    val upserts = changes.filter(col(opCol) =!= "D")
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(dels, Seq("doc_id"), "left_anti")
+    kept.unionByName(buildIndex(upserts))
+  }
+
   /** Corpus stats (n_docs, t_toks) from the index — persisted alongside
     * it in a real deployment; recomputed here in one distinct-doc agg. */
   def indexStats(index: DataFrame): DataFrame =

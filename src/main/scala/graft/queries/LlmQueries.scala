@@ -705,6 +705,34 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // INCREMENTAL inverted-index maintenance — q140's persisted index
+    // kept current under a CDC changelog (inserts: the held-out 10%,
+    // updates: appended text, deletes: every 13th doc, delete-wins)
+    // WITHOUT a rebuild: touched postings anti-joined away, changed
+    // docs re-tokenized and appended; cost follows the changes, not
+    // the corpus. Gate: BM25 over the maintained index must equal the
+    // oracle's scoring of the FINAL corpus — maintenance ≡ rebuild.
+    "q159_index_maintenance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select("doc_id", "text")
+      val idx0 = pinnedStage(s, s"bm25idx0|$dir",
+        graft.llm.Bm25.buildIndex(base))
+      val inserts = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(lit("I").as("op"), col("doc_id"), col("text"))
+      val updates = docs.filter(pmod(col("doc_id"), lit(9)) === 0 &&
+          pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(lit("U").as("op"), col("doc_id"),
+          concat(col("text"), lit(" graft update")).as("text"))
+      val deletes = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select(lit("D").as("op"), col("doc_id"),
+          lit(null).cast(StringType).as("text"))
+      val idx1 = graft.llm.Bm25.applyChanges(idx0,
+        inserts.unionByName(updates).unionByName(deletes))
+      graft.llm.Bm25.topKFromIndex(idx1, bm25Queries, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Deterministic negative-pair generation for contrastive training:
     // docs are placed on a B-bucket md5 ring, each bucket's canonical
     // representative is its min doc_id, and anchor i's j-th negative is
@@ -912,7 +940,8 @@ object LlmQueries {
     * split, the q76-proven pair), same integer ratios in HUGEINT
     * (DECIMAL(38,0) on the Spark side), one double divide per term,
     * left-to-right term addition. */
-  private def bm25Sql(queries: Seq[(Int, Seq[String])], k: Int): String = {
+  private def bm25Sql(queries: Seq[(Int, Seq[String])], k: Int,
+      corpusSql: String = "SELECT doc_id, text FROM documents"): String = {
     val terms = queries.flatMap(_._2).distinct
     def tf(t: String) = s"tf_${terms.indexOf(t)}"
     def df(t: String) = s"df_${terms.indexOf(t)}"
@@ -935,7 +964,7 @@ object LlmQueries {
        |  SELECT doc_id,
        |    len(string_split_regex(lower(text), '\\s+')) AS dl,
        |$baseCols
-       |  FROM documents),
+       |  FROM ($corpusSql)),
        |stats AS (
        |  SELECT COUNT(*) AS n_docs, SUM(dl)::BIGINT AS t_toks,
        |$dfCols
@@ -1087,6 +1116,13 @@ object LlmQueries {
       (graft.llm.Chunker.chunkSql(window = 32, stride = 16, minTokens = 8) +
         "\nORDER BY doc_id, chunk_id"),
     "q138_hybrid_rrf" -> hybridSql(k = 20, k0 = 60, topK = 10),
+    // the oracle scores the FINAL corpus directly — maintenance must
+    // be indistinguishable from rebuild
+    "q159_index_maintenance" -> bm25Sql(bm25Queries, 10, corpusSql =
+      """SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0 AND doc_id % 10 <> 0
+        |      THEN text || ' graft update' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0""".stripMargin),
     "q158_negative_pairs" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -33,6 +33,27 @@ class Bm25IndexSpec extends SparkTestBase {
     assert(stats == ((2L, 6L)))
   }
 
+  test("applyChanges: maintained index row-identical to a full rebuild") {
+    import spark.implicits._
+    val base = Seq((1L, "a b"), (2L, "b c"), (3L, "c d"), (4L, "d e"))
+      .toDF("doc_id", "text")
+    val changes = Seq(
+      ("I", 5L, "e f"),          // new doc
+      ("U", 2L, "b c changed"),  // text change
+      ("D", 3L, null.asInstanceOf[String]), // delete
+      ("U", 4L, "ghost"), ("D", 4L, null.asInstanceOf[String])) // D wins
+      .toDF("op", "doc_id", "text")
+    val maintained = Bm25.applyChanges(Bm25.buildIndex(base), changes)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val finalCorpus = Seq((1L, "a b"), (2L, "b c changed"), (5L, "e f"))
+      .toDF("doc_id", "text")
+    val rebuilt = Bm25.buildIndex(finalCorpus)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(maintained === rebuilt)
+  }
+
   test("probe plan touches only query-term postings: isin filter present, stats broadcast") {
     val docs = graft.util.Tables.t(spark, sfDir, "documents")
     val plan = Bm25.topKFromIndex(Bm25.buildIndex(docs), queries, k = 5)
