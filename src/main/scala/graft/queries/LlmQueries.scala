@@ -705,6 +705,18 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // Johnson–Lindenstrauss ±1 random projection (Achlioptas form) —
+    // 64-dim embeddings down to 8 dims through an md5-DERIVED sign
+    // matrix: no RNG, no stored matrix, identical on every engine.
+    // DECIMAL-accumulated sums (the exact-cosine idiom) keep each
+    // coordinate order-independent; one divide by √d at the end.
+    "q160_random_projection" -> ((s, dir) => {
+      graft.llm.RandomProjection.project(
+          t(s, dir, "embeddings").filter(col("vec_id") < 200),
+          idCol = "vec_id", vecCol = "embedding", d = 8)
+        .orderBy("vec_id", "j")
+    }),
+
     // INCREMENTAL inverted-index maintenance — q140's persisted index
     // kept current under a CDC changelog (inserts: the held-out 10%,
     // updates: appended text, deletes: every 13th doc, delete-wins)
@@ -1123,6 +1135,22 @@ object LlmQueries {
         |    CASE WHEN doc_id % 9 = 0 AND doc_id % 10 <> 0
         |      THEN text || ' graft update' ELSE text END AS text
         |  FROM documents WHERE doc_id % 13 <> 0""".stripMargin),
+    "q160_random_projection" ->
+      """WITH el AS (
+        |  SELECT vec_id, g.i, embedding[g.i] AS v
+        |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+        |  CROSS JOIN generate_series(1, 64) g(i)),
+        |signs AS (
+        |  SELECT i, j,
+        |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || 'x' ||
+        |      CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 2 * 2 - 1 AS s
+        |  FROM generate_series(1, 64) gi(i)
+        |  CROSS JOIN generate_series(0, 7) gj(j))
+        |SELECT vec_id, j,
+        |  round(CAST(SUM(CAST(CAST(v AS DOUBLE) * s AS DECIMAL(30, 15)))
+        |    AS DOUBLE) / sqrt(8.0), 6) AS p
+        |FROM el JOIN signs USING (i)
+        |GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
     "q158_negative_pairs" ->
       """WITH d AS (
         |  SELECT doc_id,
