@@ -245,6 +245,22 @@ object InfraQueries {
 
     // Structured Streaming — watermarked tumbling-window daily counts,
     // driven synchronously; semantics equal the batch group-by oracle.
+    // Native session_window streaming (gap = 6 h, zero-delay watermark,
+    // append mode): the declarative sibling of q107's custom-state
+    // sessionize. The oracle encodes the watermark-finalization rule
+    // (emit sessions whose end ≤ max event time) — the contract an
+    // unbounded deployment actually observes.
+    "q161_stream_session_window" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      StreamOps.sessionWindowsAvailableNow(s, dir, schema, gap = "6 hours",
+          queryName = "stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+          globFilter = Some("events.parquet"))
+        .orderBy("user_id", "sess_start")
+    }),
+
     "q94_stream_window" -> ((s, dir) => {
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", TimestampNTZType),
@@ -397,6 +413,27 @@ object InfraQueries {
         |  UNION
         |  SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src)
         |SELECT src, dst FROM closure ORDER BY src, dst""".stripMargin,
+    "q161_stream_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsm FROM events),
+        |mx AS (SELECT MAX(tsm) AS wm FROM e),
+        |d AS (
+        |  SELECT user_id, tsm,
+        |    CASE WHEN lag(tsm) OVER w IS NULL
+        |      OR tsm - lag(tsm) OVER w >= 21600000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm)),
+        |g AS (
+        |  SELECT user_id, tsm, SUM(brk) OVER (
+        |    PARTITION BY user_id ORDER BY tsm
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM d),
+        |sess AS (
+        |  SELECT user_id, MIN(tsm) AS sess_start,
+        |    MAX(tsm) + 21600000000 AS sess_end, COUNT(*) AS n
+        |  FROM g GROUP BY user_id, sid)
+        |SELECT user_id, sess_start, sess_end, n
+        |FROM sess, mx WHERE sess_end <= mx.wm
+        |ORDER BY user_id, sess_start""".stripMargin,
     "q94_stream_window" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,

@@ -255,6 +255,21 @@ object RelationalQueries {
         .orderBy("status")
     }),
 
+    // Pareto frontier — "cheapest-and-newest" orders: no other order is
+    // both ≤ price and ≥ date (strict in one). The oracle runs the
+    // textbook O(n²) NOT EXISTS self-join; the engine runs the grid-
+    // pruned single-window rewrite (operators/Skyline) — no self-join.
+    "q163_skyline" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_totalprice").as("p"),
+        datediff(to_date(col("o_orderdate")),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast(LongType).as("d"))
+      graft.operators.Skyline.skyline2D(
+          o.select(col("p"), (-col("d")).as("nd")),
+          xCol = "p", yCol = "nd", bucketWidth = Some(10000.0))
+        .select(col("p").as("o_totalprice"), (-col("nd")).as("order_day"))
+        .orderBy("o_totalprice")
+    }),
+
     // Skew-salted join — the explicit hot-key spreading form (AQE's
     // skew split can't reach inside cached stages): the events fact is
     // salted 8 ways on a stable row hash, the 5-row event-type dim is
@@ -288,6 +303,18 @@ object RelationalQueries {
   private val dec = "CAST(SUM(CAST(%s AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q163_skyline" ->
+      """WITH od AS (
+        |  SELECT DISTINCT o_totalprice AS p,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS d
+        |  FROM orders)
+        |SELECT a.p AS o_totalprice, a.d AS order_day
+        |FROM od a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM od b
+        |  WHERE b.p <= a.p AND b.d >= a.d AND (b.p < a.p OR b.d > a.d))
+        |ORDER BY 1""".stripMargin,
     "q152_salted_join" ->
       """WITH dim AS (
         |  SELECT event_type, COUNT(*) AS type_n FROM events GROUP BY 1)

@@ -96,6 +96,29 @@ object StatQueries {
         .orderBy("event_type")
     }),
 
+    // WEIGHTED median — the quantity-weighted median line-item price
+    // per return flag: values pre-aggregated per (group, value) so the
+    // cumulative-weight walk runs over distinct values, the rank
+    // threshold ⌈W/2⌉ is integer ceil-div, and the selected value is an
+    // ELEMENT (no arithmetic) — exact and portable. One window per
+    // group-key exchange, same shape as the exact-quantile family.
+    "q162_weighted_median" -> ((s, dir) => {
+      val byVal = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"),
+          col("l_quantity").cast(LongType).as("w"))
+        .groupBy("g", "v").agg(sum("w").as("w"))
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val tot = byVal.groupBy("g").agg(sum("w").as("tw"))
+      byVal.withColumn("cw", sum(col("w")).over(wc))
+        .join(broadcast(tot), "g")
+        .filter(col("cw") >= expr("(tw + 1) div 2"))
+        .groupBy("g", "tw").agg(min("v").as("weighted_median"))
+        .orderBy("g")
+    }),
+
     // A11 — grouped exact quantiles p10/p50/p90
     // (prophet_forecast.py:176-204; pandas_extras.py:5-12).
     "q60_group_quantiles" -> ((s, dir) => {
@@ -227,6 +250,20 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q162_weighted_median" ->
+      """WITH bv AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT g, v, w, SUM(w) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        |  FROM bv),
+        |t AS (SELECT g, CAST(SUM(w) AS BIGINT) AS tw FROM bv GROUP BY 1)
+        |SELECT c.g, t.tw, MIN(c.v) AS weighted_median
+        |FROM c JOIN t ON c.g = t.g
+        |WHERE c.cw >= (t.tw + 1) // 2
+        |GROUP BY 1, 2 ORDER BY c.g""".stripMargin,
     "q154_cusum_changepoint" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
