@@ -96,6 +96,30 @@ object StatQueries {
         .orderBy("event_type")
     }),
 
+    // Misra–Gries heavy hitters: k=8 counters over a zipf-ish derived
+    // key (floor(√user_id) — bigger keys absorb more users). The
+    // sketch CONTENTS are merge-order-dependent, so per the q133 rule
+    // the query publishes the deterministic GUARANTEES: every true
+    // heavy hitter (n > N/(k+1)) is present in the summary, and its
+    // estimate error is ≤ N/(k+1). The oracle recomputes exact counts
+    // and emits literal TRUEs — a sketch regression flips a boolean.
+    "q164_heavy_hitters" -> ((s, dir) => {
+      val k = 8
+      val e = t(s, dir, "events").select(
+        floor(sqrt(col("user_id").cast(DoubleType))).cast(LongType)
+          .cast(StringType).as("key"))
+      val mg = e.agg(graft.operators.MisraGries.summary(col("key"), k)
+        .as("mg"), count(lit(1)).as("n"))
+      e.groupBy("key").agg(count(lit(1)).as("exact_n"))
+        .crossJoin(broadcast(mg))
+        .filter(col("exact_n") * (k + 1) > col("n"))
+        .select(col("key"), col("exact_n"),
+          element_at(col("mg"), col("key")).isNotNull.as("in_candidates"),
+          ((col("exact_n") - coalesce(element_at(col("mg"), col("key")),
+            lit(0L))) * (k + 1) <= col("n")).as("bound_ok"))
+        .orderBy("key")
+    }),
+
     // WEIGHTED median — the quantity-weighted median line-item price
     // per return flag: values pre-aggregated per (group, value) so the
     // cumulative-weight walk runs over distinct values, the rank
@@ -250,6 +274,17 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // guarantees hold by theorem; exact side recomputed — the booleans
+    // are the assertion (q133 pattern)
+    "q164_heavy_hitters" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(floor(sqrt(CAST(user_id AS DOUBLE)))
+        |    AS BIGINT) AS VARCHAR) AS key
+        |  FROM events),
+        |x AS (SELECT key, COUNT(*) AS exact_n FROM e GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM e)
+        |SELECT key, exact_n, TRUE AS in_candidates, TRUE AS bound_ok
+        |FROM x, n WHERE exact_n * 9 > n ORDER BY key""".stripMargin,
     "q162_weighted_median" ->
       """WITH bv AS (
         |  SELECT l_returnflag AS g, l_extendedprice AS v,
