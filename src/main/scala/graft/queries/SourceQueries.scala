@@ -31,6 +31,26 @@ object SourceQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   val queries: Map[String, Q] = Map(
+    // Small-file compaction (the streaming-sink hygiene op): a freshly
+    // fragmented 64-file copy of orders is rewritten to
+    // ⌈bytes/target⌉ balanced files with rows preserved exactly.
+    // File counts are environment facts, so the published columns are
+    // the CONTRACT booleans (q133 pattern) plus the exact row count.
+    "q165_compaction" -> ((s, dir) => {
+      import graft.operators.Compaction
+      val work = tmpDir("graft_compact") + "/tbl"
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(64).write.parquet(work)
+      val (nb, na, rows) = Compaction.compact(s, work,
+        targetBytes = 1L * 1024 * 1024)
+      import s.implicits._
+      Seq((rows, nb, na)).toDF("n_rows", "nb", "na")
+        .select(col("n_rows"),
+          (col("nb") === 64).as("fragmented_ok"),
+          (col("na") < col("nb")).as("reduced"),
+          (col("na") <= 8).as("small"))
+    }),
+
     // Persisted Bloom-filter sidecar pruning — the membership analogue
     // of the q133/q146 sketch cubes: "users who ever purchased" is
     // distilled once into ≤ m lit bit positions; later scans prune by
@@ -435,6 +455,11 @@ object SourceQueries {
         statRow("o_day", "CAST(o_orderdate AS DATE)"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
+    // contract booleans; exact row count recomputed
+    "q165_compaction" ->
+      """SELECT COUNT(*)::BIGINT AS n_rows, TRUE AS fragmented_ok,
+        |  TRUE AS reduced, TRUE AS small
+        |FROM orders""".stripMargin,
     "q157_bloom_prune" ->
       """WITH mem AS (
         |  SELECT DISTINCT o_custkey FROM orders
