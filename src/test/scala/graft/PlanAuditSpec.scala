@@ -178,6 +178,51 @@ class PlanAuditSpec extends SparkTestBase {
       s"nested predicate not pushed:\n$p")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // The hot-key contract at 100 TB: when one join key dominates, AQE's
+    // OptimizeSkewedJoin splits that shuffle partition into chunks and
+    // replicates the matching dim rows — no code change, no salting
+    // needed for the moderate case (q152's explicit salting covers the
+    // extreme one). Thresholds lowered to prove the mechanism on test
+    // data; broadcast disabled so the join actually sort-merges.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      // 90% of fact rows share key 1 — one hot shuffle partition
+      val fact = spark.range(0, 300000)
+        .select(when(pmod(col("id"), lit(10)) < 9, 1L).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val dim = spark.range(0, 2000).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val joined = fact.join(dim, "k")
+      // execute THIS QueryExecution (count() would spawn a fresh one)
+      // so AQE finalizes the adaptive plan
+      assert(joined.collect().length > 0)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"expected AQE skew-join split in the final plan:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("runtime bloom-filter semi-join reduction injects on a shuffled join") {
     // The 100 TB fact⋈filtered-dim shape: Catalyst's InjectRuntimeFilter
     // builds a bloom filter from the selective dim side and pushes a
