@@ -132,13 +132,14 @@ object Bench {
     // Locale.ROOT: "%.Nf" must never emit a comma decimal separator.
     def fmt(v: Double, dec: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dec}f", v)
-    // Short-line values are clamped to ≤4 chars ("99.9" / "135"): with
-    // ~150 queries the 2000-byte tail can't afford 2-decimal values; the
-    // 4-decimal per-query record lives in BENCH_OUT.json and the 2x-gate
-    // flags print exact numbers for any offender. A query ≥100 s would
-    // break its pin gate long before it breaks this format.
+    // Short-line values are clamped to ≤3 chars ("9.9" under 10 s,
+    // integer seconds above, "-1" for failures): with 160+ queries the
+    // 2000-byte tail can't afford wider values; the 4-decimal per-query
+    // record lives in BENCH_OUT.json and the 2x-gate flags print exact
+    // numbers for any offender. A query ≥1000 s would break its pin gate
+    // long before it breaks this format.
     def fmtShort(v: Double): String =
-      if (v >= 99.95) fmt(v, 0) else fmt(v, 1)
+      if (v < 0) "-1" else if (v >= 9.95) fmt(v, 0) else fmt(v, 1)
     def jsonLine(keyOf: String => String, fmtV: Double => String,
         totalDec: Int, sfLabel: String): String = {
       val qs = resultsMap.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmtV(v) }

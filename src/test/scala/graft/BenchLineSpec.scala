@@ -14,11 +14,12 @@ class BenchLineSpec extends AnyFunSuite {
     val prefixes = keys.map(_.takeWhile(_ != '_'))
     assert(prefixes.size == prefixes.distinct.size,
       "duplicate qNN prefixes would force full-name keys past the tail window")
-    // worst case: every value prints as "99.9" (Bench.fmtShort clamps the
-    // short line to 1 decimal under 100 s, integer seconds above; a query
-    // ≥100 s breaks its 2x pin gate long before it breaks this format)
+    // worst case: every value prints as "9.9"/"999" (Bench.fmtShort clamps
+    // the short line to 1 decimal under 10 s, integer seconds above; a
+    // query ≥1000 s breaks its 2x pin gate long before it breaks this
+    // format, and failures print "-1")
     val perQuery = prefixes.map(p => p.length + 2 /* quotes */ + 1 /* : */ +
-      4 /* value */ + 1 /* comma */).sum
+      3 /* value */ + 1 /* comma */).sum
     val overhead = """{"metric":"total","value":9999.99,"unit":"sec","queries":{}""".length +
       ""","sf":"sf0.1"}""".length
     // nothing is printed after the JSON line (Bench stops Spark first);
