@@ -86,7 +86,9 @@ object Bench {
       // r11 batch 2: the wedge-join triangle count is the only ≥3 s
       // addition — tail it with the other graph heavies; the
       // session_window stream joins the other state-store queries
-      "q153_triangle_count", "q161_stream_session_window")
+      "q153_triangle_count", "q161_stream_session_window",
+      // r11 batch 4: the gram-window shuffle is the only ≥3 s addition
+      "q168_dup_spans")
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (heavyLast.contains(name), name) }

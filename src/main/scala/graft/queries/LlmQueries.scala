@@ -931,7 +931,30 @@ object LlmQueries {
           "quality" -> (TextStats.qualityScore(col("text"), stopwords) >= 0.7)),
         dedupKey = Some("exact_dedup" -> md5(lower(col("text")))))
         .orderBy("stage_idx")
-    })
+    }),
+
+    // CCNet-style LM quality filter, integer-exact: unigram surprisal
+    // via the bit-length proxy bitlen(N)-bitlen(c) (= ⌊log2⌋+1, exact
+    // as length(bin(x)) in any engine), keep-decision cross-multiplied
+    // at mean ≤ 101/20 bits/token. One token shuffle for the LM, one
+    // (doc,token) reduce, one vocab join — no floats anywhere.
+    "q166_surprisal_filter" -> ((s, dir) => {
+      graft.llm.Surprisal.scoreDocs(t(s, dir, "documents"),
+          "doc_id", "text", maxMeanBitsNum = 101, maxMeanBitsDen = 20)
+        .orderBy("doc_id")
+    }),
+
+    // Exact duplicated-substring spans (Lee et al. 2021, "Deduplicating
+    // Training Data Makes Language Models Better"): every 8-token
+    // window occurring in >1 document is a duplicated window; per doc,
+    // overlapping duplicated windows merge into maximal spans
+    // (gaps-and-islands over window starts). Published: span count +
+    // duplicated-token count per affected doc — integers only. Scale:
+    // windows explode 1:~len rows, the gram count is one shuffle, the
+    // span merge is one per-doc window pass; no all-pairs anywhere.
+    "q168_dup_spans" -> ((s, dir) =>
+      graft.llm.DupSpans.spans(t(s, dir, "documents"), "doc_id", "text",
+        w = 8).orderBy("doc_id"))
   )
 
   /** DuckDB side of [[recallSummary]]: the exact top-k is computed
@@ -1090,6 +1113,66 @@ object LlmQueries {
        |FROM topk""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // integer-exact surprisal: bitlen via bin() string length on both
+    // engines; keep-decision cross-multiplied (101/20 bits/token)
+    "q166_surprisal_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |dtc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |lm AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS c FROM dtc GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM lm),
+        |bits AS (
+        |  SELECT tok, CAST(length(bin(n.n)) - length(bin(c)) AS BIGINT) AS bits
+        |  FROM lm, n)
+        |SELECT d.doc_id, CAST(SUM(d.tf) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(d.tf * b.bits) AS BIGINT) AS surprisal_sum,
+        |  (SUM(d.tf * b.bits) * 20 <= 101 * SUM(d.tf)) AS keep
+        |FROM dtc d JOIN bits b USING (tok)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // duplicated 8-token windows -> merged maximal spans; start index is
+    // 1-based here vs 0-based posexplode on the Spark side — internal
+    // only, the published span arithmetic is identical
+    "q168_dup_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |wl AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    CASE WHEN len(toks) >= 8
+        |      THEN list_transform(range(1, len(toks) - 6),
+        |        i -> struct_pack(s := i,
+        |          gram := array_to_string(toks[i:i+7], ' ')))
+        |      ELSE [] END AS ws
+        |  FROM base),
+        |wins AS (SELECT doc_id, n_tokens, unnest(ws) AS w FROM wl),
+        |flat AS (SELECT doc_id, n_tokens, w.s AS start, w.gram AS gram FROM wins),
+        |dupg AS (SELECT gram FROM flat GROUP BY gram
+        |  HAVING COUNT(DISTINCT doc_id) > 1),
+        |dup AS (SELECT f.* FROM flat f WHERE f.gram IN (SELECT gram FROM dupg)),
+        |marked AS (
+        |  SELECT doc_id, n_tokens, start,
+        |    MAX(start + 7) OVER (PARTITION BY doc_id ORDER BY start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM dup),
+        |isl AS (
+        |  SELECT doc_id, n_tokens, start,
+        |    SUM(CASE WHEN prev_end IS NULL OR start > prev_end + 1
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM marked),
+        |spans AS (
+        |  SELECT doc_id, n_tokens, island,
+        |    MAX(start) + 7 - MIN(start) + 1 AS span_tokens
+        |  FROM isl GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  COUNT(*)::BIGINT AS n_spans,
+        |  CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+        |FROM spans GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q75_ann_lsh" -> annRecallOracle("q.vec_id < 50", 3, 138),
     "q82_ann_ivf" -> annRecallOracle("q.vec_id < 20", 3, 58),
     // the persisted-index probe must reproduce q82's result exactly

@@ -30,6 +30,14 @@ object SourceQueries {
   private val bloomDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q169's ORC copy of the lineitem projection (same lifecycle). */
+  private val orcDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q170's persisted zone-map sidecar (same lifecycle). */
+  private val zoneDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val queries: Map[String, Q] = Map(
     // Small-file compaction (the streaming-sink hygiene op): a freshly
     // fragmented 64-file copy of orders is rewritten to
@@ -49,6 +57,64 @@ object SourceQueries {
           (col("nb") === 64).as("fragmented_ok"),
           (col("na") < col("nb")).as("reduced"),
           (col("na") <= 8).as("small"))
+    }),
+
+    // ORC source/sink round trip (S5/S13 family, columnar variant):
+    // a lineitem projection is staged to ORC once per (JVM, sf), read
+    // back through Spark's native ORC reader, and aggregated — the
+    // oracle computes the same aggregate from the parquet table, so a
+    // lossy round trip (types, nulls, decimals) turns the row red.
+    "q169_orc_roundtrip" -> ((s, dir) => {
+      val path = orcDirs.computeIfAbsent(dir, _ => {
+        val p = tmpDir("graft_orc") + "/li"
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_returnflag", "l_quantity",
+            "l_extendedprice")
+          .write.mode("overwrite").orc(p)
+        p
+      })
+      s.read.orc(path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(LongType)).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Zone-map (min/max) data skipping: events are zoned by ingestion
+    // order (event_id div 500 — physically correlated with ts), the
+    // per-zone [min,max] ts sidecar is persisted once, and a 3-day
+    // range scan consults it to skip zones that provably contain no
+    // matching rows. Published: zone counts (pruning really fired) and
+    // the matched aggregate THROUGH the pruned path — identical to the
+    // oracle's full scan by construction.
+    "q170_zonemap_skip" -> ((s, dir) => {
+      import graft.functions.BqShims.epochMicros
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("value"),
+          epochMicros(col("ts")).as("tsm"))
+        .withColumn("zone", expr("event_id div 500"))
+      val statsPath = zoneDirs.computeIfAbsent(dir, _ => {
+        val p = tmpDir("graft_zonemap") + "/stats"
+        graft.operators.ZoneMap.build(e, "zone", "tsm")
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      val stats = s.read.parquet(statsPath)
+      val day = 86400L * 1000000L
+      val bounds = e.agg((min(col("tsm")) + lit(10L * day)).as("lo"))
+        .select(col("lo"), (col("lo") + lit(3L * day)).as("hi"))
+      val keep = graft.operators.ZoneMap.overlapping(
+        stats.crossJoin(broadcast(bounds)), col("lo"), col("hi"))
+      val matched = e.join(broadcast(keep.select("zone", "lo", "hi")),
+          Seq("zone"))
+        .filter(col("tsm") >= col("lo") && col("tsm") <= col("hi"))
+        .agg(count(lit(1)).as("matched_rows"),
+          sum(floor(col("value") * 100).cast(LongType)).as("matched_cents"))
+      stats.agg(count(lit(1)).as("n_zones"))
+        .crossJoin(keep.agg(count(lit(1)).as("zones_read")))
+        .crossJoin(matched)
+        .withColumn("pruned", col("zones_read") < col("n_zones"))
     }),
 
     // Persisted Bloom-filter sidecar pruning — the membership analogue
@@ -439,6 +505,39 @@ object SourceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the ORC round trip must preserve the parquet aggregate exactly
+    "q169_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // zone bounds + pruning set + matched aggregate replayed exactly;
+    // floor() before the cents cast (Spark truncates double->bigint,
+    // DuckDB rounds — floor is identical on both)
+    "q170_zonemap_skip" ->
+      """WITH e AS (
+        |  SELECT event_id // 500 AS zone, epoch_us(ts) AS tsm, value
+        |  FROM events),
+        |b AS (
+        |  SELECT MIN(tsm) + 10 * CAST(86400000000 AS BIGINT) AS lo,
+        |    MIN(tsm) + 13 * CAST(86400000000 AS BIGINT) AS hi
+        |  FROM e),
+        |z AS (
+        |  SELECT zone, MIN(tsm) AS zmin, MAX(tsm) AS zmax
+        |  FROM e GROUP BY 1),
+        |k AS (
+        |  SELECT z.zone FROM z, b WHERE z.zmax >= b.lo AND z.zmin <= b.hi),
+        |m AS (
+        |  SELECT e.* FROM e JOIN k USING (zone), b
+        |  WHERE e.tsm >= b.lo AND e.tsm <= b.hi)
+        |SELECT (SELECT COUNT(*) FROM z)::BIGINT AS n_zones,
+        |  (SELECT COUNT(*) FROM k)::BIGINT AS zones_read,
+        |  COUNT(*)::BIGINT AS matched_rows,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS matched_cents,
+        |  (SELECT COUNT(*) FROM k) < (SELECT COUNT(*) FROM z) AS pruned
+        |FROM m""".stripMargin,
     "q136_table_stats" -> {
       def statRow(c: String, expr: String) =
         s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,

@@ -120,6 +120,29 @@ object StatQueries {
         .orderBy("key")
     }),
 
+    // Count-Min sketch (q164's over-estimating dual): d=4 × w=64
+    // counters over 997 derived keys — collisions guaranteed, so the
+    // over-estimate is visible and the ≥-guarantee is a real gate.
+    // Every cell is a plain sum (merge-order-free), so the oracle
+    // replays build AND estimate cell-by-cell via the same md5
+    // positions; the published estimates are exact replays, not
+    // probabilistic bounds.
+    "q167_count_min" -> ((s, dir) => {
+      val d = 4; val w = 64
+      val e = t(s, dir, "events")
+        .select(pmod(col("user_id"), lit(997L)).cast(StringType).as("key"))
+      val cms = e.agg(graft.operators.CountMin.sketch(col("key"), d, w)
+        .as("cms"))
+      e.groupBy("key").agg(count(lit(1)).as("exact_n"))
+        .filter(col("key").cast(LongType) < 20)
+        .crossJoin(broadcast(cms))
+        .select(col("key"), col("exact_n"),
+          graft.operators.CountMin.estimate(col("cms"), col("key"), d, w)
+            .as("est"))
+        .withColumn("ge_ok", col("est") >= col("exact_n"))
+        .orderBy(col("key").cast(LongType))
+    }),
+
     // WEIGHTED median — the quantity-weighted median line-item price
     // per return flag: values pre-aggregated per (group, value) so the
     // cumulative-weight walk runs over distinct values, the rank
@@ -274,6 +297,27 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // cell-by-cell CMS replay: every counter is a sum over the keys
+    // md5-hashed into it, so estimates reproduce exactly
+    "q167_count_min" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id % 997 AS VARCHAR) AS key FROM events),
+        |kc AS (SELECT key, COUNT(*) AS n FROM e GROUP BY 1),
+        |pos AS (
+        |  SELECT key, n, d,
+        |    CAST(('0x' || substr(md5(key || '#' || d), 1, 8)) AS BIGINT)
+        |      % 64 AS p
+        |  FROM kc, (SELECT unnest([0, 1, 2, 3]) AS d)),
+        |cells AS (
+        |  SELECT d, p, CAST(SUM(n) AS BIGINT) AS cell FROM pos GROUP BY 1, 2),
+        |est AS (
+        |  SELECT po.key, MIN(c.cell) AS est
+        |  FROM pos po JOIN cells c ON c.d = po.d AND c.p = po.p
+        |  WHERE CAST(po.key AS BIGINT) < 20 GROUP BY 1)
+        |SELECT k.key, CAST(k.n AS BIGINT) AS exact_n, e2.est,
+        |  (e2.est >= k.n) AS ge_ok
+        |FROM kc k JOIN est e2 USING (key)
+        |ORDER BY CAST(k.key AS BIGINT)""".stripMargin,
     // guarantees hold by theorem; exact side recomputed — the booleans
     // are the assertion (q133 pattern)
     "q164_heavy_hitters" ->
