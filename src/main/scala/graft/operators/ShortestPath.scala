@@ -31,28 +31,52 @@ object ShortestPath {
   /** Run `rounds` relax rounds from `sources` (id column) over
     * weighted edges (src, dst, w — BIGINT weight ≥ 0). Returns
     * (id, dist) with dist = exact min-weight over ≤ rounds hops, or
-    * [[Inf]] if unreached. */
+    * [[Inf]] if unreached.
+    *
+    * Frontier optimization (exactness preserved by induction: a node's
+    * distance can only improve via a neighbor improved in the PREVIOUS
+    * round, and round 0 improves exactly the sources): each round
+    * relaxes only edges out of last round's improved set, so the relax
+    * join carries |frontier|-adjacent edges, not all |E| candidates —
+    * on wide graphs the early rounds shrink from |E| to ~|sources|·deg.
+    * Each round's (dist ⟕ relaxed) is localCheckpoint'd: the reused
+    * intermediate is computed once and the iteration lineage stays one
+    * round deep (no 2^rounds plan blowup, bounded driver plans). */
   def run(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     val ed = edges.repartition(col("src")).cache()
     val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct().cache()
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toRelease = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var dist = nodes
       .join(sources.select(col("id")).withColumn("s", lit(1)), Seq("id"), "left")
       .select(col("id"), when(col("s").isNotNull, 0L).otherwise(Inf).as("dist"))
+      .persist(lvl)
+    toRelease += dist
+    var frontier = dist.filter(col("dist") === 0L)
     for (_ <- 1 to rounds) {
-      val relaxed = ed.join(dist, ed("src") === dist("id"))
-        .select(ed("dst").as("id"), (col("dist") + col("w")).as("cand"))
+      val relaxed = ed
+        .join(frontier.select(col("id"), col("dist").as("fd")),
+          ed("src") === col("id"))
+        .select(ed("dst").as("id"), (col("fd") + col("w")).as("cand"))
         .groupBy("id").agg(min(col("cand")).as("best"))
-      dist = dist.join(relaxed, Seq("id"), "left")
-        .select(col("id"),
-          least(col("dist"), coalesce(col("best"), lit(Inf))).as("dist"))
+      // LAZY persist: the final action materializes each round's reused
+      // (dist ⟕ relaxed) exactly once (both its dist and frontier
+      // consumers hit the cache within that one job) — no per-round
+      // count() jobs, and — unlike localCheckpoint, whose RDD the cache
+      // manager cannot release — every intermediate is freed below.
+      val joined = dist.join(relaxed, Seq("id"), "left").persist(lvl)
+      toRelease += joined
+      dist = joined.select(col("id"),
+        least(col("dist"), coalesce(col("best"), lit(Inf))).as("dist"))
+      frontier = joined.filter(col("best") < col("dist"))
+        .select(col("id"), col("best").as("dist"))
     }
-    // Eagerly materialize the (small) distance vector, then release the
-    // loop caches — no session-lifetime cache leak from a library call;
-    // the localCheckpoint also truncates the per-round lineage.
+    // ONE action materializes the whole loop, then every loop cache is
+    // released — no session-lifetime cache leak from a library call.
     val out = dist.localCheckpoint()
+    toRelease.foreach(_.unpersist(false))
     ed.unpersist(false)
-    nodes.unpersist(false)
     out
   }
 
