@@ -41,6 +41,20 @@ object StreamOps {
     }
   @volatile private var unloadWarned = false
 
+  /** Run `f` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n` — the knob that sizes a stateful streaming query's state
+    * partitions (fixed at query start from this conf). The bounded
+    * AvailableNow runners here carry small per-trigger volumes, where
+    * 32 state-store instances per stateful operator are pure overhead;
+    * a production deployment sizes this explicitly per stream the same
+    * way. Results are partitioning-independent. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
   /** Event-time (TIMESTAMP) from a `ts` field in any representation the
     * testdata has carried across rounds: epoch-micros long, TIMESTAMP,
     * or TIMESTAMP_NTZ (parquet `timestamp[us], isAdjustedToUTC=false`,
@@ -76,14 +90,16 @@ object StreamOps {
       .groupBy(window(col("ts_ts"), windowDur), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val outDir = java.nio.file.Files.createTempDirectory(queryName).toString
-    val q = agg.writeStream
-      .outputMode("complete")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     unloadStateStores()
     spark.read.parquet(outDir)
       .select(to_date(col("window.start")).as("day"), col("event_type"), col("n"))
@@ -118,14 +134,16 @@ object StreamOps {
       .groupBy(col("user_id"), session_window(col("ts_ts"), gap))
       .agg(count(lit(1)).as("n"))
     val outDir = java.nio.file.Files.createTempDirectory(queryName).toString
-    val q = agg.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     unloadStateStores()
     spark.read.parquet(outDir)
       .select(col("user_id"),
@@ -162,14 +180,16 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(idCol)
       .drop("ts_ts")
     val outDir = java.nio.file.Files.createTempDirectory(queryName).toString
-    val q = doubled.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        batch.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = doubled.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     unloadStateStores()
     spark.read.schema(StructType(schema.fields)).parquet(outDir)
   }
@@ -203,15 +223,17 @@ object StreamOps {
       expr(s"a_user = b_user AND a_id != b_id AND " +
         s"b_ts BETWEEN a_ts - INTERVAL $window AND a_ts"))
     val outDir = java.nio.file.Files.createTempDirectory(queryName).toString
-    val q = joined.select(col("a_id"), col("a_user").as("user_id"), col("b_id"))
-      .writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = joined.select(col("a_id"), col("a_user").as("user_id"), col("b_id"))
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     unloadStateStores()
     // explicit schema: if the join legitimately emits zero rows (stricter
     // anchorFilter, small SF), foreachBatch never writes a file and a
