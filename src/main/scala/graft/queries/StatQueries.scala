@@ -143,6 +143,31 @@ object StatQueries {
         .orderBy(col("key").cast(LongType))
     }),
 
+    // The SQL-text surface of the native aggregates (GraftFunctions /
+    // GraftExtensions): the q167 CMS pipeline expressed entirely as
+    // spark.sql over a temp view, with the sketch built and probed by
+    // the SQL-registered count_min_sketch function — the path a
+    // SQL-corpus user (the reference's audience) actually takes.
+    // Same oracle as q167: cell-by-cell md5 replay.
+    "q171_sql_native_fns" -> ((s, dir) => {
+      graft.GraftFunctions.registerAll(s)
+      t(s, dir, "events").createOrReplaceTempView("graft_q171_events")
+      def cell(d: Int) =
+        s"element_at(c, CAST(pmod(CAST(conv(substring(md5(concat(key, '#$d')), 1, 8), 16, 10) AS BIGINT), 64) AS INT) + ${d * 64 + 1})"
+      s.sql(
+        s"""WITH e AS (
+           |  SELECT CAST(pmod(user_id, 997) AS STRING) AS key
+           |  FROM graft_q171_events),
+           |cms AS (SELECT count_min_sketch(key, 4, 64) AS c FROM e),
+           |kc AS (SELECT key, COUNT(*) AS exact_n FROM e GROUP BY key)
+           |SELECT key, exact_n,
+           |  least(${(0 until 4).map(cell).mkString(", ")}) AS est,
+           |  least(${(0 until 4).map(cell).mkString(", ")}) >= exact_n AS ge_ok
+           |FROM kc CROSS JOIN cms
+           |WHERE CAST(key AS BIGINT) < 20
+           |ORDER BY CAST(key AS BIGINT)""".stripMargin)
+    }),
+
     // WEIGHTED median — the quantity-weighted median line-item price
     // per return flag: values pre-aggregated per (group, value) so the
     // cumulative-weight walk runs over distinct values, the rank
@@ -296,28 +321,33 @@ object StatQueries {
     })
   )
 
+  private val cmsOracle =
+    """WITH e AS (
+      |  SELECT CAST(user_id % 997 AS VARCHAR) AS key FROM events),
+      |kc AS (SELECT key, COUNT(*) AS n FROM e GROUP BY 1),
+      |pos AS (
+      |  SELECT key, n, d,
+      |    CAST(('0x' || substr(md5(key || '#' || d), 1, 8)) AS BIGINT)
+      |      % 64 AS p
+      |  FROM kc, (SELECT unnest([0, 1, 2, 3]) AS d)),
+      |cells AS (
+      |  SELECT d, p, CAST(SUM(n) AS BIGINT) AS cell FROM pos GROUP BY 1, 2),
+      |est AS (
+      |  SELECT po.key, MIN(c.cell) AS est
+      |  FROM pos po JOIN cells c ON c.d = po.d AND c.p = po.p
+      |  WHERE CAST(po.key AS BIGINT) < 20 GROUP BY 1)
+      |SELECT k.key, CAST(k.n AS BIGINT) AS exact_n, e2.est,
+      |  (e2.est >= k.n) AS ge_ok
+      |FROM kc k JOIN est e2 USING (key)
+      |ORDER BY CAST(k.key AS BIGINT)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // the SQL-surface CMS must reproduce the DataFrame-surface q167
+    // exactly — one oracle, two engine paths
+    "q171_sql_native_fns" -> cmsOracle,
     // cell-by-cell CMS replay: every counter is a sum over the keys
     // md5-hashed into it, so estimates reproduce exactly
-    "q167_count_min" ->
-      """WITH e AS (
-        |  SELECT CAST(user_id % 997 AS VARCHAR) AS key FROM events),
-        |kc AS (SELECT key, COUNT(*) AS n FROM e GROUP BY 1),
-        |pos AS (
-        |  SELECT key, n, d,
-        |    CAST(('0x' || substr(md5(key || '#' || d), 1, 8)) AS BIGINT)
-        |      % 64 AS p
-        |  FROM kc, (SELECT unnest([0, 1, 2, 3]) AS d)),
-        |cells AS (
-        |  SELECT d, p, CAST(SUM(n) AS BIGINT) AS cell FROM pos GROUP BY 1, 2),
-        |est AS (
-        |  SELECT po.key, MIN(c.cell) AS est
-        |  FROM pos po JOIN cells c ON c.d = po.d AND c.p = po.p
-        |  WHERE CAST(po.key AS BIGINT) < 20 GROUP BY 1)
-        |SELECT k.key, CAST(k.n AS BIGINT) AS exact_n, e2.est,
-        |  (e2.est >= k.n) AS ge_ok
-        |FROM kc k JOIN est e2 USING (key)
-        |ORDER BY CAST(k.key AS BIGINT)""".stripMargin,
+    "q167_count_min" -> cmsOracle,
     // guarantees hold by theorem; exact side recomputed — the booleans
     // are the assertion (q133 pattern)
     "q164_heavy_hitters" ->
