@@ -954,7 +954,40 @@ object LlmQueries {
     // span merge is one per-doc window pass; no all-pairs anywhere.
     "q168_dup_spans" -> ((s, dir) =>
       graft.llm.DupSpans.spans(t(s, dir, "documents"), "doc_id", "text",
-        w = 8).orderBy("doc_id"))
+        w = 8).orderBy("doc_id")),
+
+    // PMI collocation extraction, integer-exact: a bigram (a,b) with
+    // count ≥ 5 is a collocation iff PMI > 0 (above independence — 437
+    // of 900 candidates at sf0.01, a real split), tested log-free by
+    // cross-multiplication in DECIMAL(38,0) — c12·N² > M·c1·c2 (N =
+    // token count for unigram probs, M = bigram count for the pair
+    // prob; decimal keeps the product exact at any corpus size where a
+    // BIGINT would overflow). One bigram shuffle + two vocab joins.
+    "q174_pmi_collocations" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        graft.llm.Surprisal.tokens(col("text")).as("toks"))
+      val bi = toks.select(posexplode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2"))))
+          .otherwise(array())))
+        .select(col("col.w1"), col("col.w2"))
+      val uni = toks.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val n1 = uni.agg(sum("c").as("n1"))
+      val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val m = big.agg(sum("c12").as("m"))
+      big.filter(col("c12") >= 5)
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(m))
+        .select(col("w1"), col("w2"), col("c12"),
+          (col("c12").cast(dec) * col("n1").cast(dec) * col("n1").cast(dec) >
+            col("m").cast(dec) * col("c1").cast(dec) *
+              col("c2").cast(dec)).as("colloc"))
+        .orderBy("w1", "w2")
+    })
   )
 
   /** DuckDB side of [[recallSummary]]: the exact top-k is computed
@@ -1173,6 +1206,35 @@ object LlmQueries {
         |  COUNT(*)::BIGINT AS n_spans,
         |  CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
         |FROM spans GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // HUGEINT cross-multiply on the DuckDB side ≡ DECIMAL(38,0) on the
+    // Spark side — both exact, so the collocation booleans replay
+    "q174_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS l
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, COUNT(*)::BIGINT AS c FROM (
+        |    SELECT unnest(l) AS w FROM toks) GROUP BY 1),
+        |n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n1 FROM uni),
+        |bi AS (
+        |  SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT unnest(CASE WHEN len(l) >= 2
+        |      THEN list_transform(range(1, len(l)),
+        |        i -> struct_pack(w1 := l[i], w2 := l[i+1]))
+        |      ELSE [] END) AS b
+        |    FROM toks)),
+        |big AS (SELECT w1, w2, COUNT(*)::BIGINT AS c12 FROM bi GROUP BY 1, 2),
+        |m AS (SELECT CAST(SUM(c12) AS BIGINT) AS m FROM big)
+        |SELECT b.w1, b.w2, b.c12,
+        |  CAST(b.c12 AS HUGEINT) * n1.n1 * n1.n1 >
+        |    CAST(m.m AS HUGEINT) * u1.c * u2.c AS colloc
+        |FROM big b
+        |JOIN uni u1 ON u1.w = b.w1
+        |JOIN uni u2 ON u2.w = b.w2, n1, m
+        |WHERE b.c12 >= 5
+        |ORDER BY b.w1, b.w2""".stripMargin,
     "q75_ann_lsh" -> annRecallOracle("q.vec_id < 50", 3, 138),
     "q82_ann_ivf" -> annRecallOracle("q.vec_id < 20", 3, 58),
     // the persisted-index probe must reproduce q82's result exactly

@@ -143,6 +143,99 @@ object StatQueries {
         .orderBy(col("key").cast(LongType))
     }),
 
+    // Winsorized robust scaling: clip each order's price to its
+    // priority group's exact [p10, p90] (same interpolated-percentile
+    // definition as q60, which hash-matches DuckDB bit-for-bit), then
+    // publish integer summaries — clip counts and the cents-sum of the
+    // clipped column (floor before the cast: identical on both
+    // engines). One agg for percentiles (broadcast back), one pass to
+    // clip and aggregate.
+    "q173_winsorize" -> ((s, dir) => {
+      import graft.operators.Stats
+      val o = t(s, dir, "orders")
+      val pct = o.groupBy("o_orderpriority").agg(
+        Stats.groupPercentile(col("o_totalprice"), 0.1).as("plo"),
+        Stats.groupPercentile(col("o_totalprice"), 0.9).as("phi"))
+      o.join(broadcast(pct), "o_orderpriority")
+        .select(col("o_orderpriority"),
+          when(col("o_totalprice") < col("plo"), col("plo"))
+            .when(col("o_totalprice") > col("phi"), col("phi"))
+            .otherwise(col("o_totalprice")).as("wv"),
+          (col("o_totalprice") < col("plo")).cast(LongType).as("lo"),
+          (col("o_totalprice") > col("phi")).cast(LongType).as("hi"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum("lo").as("n_clip_lo"), sum("hi").as("n_clip_hi"),
+          sum(floor(col("wv") * 100).cast(LongType)).as("winsor_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // First-order Markov transition counts over each user's event
+    // sequence (lead() over a deterministic (ts, event_id) order):
+    // the sequence-model statistics a behavioral pipeline derives
+    // before any training. One window pass + one aggregation.
+    "q175_markov_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        graft.functions.BqShims.epochMicros(col("ts")).as("tsm"),
+        col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+      e.withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("from_total", sum("n").over(
+          Window.partitionBy("from_type")))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // CM-sketch join-cardinality estimation (the AGMS/CM inner-product
+    // estimator): |R ⋈_k R| is estimated as min over sketch rows of
+    // Σ_j cell². Colliding keys only ADD positive cross terms, so the
+    // estimate is an over-bound of the true Σ n_k² — a deterministic
+    // guarantee the oracle gates, with the estimate itself replayed
+    // cell-by-cell. The planner-facing use: join-size estimates from
+    // tiny persisted sketches without touching either input.
+    "q176_cms_joinsize" -> ((s, dir) => {
+      val d = 4; val w = 64
+      val e = t(s, dir, "events")
+        .select(col("user_id").cast(StringType).as("key"))
+      val cms = e.agg(graft.operators.CountMin.sketch(col("key"), d, w)
+        .as("c"))
+      val est = cms.select(posexplode(col("c")))
+        .select(expr(s"pos div $w").as("d"), col("col").as("v"))
+        .groupBy("d").agg(sum(col("v") * col("v")).as("row_est"))
+        .agg(min("row_est").as("est"))
+      e.groupBy("key").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n")).as("exact_size"))
+        .crossJoin(broadcast(est))
+        .withColumn("ge_ok", col("est") >= col("exact_size"))
+    }),
+
+    // Deequ-style data-quality audit: five declared constraints over
+    // orders folded into ONE aggregation pass (single scan, count
+    // distincts planned in the same expand+aggregate) plus one
+    // referential anti-join with a deterministic seeded violation
+    // (parent filtered to o_orderkey % 7 != 0, so the orphan count is a
+    // real non-zero metric, not a vacuous TRUE).
+    "q172_quality_audit" -> ((s, dir) => {
+      import graft.operators.DataChecks._
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val base = audit(o, Seq(
+        nonEmpty,
+        complete("o_custkey"),
+        unique("o_orderkey"),
+        satisfies("o_totalprice_nonneg", col("o_totalprice") >= 0),
+        satisfies("o_orderdate_in_range",
+          col("o_orderdate").between("1992-01-01", "1998-12-31"))))
+      val ri = orphans(li, "l_orderkey",
+        o.filter(col("o_orderkey") % 7 =!= 0), "o_orderkey",
+        "l_orderkey_ri")
+      base.unionByName(ri).orderBy("check")
+    }),
+
     // The SQL-text surface of the native aggregates (GraftFunctions /
     // GraftExtensions): the q167 CMS pipeline expressed entirely as
     // spark.sql over a temp view, with the sketch built and probed by
@@ -345,6 +438,104 @@ object StatQueries {
     // the SQL-surface CMS must reproduce the DataFrame-surface q167
     // exactly — one oracle, two engine paths
     "q171_sql_native_fns" -> cmsOracle,
+    // q60's interpolated-percentile formula, then the same clip +
+    // floor-cents arithmetic
+    "q173_winsorize" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority, list_sort(list(o_totalprice)) AS v,
+        |    COUNT(*) AS n
+        |  FROM orders GROUP BY o_orderpriority),
+        |p AS (
+        |  SELECT o_orderpriority,
+        |    v[CAST(FLOOR(0.1 * (n-1)) AS INTEGER) + 1]
+        |      + (v[CAST(CEIL(0.1 * (n-1)) AS INTEGER) + 1]
+        |         - v[CAST(FLOOR(0.1 * (n-1)) AS INTEGER) + 1])
+        |        * (0.1 * (n-1) - FLOOR(0.1 * (n-1))) AS plo,
+        |    v[CAST(FLOOR(0.9 * (n-1)) AS INTEGER) + 1]
+        |      + (v[CAST(CEIL(0.9 * (n-1)) AS INTEGER) + 1]
+        |         - v[CAST(FLOOR(0.9 * (n-1)) AS INTEGER) + 1])
+        |        * (0.9 * (n-1) - FLOOR(0.9 * (n-1))) AS phi
+        |  FROM g),
+        |c AS (
+        |  SELECT o.o_orderpriority,
+        |    CASE WHEN o.o_totalprice < p.plo THEN p.plo
+        |         WHEN o.o_totalprice > p.phi THEN p.phi
+        |         ELSE o.o_totalprice END AS wv,
+        |    CASE WHEN o.o_totalprice < p.plo THEN 1 ELSE 0 END AS lo,
+        |    CASE WHEN o.o_totalprice > p.phi THEN 1 ELSE 0 END AS hi
+        |  FROM orders o JOIN p USING (o_orderpriority))
+        |SELECT o_orderpriority, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(lo) AS BIGINT) AS n_clip_lo,
+        |  CAST(SUM(hi) AS BIGINT) AS n_clip_hi,
+        |  CAST(SUM(CAST(FLOOR(wv * 100) AS BIGINT)) AS BIGINT)
+        |    AS winsor_cents
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q175_markov_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    COUNT(*)::BIGINT AS n
+        |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS from_total
+        |FROM tr ORDER BY from_type, to_type""".stripMargin,
+    // cells replayed as md5-position sums; estimate = min row of Σ cell²
+    "q176_cms_joinsize" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+        |kc AS (SELECT key, COUNT(*) AS n FROM e GROUP BY 1),
+        |pos AS (
+        |  SELECT key, n, d,
+        |    CAST(('0x' || substr(md5(key || '#' || d), 1, 8)) AS BIGINT)
+        |      % 64 AS p
+        |  FROM kc, (SELECT unnest([0, 1, 2, 3]) AS d)),
+        |cells AS (
+        |  SELECT d, p, CAST(SUM(n) AS BIGINT) AS cell FROM pos GROUP BY 1, 2),
+        |est AS (
+        |  SELECT MIN(row_est) AS est FROM (
+        |    SELECT d, CAST(SUM(cell * cell) AS BIGINT) AS row_est
+        |    FROM cells GROUP BY d)),
+        |x AS (SELECT CAST(SUM(n * n) AS BIGINT) AS exact_size FROM kc)
+        |SELECT x.exact_size, est.est, est.est >= x.exact_size AS ge_ok
+        |FROM x, est""".stripMargin,
+    // every metric recomputed as its defining exact count
+    "q172_quality_audit" ->
+      """WITH m AS (
+        |  SELECT 'non_empty' AS "check", COUNT(*)::BIGINT AS metric,
+        |    COUNT(*) > 0 AS ok FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey_complete',
+        |    (COUNT(*) - COUNT(o_custkey))::BIGINT,
+        |    COUNT(*) = COUNT(o_custkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey_unique',
+        |    (COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey))::BIGINT,
+        |    COUNT(o_orderkey) = COUNT(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice_nonneg',
+        |    CAST(SUM(CASE WHEN o_totalprice >= 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT),
+        |    SUM(CASE WHEN o_totalprice >= 0 THEN 0 ELSE 1 END) = 0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate_in_range',
+        |    CAST(SUM(CASE WHEN o_orderdate BETWEEN DATE '1992-01-01'
+        |      AND DATE '1998-12-31' THEN 0 ELSE 1 END) AS BIGINT),
+        |    SUM(CASE WHEN o_orderdate BETWEEN DATE '1992-01-01'
+        |      AND DATE '1998-12-31' THEN 0 ELSE 1 END) = 0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'l_orderkey_ri', COUNT(*)::BIGINT, COUNT(*) = 0
+        |  FROM lineitem li
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_orderkey = li.l_orderkey AND o.o_orderkey % 7 <> 0))
+        |SELECT "check", metric, ok FROM m ORDER BY "check"""".stripMargin,
     // cell-by-cell CMS replay: every counter is a sum over the keys
     // md5-hashed into it, so estimates reproduce exactly
     "q167_count_min" -> cmsOracle,
