@@ -315,6 +315,30 @@ object InfraQueries {
         .orderBy("user_id")
     }),
 
+    // Stream-static enrichment: events stream joined per micro-batch to
+    // a BROADCAST nation dimension (stateless — no state store), then
+    // rolled up per nation. The streaming engine contributes source
+    // tracking + triggers; the join is the enrich-on-ingest shape every
+    // ingestion pipeline runs. Oracle = the batch join.
+    "q177_stream_static_join" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val dim = t(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType).as("n_nationkey"),
+          col("n_name"))
+      graft.streaming.StreamOps.streamStaticEnrichAvailableNow(s, dir, schema,
+          keyExpr = pmod(col("user_id"), lit(25L)), dim = dim,
+          dimKey = "n_nationkey",
+          queryName = "stream_enrich_" +
+            java.util.UUID.randomUUID().toString.replace("-", ""),
+          globFilter = Some("events.parquet"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+        .orderBy("n_name")
+    }),
+
     // Custom-state sessionization (flatMapGroupsWithState) checked
     // against the SQL islands formulation: closed gap-based sessions per
     // user. The stateful operator leaves each user's last session open,
@@ -574,6 +598,11 @@ object InfraQueries {
         |SELECT z >> 22 AS bucket, COUNT(*) AS n_rows,
         |  MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q177_stream_static_join" ->
+      """SELECT n.n_name, COUNT(*)::BIGINT AS n,
+        |  COUNT(DISTINCT e.user_id)::BIGINT AS n_users
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q69_stream_join" ->
       """WITH a AS (
         |  SELECT event_id AS a_id, user_id, ts AS a_ts

@@ -143,6 +143,54 @@ object StatQueries {
         .orderBy(col("key").cast(LongType))
     }),
 
+    // Per-group exact OLS trend: slope/intercept from the closed-form
+    // normal equations with every sum accumulated in DECIMAL(38,0) —
+    // order-independent and engine-identical (the raw products exceed
+    // 2^53, so double accumulation would diverge run-to-run). The only
+    // floating-point steps are the final casts and one division of
+    // bit-identical doubles. x = days since epoch, y = price cents.
+    "q178_group_ols_trend" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val o = t(s, dir, "orders").select(col("o_orderpriority"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast(LongType).as("x"),
+        floor(col("o_totalprice") * 100).cast(LongType).as("y"))
+      o.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("x").cast(dec) * col("y").cast(dec))).as("sxy"))
+        .select(col("o_orderpriority"), col("n"),
+          ((col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+            .cast(DoubleType) /
+            (col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+              .cast(DoubleType)).as("slope_cents_per_day"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Robust outlier detection via median/MAD (the z-score-free form
+    // that survives heavy tails): per event_type, the exact
+    // interpolated median of value, the MAD (median absolute
+    // deviation), and the count of |x − med| > 3·MAD outliers. All
+    // medians use the q60 percentile formula (bit-identical on both
+    // engines), so the comparison is deterministic.
+    "q179_mad_outliers" -> ((s, dir) => {
+      import graft.operators.Stats
+      val e = t(s, dir, "events").select(col("event_type"), col("value"))
+      val med = e.groupBy("event_type")
+        .agg(Stats.groupPercentile(col("value"), 0.5).as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(Stats.groupPercentile(col("dev"), 0.5).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     // Winsorized robust scaling: clip each order's price to its
     // priority group's exact [p10, p90] (same interpolated-percentile
     // definition as q60, which hash-matches DuckDB bit-for-bit), then
@@ -438,6 +486,50 @@ object StatQueries {
     // the SQL-surface CMS must reproduce the DataFrame-surface q167
     // exactly — one oracle, two engine paths
     "q171_sql_native_fns" -> cmsOracle,
+    // DECIMAL normal equations -> identical doubles -> one division
+    "q178_group_ols_trend" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority,
+        |    CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+        |      AS BIGINT) AS x,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders),
+        |a AS (
+        |  SELECT o_orderpriority, COUNT(*)::BIGINT AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxy
+        |  FROM b GROUP BY 1)
+        |SELECT o_orderpriority, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day
+        |FROM a ORDER BY 1""".stripMargin,
+    // q60's median formula for med and MAD, then the same 3-MAD count
+    "q179_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, v[CAST(FLOOR(0.5 * (n-1)) AS INTEGER) + 1]
+        |    + (v[CAST(CEIL(0.5 * (n-1)) AS INTEGER) + 1]
+        |       - v[CAST(FLOOR(0.5 * (n-1)) AS INTEGER) + 1])
+        |      * (0.5 * (n-1) - FLOOR(0.5 * (n-1))) AS med
+        |  FROM (SELECT event_type, list_sort(list(value)) AS v,
+        |    COUNT(*) AS n FROM events GROUP BY 1)),
+        |dev AS (
+        |  SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, v[CAST(FLOOR(0.5 * (n-1)) AS INTEGER) + 1]
+        |    + (v[CAST(CEIL(0.5 * (n-1)) AS INTEGER) + 1]
+        |       - v[CAST(FLOOR(0.5 * (n-1)) AS INTEGER) + 1])
+        |      * (0.5 * (n-1) - FLOOR(0.5 * (n-1))) AS mad
+        |  FROM (SELECT event_type, list_sort(list(dev)) AS v,
+        |    COUNT(*) AS n FROM dev GROUP BY 1))
+        |SELECT d.event_type, d.med, ma.mad, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CASE WHEN d.dev > 3.0 * ma.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad ma USING (event_type)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     // q60's interpolated-percentile formula, then the same clip +
     // floor-cents arithmetic
     "q173_winsorize" ->

@@ -244,6 +244,38 @@ object StreamOps {
     spark.read.schema(outSchema).parquet(outDir)
   }
 
+  /** Stream-static enrichment: a streaming fact joined per micro-batch
+    * against a (broadcast) static dimension — the standard "enrich on
+    * ingest" shape. The static side is planned once and broadcast into
+    * every trigger; no state store is involved (stream-static inner
+    * joins are stateless), so throughput is the scan + a broadcast
+    * probe. Returns the enriched rows read back from the append sink.
+    *
+    * @param keyExpr derives the join key from the streaming row
+    * @param dim     static dimension (dimKey, payload columns)
+    */
+  def streamStaticEnrichAvailableNow(spark: SparkSession, srcDir: String,
+      schema: StructType, keyExpr: org.apache.spark.sql.Column,
+      dim: DataFrame, dimKey: String, queryName: String,
+      globFilter: Option[String] = None): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    val events = globFilter.fold(reader)(g => reader.option("pathGlobFilter", g))
+      .parquet(srcDir)
+    val enriched = events.withColumn("_k", keyExpr)
+      .join(broadcast(dim), col("_k") === dim(dimKey))
+      .drop("_k")
+    val outDir = java.nio.file.Files.createTempDirectory(queryName).toString
+    val q = enriched.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming incremental dedup against a GROWING signature index:
     * each micro-batch (a) signs only its own documents, (b) bucket-joins
     * the persisted index for candidate pairs, and (c) appends its

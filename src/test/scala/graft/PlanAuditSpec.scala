@@ -257,4 +257,36 @@ class PlanAuditSpec extends SparkTestBase {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("surprisal LM join partial-aggregates the token shuffle (q166)") {
+    val p = formatted("q166_surprisal_filter")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"token counting lost its map-side combine:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected cartesian in the LM join:\n$p")
+  }
+
+  test("dup-span gram survivors prune via LeftSemi, not inner+distinct (q168)") {
+    val p = formatted("q168_dup_spans")
+    assert(p.contains("LeftSemi"), s"gram survivor join is not a semi join:\n$p")
+  }
+
+  test("zone-map probe broadcasts the surviving zones (q170)") {
+    val p = formatted("q170_zonemap_skip")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"zone semi-join did not broadcast the sidecar:\n$p")
+  }
+
+  test("CMS estimate probes broadcast the one-row sketch (q167)") {
+    val p = formatted("q167_count_min")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"sketch cross-join is not broadcast:\n$p")
+  }
+
+  test("PMI vocab joins stay equi-joins; no cartesian beyond the two 1-row broadcasts (q174)") {
+    val p = formatted("q174_pmi_collocations")
+    val cartesians = "CartesianProduct".r.findAllIn(p).length
+    assert(cartesians == 0, s"cartesian in PMI plan:\n$p")
+  }
 }
