@@ -88,7 +88,9 @@ object Bench {
       // session_window stream joins the other state-store queries
       "q153_triangle_count", "q161_stream_session_window",
       // r11 batch 4: the gram-window shuffle is the only ≥3 s addition
-      "q168_dup_spans")
+      "q168_dup_spans",
+      // r11 batch 7: iterative peeling joins the graph heavies
+      "q180_kcore")
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (heavyLast.contains(name), name) }

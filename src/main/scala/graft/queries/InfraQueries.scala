@@ -146,6 +146,24 @@ object InfraQueries {
         .orderBy("dist", "node_id").limit(50)
     }),
 
+    // Bounded-round k-core peeling on the customer↔supplier
+    // co-purchase graph (same edge table as q135): 3 rounds at k=40
+    // keep only nodes that retain ≥40 surviving neighbors through
+    // every peel — the dense backbone a sampling/curriculum pipeline
+    // keeps. Fixed rounds, unrolled oracle (q128/q135 pattern).
+    "q180_kcore" -> ((s, dir) => {
+      val pair = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + 10000000L).as("sup")).distinct()
+      val edges = pair.select(col("c").as("src"), col("sup").as("dst"))
+        .union(pair.select(col("sup").as("src"), col("c").as("dst")))
+      graft.operators.KCore.run(edges, k = 40, rounds = 3)
+        .select(col("id").as("node_id"), col("deg"))
+        .orderBy("node_id")
+    }),
+
     // CDC changelog apply (MERGE INTO): an out-of-order I/U/D changelog
     // with duplicate keys folds onto a base snapshot — latest-(seq, op)
     // wins, tombstones delete, untouched rows pass through. One window
@@ -476,6 +494,17 @@ object InfraQueries {
         """
           |SELECT id AS node_id, dist
           |FROM d4 ORDER BY dist, node_id LIMIT 50""".stripMargin
+    },
+    "q180_kcore" -> {
+      val pairSql =
+        """SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
+      val edgesSql =
+        s"SELECT src, dst FROM ($pairSql)\n" +
+          s"UNION ALL SELECT dst, src FROM ($pairSql)"
+      graft.operators.KCore.unrolledSql(edgesSql, k = 40, rounds = 3)
+        .replace("SELECT id, deg FROM d3 WHERE deg >= 40",
+          "SELECT id AS node_id, deg FROM d3 WHERE deg >= 40 ORDER BY node_id")
     },
     "q129_cdc_apply" ->
       """WITH snap AS (

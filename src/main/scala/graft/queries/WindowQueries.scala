@@ -20,6 +20,66 @@ object WindowQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Additive seasonal decomposition on the daily revenue series:
+    // trend = centered 7-day window (published as the INTEGER cents
+    // sum, null-free only where the window is full), seasonal =
+    // day-of-week mean (published as exact integer numerator/
+    // denominator plus the derived double), residual = daily − trend/7
+    // − seasonal. Every float derives from identical integers via
+    // identical IEEE ops, so the decomposition replays bit-for-bit.
+    "q181_seasonal_decompose" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast(LongType))
+          .as("daily_cents"))
+      val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+      val trended = daily
+        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("trend7",
+          when(col("n7") === 7, sum(col("daily_cents")).over(w7)))
+        .drop("n7")
+        // engine-free day-of-week: (epoch_day + 4) mod 7, Sunday = 0
+        // (Spark's dayofweek is 1-based, DuckDB's 0-based — sidestep)
+        .withColumn("dow", pmod(datediff(col("day"),
+          lit(java.sql.Date.valueOf("1970-01-01"))) + 4, lit(7))
+          .cast(LongType))
+      val seas = trended.groupBy("dow")
+        .agg(sum("daily_cents").as("seas_num"),
+          count(lit(1)).as("seas_den"))
+      trended.join(broadcast(seas), "dow")
+        .select(col("day"), col("daily_cents"), col("trend7"), col("dow"),
+          (col("seas_num").cast(DoubleType) / col("seas_den"))
+            .as("seasonal"),
+          when(col("trend7").isNotNull,
+            col("daily_cents") - col("trend7") / lit(7.0) -
+              col("seas_num").cast(DoubleType) / col("seas_den"))
+            .as("residual"))
+        .orderBy("day")
+    }),
+
+    // Event-time lateness audit — the watermark-sizing question every
+    // streaming deployment answers first: with arrival order = event_id
+    // per event_type stream, an event is late-beyond-watermark iff its
+    // event time trails the stream's running max by > 1 hour. One
+    // window pass per stream partition, exact integer counters.
+    "q182_lateness_audit" -> ((s, dir) => {
+      val hourUs = 3600L * 1000000L
+      val e = t(s, dir, "events").select(col("event_type"),
+        col("event_id"),
+        graft.functions.BqShims.epochMicros(col("ts")).as("tsm"))
+      val w = Window.partitionBy("event_type").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("hwm", max(col("tsm")).over(w))
+        .withColumn("late",
+          (col("hwm").isNotNull && col("tsm") < col("hwm") - hourUs)
+            .cast(LongType))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("late").as("n_late"),
+          max(when(col("late") === 1, col("hwm") - col("tsm")))
+            .as("max_lateness_us"))
+        .orderBy("event_type")
+    }),
+
     // Per-key gap fill: each user's daily error-count series densified
     // onto its own [min,max] day spine (per-key sequence explode — no
     // global calendar join), holes repaired by forward-fill and by
@@ -335,6 +395,50 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical integer inputs -> identical IEEE derivations
+    "q181_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS daily_cents
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT day, daily_cents,
+        |    CASE WHEN COUNT(*) OVER w = 7
+        |      THEN CAST(SUM(daily_cents) OVER w AS BIGINT) END AS trend7,
+        |    CAST((datediff('day', DATE '1970-01-01', day) + 4) % 7
+        |      AS BIGINT) AS dow
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND
+        |    3 FOLLOWING)),
+        |s AS (
+        |  SELECT dow, CAST(SUM(daily_cents) AS BIGINT) AS seas_num,
+        |    COUNT(*)::BIGINT AS seas_den
+        |  FROM t GROUP BY 1)
+        |SELECT t.day, t.daily_cents, t.trend7, t.dow,
+        |  CAST(s.seas_num AS DOUBLE) / s.seas_den AS seasonal,
+        |  CASE WHEN t.trend7 IS NOT NULL
+        |    THEN t.daily_cents - t.trend7 / 7.0
+        |      - CAST(s.seas_num AS DOUBLE) / s.seas_den END AS residual
+        |FROM t JOIN s USING (dow) ORDER BY t.day""".stripMargin,
+    "q182_lateness_audit" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS tsm FROM events),
+        |m AS (
+        |  SELECT event_type, tsm,
+        |    MAX(tsm) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM e),
+        |f AS (
+        |  SELECT event_type, tsm, hwm,
+        |    CASE WHEN hwm IS NOT NULL
+        |      AND tsm < hwm - 3600000000 THEN 1 ELSE 0 END AS late
+        |  FROM m)
+        |SELECT event_type, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(late) AS BIGINT) AS n_late,
+        |  CAST(MAX(CASE WHEN late = 1 THEN hwm - tsm END) AS BIGINT)
+        |    AS max_lateness_us
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     // Two chained NATIVE ASOF joins — again an independent
     // implementation of the two union-carry passes.
     "q156_ordered_funnel" ->
