@@ -90,7 +90,9 @@ object Bench {
       // r11 batch 4: the gram-window shuffle is the only ≥3 s addition
       "q168_dup_spans",
       // r11 batch 7: iterative peeling joins the graph heavies
-      "q180_kcore")
+      "q180_kcore",
+      // r11 batch 8: candidate-verify containment join
+      "q184_containment_dedup")
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (heavyLast.contains(name), name) }

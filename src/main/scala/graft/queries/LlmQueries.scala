@@ -956,6 +956,45 @@ object LlmQueries {
       graft.llm.DupSpans.spans(t(s, dir, "documents"), "doc_id", "text",
         w = 8).orderBy("doc_id")),
 
+    // Chunk-embedding mean pooling: chunk vectors (4 consecutive
+    // embeddings = one "document") pooled elementwise into a doc
+    // vector. Per-dimension sums accumulate in DECIMAL(20,7) via
+    // posexplode + groupBy (order-independent, engine-identical; a
+    // float fold would be merge-order-dependent at cluster scale),
+    // then ONE double division per dimension. Published as the pooled
+    // array rebuilt in dimension order.
+    "q185_embed_pool" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(expr("vec_id div 4").as("doc"),
+          posexplode(col("embedding")))
+      e.groupBy("doc", "pos")
+        .agg(sum(col("col").cast(DoubleType).cast(DecimalType(30, 15)))
+          .as("s"), count(lit(1)).as("n"))
+        .select(col("doc"), col("pos"),
+          (col("s").cast(DoubleType) / col("n")).as("m"))
+        .groupBy("doc")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .getField("m").as("pooled"),
+          count(lit(1)).as("dim"))
+        .orderBy("doc")
+    }),
+
+    // Asymmetric CONTAINMENT near-dup (sub-document duplication — the
+    // case Jaccard misses when a small doc is swallowed by a big one):
+    // containment(A→B) = |S(A) ∩ S(B)| / |S(A)| ≥ 80% over distinct
+    // 3-shingle sets via the PPJoin-style prefix filter (candidates
+    // from each doc's rarest ⌊0.2·sz⌋+1 shingles — complete by the
+    // prefix theorem; the naive Σdf² shingle self-join measured 2.8M
+    // join rows at sf0.1 and grows quadratically under a fixed vocab).
+    // Exact intersection per candidate via array_intersect. The oracle
+    // IS the naive join — an independent implementation.
+    "q184_containment_dedup" -> ((s, dir) =>
+      graft.llm.ContainmentJoin.pairs(t(s, dir, "documents"),
+          "doc_id", "text", shingleW = 3, num = 4, den = 5)
+        .select(col("a"), col("b"), col("inter"), col("size_a"),
+          lit(true).as("contained"))
+        .orderBy("a", "b")),
+
     // PMI collocation extraction, integer-exact: a bigram (a,b) with
     // count ≥ 5 is a collocation iff PMI > 0 (above independence — 437
     // of 900 candidates at sf0.01, a real split), tested log-free by
@@ -1206,6 +1245,43 @@ object LlmQueries {
         |  COUNT(*)::BIGINT AS n_spans,
         |  CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
         |FROM spans GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // the q74 decimal-accumulation pattern, per (doc, dimension)
+    "q185_embed_pool" ->
+      """WITH e AS (
+        |  SELECT vec_id // 4 AS doc, unnest(embedding) AS v,
+        |    unnest(range(1, len(embedding) + 1)) AS pos
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT doc, pos,
+        |    SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS s,
+        |    COUNT(*) AS n
+        |  FROM e GROUP BY 1, 2),
+        |m AS (SELECT doc, pos, CAST(s AS DOUBLE) / n AS m FROM g)
+        |SELECT doc, list(m ORDER BY pos) AS pooled, COUNT(*)::BIGINT AS dim
+        |FROM m GROUP BY doc ORDER BY doc""".stripMargin,
+    // same shingle definition as TextDedup.shingles (split on ' ',
+    // w=3, short-doc whole-text fallback) hashed to the same 60-bit
+    // md5 ids, exact set intersection via the NAIVE shingle self-join
+    // — an independent implementation of the prefix-filtered path
+    "q184_containment_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(1, len(w) - 1),
+        |        i -> array_to_string(w[i:i+2], ' '))
+        |      ELSE [array_to_string(w, ' ')] END,
+        |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS sh
+        |  FROM (
+        |    SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*)::BIGINT AS inter
+        |  FROM sh a JOIN sh b USING (sh)
+        |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT i.a, i.b, i.inter, s.sz AS size_a, TRUE AS contained
+        |FROM inter i JOIN sizes s ON s.doc_id = i.a
+        |WHERE i.inter * 5 >= s.sz * 4
+        |ORDER BY i.a, i.b""".stripMargin,
     // HUGEINT cross-multiply on the DuckDB side ≡ DECIMAL(38,0) on the
     // Spark side — both exact, so the collocation booleans replay
     "q174_pmi_collocations" ->

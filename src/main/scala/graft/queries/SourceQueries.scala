@@ -38,6 +38,10 @@ object SourceQueries {
   private val zoneDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q183's staged binary-blob directory (same lifecycle). */
+  private val blobDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val queries: Map[String, Q] = Map(
     // Small-file compaction (the streaming-sink hygiene op): a freshly
     // fragmented 64-file copy of orders is rewritten to
@@ -79,6 +83,36 @@ object SourceQueries {
           sum(col("l_quantity").cast(LongType)).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_price"))
         .orderBy("l_returnflag")
+    }),
+
+    // binaryFile source (the multimodal ingestion entry point): one
+    // blob file per nation (content = the UTF-8 name bytes) staged
+    // once per (JVM, sf), read back through Spark's binaryFile format
+    // (path/length/content columns), and summarized. The oracle
+    // recomputes the expected byte totals from the nation table — a
+    // lossy read (truncation, encoding, missing files) turns the row
+    // red. Scale shape: binaryFile lists + reads distributed; per-file
+    // rows carry bounded metadata, content stays columnar-opaque.
+    "q183_binaryfile_source" -> ((s, dir) => {
+      val path = blobDirs.computeIfAbsent(dir, _ => {
+        val p = tmpDir("graft_blobs")
+        t(s, dir, "nation").select("n_nationkey", "n_name").collect()
+          .foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(p,
+                f"nation_${r.getAs[Number](0).longValue}%02d.bin"),
+              r.getString(1).getBytes("UTF-8"))
+          }
+        p
+      })
+      s.read.format("binaryFile").load(path)
+        .select(col("length"), length(col("content")).cast(LongType)
+          .as("content_len"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("length")).as("total_bytes"),
+          sum(col("content_len")).as("read_bytes"),
+          (sum(col("length")) === sum(col("content_len")))
+            .as("content_complete"))
     }),
 
     // Zone-map (min/max) data skipping: events are zoned by ingestion
@@ -505,6 +539,15 @@ object SourceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // expected byte totals recomputed from the source table
+    "q183_binaryfile_source" ->
+      """SELECT COUNT(*)::BIGINT AS n_files,
+        |  CAST(SUM(octet_length(encode(n_name))) AS BIGINT)
+        |    AS total_bytes,
+        |  CAST(SUM(octet_length(encode(n_name))) AS BIGINT)
+        |    AS read_bytes,
+        |  TRUE AS content_complete
+        |FROM nation""".stripMargin,
     // the ORC round trip must preserve the parquet aggregate exactly
     "q169_orc_roundtrip" ->
       """SELECT l_returnflag, COUNT(*)::BIGINT AS n,

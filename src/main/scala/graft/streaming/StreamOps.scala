@@ -244,6 +244,27 @@ object StreamOps {
     spark.read.schema(outSchema).parquet(outDir)
   }
 
+  /** One AvailableNow pass of an append passthrough with an EXPLICIT
+    * checkpoint: the exactly-once resume primitive. Re-running with the
+    * same checkpoint after new source files arrive processes ONLY the
+    * unseen files — the offset log, not the sink, carries the progress.
+    * (The temp-checkpoint runners above are single-shot by design; this
+    * is the restartable form a production ingest uses, spec-asserted
+    * for no-duplicates across a stop/resume in StreamOpsSpec.) */
+  def checkpointedAppendRun(spark: SparkSession, srcDir: String,
+      schema: StructType, checkpointDir: String, outDir: String): Unit = {
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-static enrichment: a streaming fact joined per micro-batch
     * against a (broadcast) static dimension — the standard "enrich on
     * ingest" shape. The static side is planned once and broadcast into

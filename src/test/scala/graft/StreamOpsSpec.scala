@@ -128,4 +128,24 @@ class StreamOpsSpec extends SparkTestBase {
       .collect().toSeq
     assert(sessions == Seq(SessionOut(1L, 0 * m, 50 * m, 3)))
   }
+
+  test("checkpointed resume processes only unseen files — exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val src = java.nio.file.Files.createTempDirectory("ckpt_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_log").toString
+    val out = java.nio.file.Files.createTempDirectory("ckpt_out").toString
+    val schema = StructType(Seq(StructField("id", LongType)))
+    Seq(1L, 2L, 3L).toDF("id").coalesce(1).write.mode("append").parquet(src)
+    StreamOps.checkpointedAppendRun(spark, src, schema, ckpt, out)
+    val firstRun = spark.read.schema(schema).parquet(out).count()
+    assert(firstRun == 3)
+    // resume with the SAME checkpoint after new files land: the offset
+    // log must skip everything already committed
+    Seq(4L, 5L).toDF("id").coalesce(1).write.mode("append").parquet(src)
+    StreamOps.checkpointedAppendRun(spark, src, schema, ckpt, out)
+    val ids = spark.read.schema(schema).parquet(out)
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L), s"duplicate or lost rows: $ids")
+  }
 }
