@@ -92,7 +92,9 @@ object Bench {
       // r11 batch 7: iterative peeling joins the graph heavies
       "q180_kcore",
       // r11 batch 8: candidate-verify containment join
-      "q184_containment_dedup")
+      "q184_containment_dedup",
+      // r11 batch 9: the within-order pair-count shuffle
+      "q186_cooccurrence_topk")
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (heavyLast.contains(name), name) }

@@ -143,6 +143,104 @@ object StatQueries {
         .orderBy(col("key").cast(LongType))
     }),
 
+    // Item-item co-occurrence top-k (the recsys/association primitive):
+    // part pairs exploded WITHIN each order (bounded quadratic per
+    // order ≈ linear overall), pair counts in one shuffle, then the
+    // native bounded-heap top-k aggregate picks each item's 3 strongest
+    // neighbors — no window sort over the full pair table. Ties break
+    // toward the smaller neighbor id (the heap's deterministic order).
+    "q186_cooccurrence_topk" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+          Seq("l_orderkey"))
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      // heap value = n with -b as the deterministic tiebreak, encoded
+      // into the double mantissa-safe range: v = n * 2^22 - b
+      pairs
+        .groupBy("a")
+        .agg(graft.operators.TopKAgg.topK(
+          (col("n") * lit(1 << 22) - col("b")).cast(DoubleType),
+          col("b"), 3).as("top"))
+        .select(col("a"), posexplode(col("top")))
+        .select(col("a"), (col("pos") + 1).cast(LongType).as("rank"),
+          col("col.id").as("b"),
+          ((col("col.value") + col("col.id")) / lit(1 << 22))
+            .cast(LongType).as("n"))
+        .orderBy("a", "rank")
+    }),
+
+    // Golden-record survivorship (MDM consolidation): duplicate order
+    // rows (the %3 CDC-style duplication) collapse to one record per
+    // key with per-column precedence = latest non-null by (seq, op
+    // order) — first(ignoreNulls) over a deterministic recency window.
+    // One shuffle per key, no driver state.
+    "q187_golden_record" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+      // three "systems" emit partial views of each order, seq = source
+      // rank; nulls simulate partial records
+      val v1 = o.select(col("o_orderkey").as("k"), lit(1L).as("seq"),
+        col("o_custkey"), lit(null).cast(StringType).as("o_orderstatus"),
+        col("o_totalprice"))
+      val v2 = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), lit(2L).as("seq"),
+          lit(null).cast(LongType).as("o_custkey"), col("o_orderstatus"),
+          lit(null).cast(DoubleType).as("o_totalprice"))
+      val v3 = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("k"), lit(3L).as("seq"),
+          col("o_custkey"), col("o_orderstatus"),
+          lit(null).cast(DoubleType).as("o_totalprice"))
+      val all = v1.unionByName(v2).unionByName(v3)
+      val w = Window.partitionBy("k").orderBy(col("seq").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      all
+        .withColumn("g_cust", first(col("o_custkey"), ignoreNulls = true)
+          .over(w))
+        .withColumn("g_status", first(col("o_orderstatus"),
+          ignoreNulls = true).over(w))
+        .withColumn("g_price", first(col("o_totalprice"),
+          ignoreNulls = true).over(w))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_sources"), max("g_cust").as("cust"),
+          max("g_status").as("status"), max("g_price").as("price"))
+        .orderBy("k")
+    }),
+
+    // Time-weighted average (TWAP): each reading weighted by its
+    // holding time until the next reading. Exact: value is scaled to
+    // integer micro-units BEFORE the multiply (floor(v*1e6)), weights
+    // are integer micros, products accumulate in DECIMAL(38,0) — the
+    // published num/den are exact integers; the ratio is one division
+    // of identical values.
+    "q188_twap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = DecimalType(38, 0)
+      val e = t(s, dir, "events").select(col("user_id"),
+        graft.functions.BqShims.epochMicros(col("ts")).as("tsm"),
+        col("event_id"), floor(col("value") * 1000000).cast(LongType)
+          .as("v_micro"))
+      val w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+      e.withColumn("next_ts", lead(col("tsm"), 1).over(w))
+        .filter(col("next_ts").isNotNull)
+        .withColumn("hold", col("next_ts") - col("tsm"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v_micro").cast(dec) * col("hold").cast(dec)).cast(dec)
+            .as("twap_num"),
+          sum(col("hold")).as("twap_den"))
+        .filter(col("user_id") < 200)
+        // the ~1e19 numerator exceeds exact-double range and DuckDB's
+        // HUGEINT->DOUBLE rounds 1 ulp differently than Decimal->double
+        // -> publish the exact rational as (string numerator, long
+        // denominator); the ratio is derivable by any consumer
+        .select(col("user_id"), col("n"),
+          col("twap_num").cast(StringType).as("twap_num"),
+          col("twap_den"))
+        .orderBy("user_id")
+    }),
+
     // Per-group exact OLS trend: slope/intercept from the closed-form
     // normal equations with every sum accumulated in DECIMAL(38,0) —
     // order-independent and engine-identical (the raw products exceed
@@ -486,6 +584,62 @@ object StatQueries {
     // the SQL-surface CMS must reproduce the DataFrame-surface q167
     // exactly — one oracle, two engine paths
     "q171_sql_native_fns" -> cmsOracle,
+    // window-rank replay of the bounded-heap top-k
+    "q186_cooccurrence_topk" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |p AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*)::BIGINT AS n
+        |  FROM li a JOIN li b USING (l_orderkey)
+        |  WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+        |r AS (
+        |  SELECT a, b, n, row_number() OVER (
+        |    PARTITION BY a ORDER BY n DESC, b ASC) AS rank
+        |  FROM p)
+        |SELECT a, CAST(rank AS BIGINT) AS rank, b, n
+        |FROM r WHERE rank <= 3 ORDER BY a, rank""".stripMargin,
+    // same three partial views, IGNORE NULLS recency window
+    "q187_golden_record" ->
+      """WITH v AS (
+        |  SELECT o_orderkey AS k, 1 AS seq, o_custkey,
+        |    CAST(NULL AS VARCHAR) AS o_orderstatus,
+        |    o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, NULL, o_orderstatus, NULL
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, o_custkey, o_orderstatus, NULL
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |g AS (
+        |  SELECT k,
+        |    first_value(o_custkey IGNORE NULLS) OVER w AS g_cust,
+        |    first_value(o_orderstatus IGNORE NULLS) OVER w AS g_status,
+        |    first_value(o_totalprice IGNORE NULLS) OVER w AS g_price
+        |  FROM v
+        |  WINDOW w AS (PARTITION BY k ORDER BY seq DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT k, COUNT(*)::BIGINT AS n_sources,
+        |  CAST(MAX(g_cust) AS BIGINT) AS cust, MAX(g_status) AS status,
+        |  MAX(g_price) AS price
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // HUGEINT ≡ DECIMAL(38,0) exact products, one final division
+    "q188_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm, event_id,
+        |    CAST(FLOOR(value * 1000000) AS BIGINT) AS v_micro
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, v_micro,
+        |    lead(tsm) OVER (PARTITION BY user_id ORDER BY tsm, event_id)
+        |      - tsm AS hold
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, COUNT(*)::BIGINT AS n,
+        |    SUM(CAST(v_micro AS HUGEINT) * hold) AS num,
+        |    CAST(SUM(hold) AS BIGINT) AS den
+        |  FROM l WHERE hold IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n, CAST(num AS VARCHAR) AS twap_num,
+        |  den AS twap_den
+        |FROM g WHERE user_id < 200 ORDER BY 1""".stripMargin,
     // DECIMAL normal equations -> identical doubles -> one division
     "q178_group_ols_trend" ->
       """WITH b AS (
