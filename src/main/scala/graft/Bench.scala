@@ -1,6 +1,41 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // Locale.ROOT: "%.Nf" must never emit a comma decimal separator.
+  def fmt(v: Double, dec: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${dec}f", v)
+  // Short-line values are clamped to ≤3 chars ("9.9" under 10 s,
+  // integer seconds above, "-1" for failures); the 4-decimal per-query
+  // record lives in BENCH_OUT.json.
+  def fmtShort(v: Double): String =
+    if (v < 0) "-1" else if (v >= 9.95) fmt(v, 0) else fmt(v, 1)
+
+  /** The driver-facing stdout JSON line, guaranteed ≤ `budget` bytes:
+    * per-query entries are kept SLOWEST-FIRST until the budget is
+    * spent (the 2x-gate-relevant band), the fast tail is summarized as
+    * "omitted":N — its queries stay fully recorded in BENCH_OUT.json
+    * and fully gated by the bench_2x_flags line. Keys are qNN prefixes
+    * when unambiguous. */
+  def shortLine(results: Seq[(String, Double)], sfLabel: String,
+      budget: Int = 1860): String = {
+    val prefixes = results.map(_._1.takeWhile(_ != '_'))
+    val shortKeys = prefixes.size == prefixes.distinct.size
+    def keyOf(k: String) = if (shortKeys) k.takeWhile(_ != '_') else k
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val entries = results.map { case (k, v) =>
+      (k, v, "\"" + keyOf(k) + "\":" + fmtShort(v)) }
+    val shell = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{},"omitted":999,"sf":"$sfLabel"}"""
+    var room = budget - shell.length
+    // failures (v < 0) are always kept; then slowest first
+    val keep = scala.collection.mutable.Set.empty[String]
+    entries.sortBy { case (_, v, _) => if (v < 0) Double.MinValue else -v }
+      .foreach { case (k, _, s) =>
+        if (room - (s.length + 1) >= 0) { keep += k; room -= s.length + 1 }
+      }
+    val qs = entries.collect { case (k, _, s) if keep(k) => s }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"omitted":${entries.size - keep.size},"sf":"$sfLabel"}"""
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -137,30 +172,16 @@ object Bench {
     }
     // ListMap keeps the run order in the emitted JSON (humans diff these).
     val resultsMap = scala.collection.immutable.ListMap(results: _*)
-    // Locale.ROOT: "%.Nf" must never emit a comma decimal separator.
-    def fmt(v: Double, dec: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${dec}f", v)
-    // Short-line values are clamped to ≤3 chars ("9.9" under 10 s,
-    // integer seconds above, "-1" for failures): with 160+ queries the
-    // 2000-byte tail can't afford wider values; the 4-decimal per-query
-    // record lives in BENCH_OUT.json and the 2x-gate flags print exact
-    // numbers for any offender. A query ≥1000 s would break its pin gate
-    // long before it breaks this format.
-    def fmtShort(v: Double): String =
-      if (v < 0) "-1" else if (v >= 9.95) fmt(v, 0) else fmt(v, 1)
-    def jsonLine(keyOf: String => String, fmtV: Double => String,
-        totalDec: Int, sfLabel: String): String = {
-      val qs = resultsMap.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmtV(v) }
-        .mkString("{", ",", "}")
-      // failed queries carry -1: excluded from the total, visible in `queries`
-      val total = resultsMap.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total, totalDec)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
-    }
     // Full-name 4-decimal payload → file (complete record for humans/tools).
+    val fullQs = resultsMap
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
+      .mkString("{", ",", "}")
+    val fullTotal = resultsMap.values.filter(_ >= 0).sum
     val out = java.nio.file.Path.of(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json"))
     java.nio.file.Files.write(out,
-      jsonLine(identity, fmt(_, 4), 4, sfDir).getBytes("UTF-8"))
+      (s"""{"metric":"total","value":${fmt(fullTotal, 4)},"unit":"sec",""" +
+        s""""queries":$fullQs,"sf":"$sfDir"}""").getBytes("UTF-8"))
     // The driver captures only the LAST 2000 bytes of stdout and parses the
     // JSON line out of that tail; sbt appends its [success] line after us,
     // so the WHOLE short line + that noise must fit in 2000 bytes or the
@@ -187,13 +208,10 @@ object Bench {
     val failed = resultsMap.collect { case (k, v) if v < 0 => k }
     if (failed.nonEmpty)
       println(s"bench_failures=${failed.mkString("[", ",", "]")}")
-    val prefixes = resultsMap.keys.map(k => k.takeWhile(_ != '_')).toSeq
-    val shortKeys = prefixes.size == prefixes.distinct.size
     val sfLabel = java.nio.file.Path.of(sfDir).getFileName.toString
     // stop Spark BEFORE the line: executor-shutdown warnings land above
     // it instead of pushing it out of the driver's tail window
     spark.stop()
-    println(jsonLine(k => if (shortKeys) k.takeWhile(_ != '_') else k,
-      fmtShort, 2, sfLabel))
+    println(shortLine(results, sfLabel))
   }
 }

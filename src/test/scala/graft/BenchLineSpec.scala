@@ -5,29 +5,50 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Guards the driver's bench-parse contract: the stdout JSON line must fit
   * the driver's 2000-byte stdout tail (with sbt's ~160 bytes of
   * [info]/[success] noise after it) or BENCH_r{N}.json records
-  * "parsed": null. Pure key arithmetic — no SparkSession needed.
+  * "parsed": null. Bench.shortLine enforces the budget by keeping the
+  * slowest queries' entries and summarizing the fast tail as
+  * "omitted":N (the full record lives in BENCH_OUT.json and every
+  * query stays gated by bench_2x_flags). Pure line arithmetic — no
+  * SparkSession needed.
   */
 class BenchLineSpec extends AnyFunSuite {
 
-  test("short-key bench JSON line fits the 2000-byte stdout tail") {
-    val keys = SparkEntry.queries.keys.toSeq
-    val prefixes = keys.map(_.takeWhile(_ != '_'))
+  private val names = SparkEntry.queries.keys.toSeq.sorted
+
+  test("qNN prefixes stay unambiguous (short keys remain possible)") {
+    val prefixes = names.map(_.takeWhile(_ != '_'))
     assert(prefixes.size == prefixes.distinct.size,
       "duplicate qNN prefixes would force full-name keys past the tail window")
-    // worst case: every value prints as "9.9"/"999" (Bench.fmtShort clamps
-    // the short line to 1 decimal under 10 s, integer seconds above; a
-    // query ≥1000 s breaks its 2x pin gate long before it breaks this
-    // format, and failures print "-1")
-    val perQuery = prefixes.map(p => p.length + 2 /* quotes */ + 1 /* : */ +
-      3 /* value */ + 1 /* comma */).sum
-    val overhead = """{"metric":"total","value":9999.99,"unit":"sec","queries":{}""".length +
-      ""","sf":"sf0.1"}""".length
-    // nothing is printed after the JSON line (Bench stops Spark first);
-    // only sbt's [info] prefix + [success] trailer share the tail
-    val sbtNoise = 7 /* [info]  */ + 100 /* [success] Total time line */
-    assert(perQuery + overhead + sbtNoise < 2000,
-      s"bench line estimate ${perQuery + overhead + sbtNoise}B nears the 2000B tail " +
-        "window - shorten keys or split the line before adding more queries")
+  }
+
+  test("short line fits the tail budget at worst-case values") {
+    // worst case: every query prints a 3-char value ("9.9")
+    val results = names.map(_ -> 9.9)
+    val line = Bench.shortLine(results, "sf0.1")
+    val sbtNoise = 7 /* [info]  */ + 110 /* [success] trailer */
+    assert(line.length + sbtNoise < 2000,
+      s"line ${line.length}B + noise breaches the 2000B tail window")
+    // it must still be one parseable JSON object with the contract keys
+    assert(line.startsWith("""{"metric":"total""""))
+    assert(line.contains(""""queries":{""") && line.contains(""""sf":"sf0.1""""))
+  }
+
+  test("budget keeps the slowest queries and counts the omitted tail") {
+    val results = (1 to 400).map(i => (f"q$i%03d_x" -> i / 100.0))
+    val line = Bench.shortLine(results, "sf0.1", budget = 600)
+    assert(line.length <= 600)
+    // slowest (q400) kept, fastest (q001) omitted, count present
+    assert(line.contains("\"q400\":"))
+    assert(!line.contains("\"q001\":"))
+    assert("\"omitted\":(\\d+)".r.findFirstMatchIn(line)
+      .exists(_.group(1).toInt > 0))
+  }
+
+  test("failures are always kept in the line") {
+    val results = Seq("q001_ok" -> 0.1, "q002_bad" -> -1.0) ++
+      (3 to 300).map(i => (f"q$i%03d_x" -> 5.0))
+    val line = Bench.shortLine(results, "sf0.1", budget = 400)
+    assert(line.contains("\"q002\":-1"))
   }
 
   test("every query has an oracle or is a documented rows-only path") {
