@@ -147,8 +147,8 @@ object InfraQueries {
     }),
 
     // Bounded-round k-core peeling on the customer↔supplier
-    // co-purchase graph (same edge table as q135): 3 rounds at k=40
-    // keep only nodes that retain ≥40 surviving neighbors through
+    // co-purchase graph (same edge table as q135): 3 rounds at k=10
+    // keep only nodes that retain ≥10 surviving neighbors through
     // every peel — the dense backbone a sampling/curriculum pipeline
     // keeps. Fixed rounds, unrolled oracle (q128/q135 pattern).
     "q180_kcore" -> ((s, dir) => {
@@ -159,7 +159,7 @@ object InfraQueries {
           (col("l_suppkey") + 10000000L).as("sup")).distinct()
       val edges = pair.select(col("c").as("src"), col("sup").as("dst"))
         .union(pair.select(col("sup").as("src"), col("c").as("dst")))
-      graft.operators.KCore.run(edges, k = 40, rounds = 3)
+      graft.operators.KCore.run(edges, k = 10, rounds = 3)
         .select(col("id").as("node_id"), col("deg"))
         .orderBy("node_id")
     }),
@@ -502,9 +502,9 @@ object InfraQueries {
       val edgesSql =
         s"SELECT src, dst FROM ($pairSql)\n" +
           s"UNION ALL SELECT dst, src FROM ($pairSql)"
-      graft.operators.KCore.unrolledSql(edgesSql, k = 40, rounds = 3)
-        .replace("SELECT id, deg FROM d3 WHERE deg >= 40",
-          "SELECT id AS node_id, deg FROM d3 WHERE deg >= 40 ORDER BY node_id")
+      graft.operators.KCore.unrolledSql(edgesSql, k = 10, rounds = 3)
+        .replace("SELECT id, deg FROM d3 WHERE deg >= 10",
+          "SELECT id AS node_id, deg FROM d3 WHERE deg >= 10 ORDER BY node_id")
     },
     "q129_cdc_apply" ->
       """WITH snap AS (
