@@ -348,18 +348,22 @@ object StreamOps {
     val q = src.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val idx = spark.read.schema(sigSchema).parquet(indexDir)
-        graft.llm.TextDedup.incrementalCandidates(batch, idx,
-            k = k, bands = bands, shingleW = shingleW, portable = portable,
-            pruneParts = pruneParts)
-          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(out)
-        val sigs = graft.llm.TextDedup.bandedSignatures(batch,
-          k = k, bands = bands, shingleW = shingleW, portable = portable)
-        if (pruneParts > 0)
-          graft.llm.TextDedup.writeSigIndex(sigs, indexDir, pruneParts,
-            mode = "append")
-        else sigs.write.mode(org.apache.spark.sql.SaveMode.Append)
-          .parquet(indexDir)
+        // per-trigger batch joins carry one micro-batch of docs: size
+        // their shuffles to the trigger volume, not the session default
+        withStatePartitions(spark, 8) {
+          val idx = spark.read.schema(sigSchema).parquet(indexDir)
+          graft.llm.TextDedup.incrementalCandidates(batch, idx,
+              k = k, bands = bands, shingleW = shingleW, portable = portable,
+              pruneParts = pruneParts)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(out)
+          val sigs = graft.llm.TextDedup.bandedSignatures(batch,
+            k = k, bands = bands, shingleW = shingleW, portable = portable)
+          if (pruneParts > 0)
+            graft.llm.TextDedup.writeSigIndex(sigs, indexDir, pruneParts,
+              mode = "append")
+          else sigs.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(indexDir)
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())
