@@ -241,6 +241,73 @@ object StatQueries {
         .orderBy("user_id")
     }),
 
+    // Association rules over order baskets: for each frequent pair
+    // (support ≥ 3 baskets), confidence and lift decided integer-
+    // exactly — conf(a→b) ≥ 25% ⇔ 4·n_ab ≥ n_a, lift > 1 ⇔
+    // n_ab·N > n_a·n_b — no float ratios anywhere. One basket-pair
+    // shuffle (bounded per order) + two item joins.
+    "q191_assoc_rules" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val tot = li.agg(count_distinct(col("l_orderkey")).as("n_orders"))
+      val itemN = li.groupBy(col("l_partkey").as("item"))
+        .agg(count(lit(1)).as("cnt"))
+      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+          Seq("l_orderkey"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      pairs
+        .join(itemN.select(col("item").as("a"), col("cnt").as("n_a")),
+          Seq("a"))
+        .join(itemN.select(col("item").as("b"), col("cnt").as("n_b")),
+          Seq("b"))
+        .crossJoin(broadcast(tot))
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          (col("n_ab") * 4 >= col("n_a")).as("conf_ok"),
+          (col("n_ab") * col("n_orders") > col("n_a") * col("n_b"))
+            .as("lift_pos"))
+        .orderBy("a", "b")
+    }),
+
+    // Embedding-health drift gate on the NORM distribution (centroids
+    // of zero-centered embeddings are pure noise; norms carry the
+    // signal): vectors quantized to integer milli-units, squared norms
+    // bucketed, and the two halves compared by the q150 integer-exact
+    // TVD. Two arms: a same-distribution null (stays below the gate)
+    // and a seeded 10%-rescaled arm (drifts) — both outcomes exercised.
+    "q192_embed_norm_drift" -> ((s, dir) => {
+      def norms(scale: Int) = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          aggregate(transform(col("embedding"),
+            v => { val q = floor(v.cast(DoubleType) * scale).cast(LongType)
+                   q * q }),
+            lit(0L), (acc, x) => acc + x).as("n2"))
+      val base = norms(1000)
+      def arm(name: String, b: org.apache.spark.sql.DataFrame) =
+        base.select(lit(name).as("arm"), lit("a").as("half"), col("n2"))
+          .where(col("vec_id") % 2 === 0)
+          .unionByName(b.select(lit(name).as("arm"), lit("b").as("half"),
+            col("n2")).where(col("vec_id") % 2 === 1))
+      val e = arm("null", base).unionByName(arm("scaled", norms(1100)))
+        .withColumn("bin", expr("n2 div 1000000"))
+      val counts = e.groupBy("arm", "bin")
+        .agg(count_if(col("half") === "a").as("ca"),
+          count_if(col("half") === "b").as("cb"))
+      val totals = e.groupBy("arm")
+        .agg(count_if(col("half") === "a").as("na"),
+          count_if(col("half") === "b").as("nb"))
+      counts.join(broadcast(totals), "arm")
+        .groupBy(col("arm"), col("na"), col("nb"))
+        .agg(sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
+          .as("tvd_scaled"))
+        .select(col("arm"), col("na"), col("nb"), col("tvd_scaled"),
+          (col("tvd_scaled") * 10 > col("na") * col("nb") * 2)
+            .as("drifted"))
+        .orderBy("arm")
+    }),
+
     // A/B significance gate, integer-exact: a 2×2 contingency table
     // per event_type (variant = user parity, success = value above
     // threshold) and the chi-square decision at α=0.05 tested WITHOUT
@@ -647,6 +714,66 @@ object StatQueries {
     // the SQL-surface CMS must reproduce the DataFrame-surface q167
     // exactly — one oracle, two engine paths
     "q171_sql_native_fns" -> cmsOracle,
+    // integer-exact confidence/lift replay
+    "q191_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |tot AS (
+        |  SELECT COUNT(DISTINCT l_orderkey)::BIGINT AS n_orders FROM li),
+        |itn AS (
+        |  SELECT l_partkey AS item, COUNT(*)::BIGINT AS cnt
+        |  FROM li GROUP BY 1),
+        |p AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b,
+        |    COUNT(*)::BIGINT AS n_ab
+        |  FROM li x JOIN li y USING (l_orderkey)
+        |  WHERE x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT p.a, p.b, p.n_ab, ia.cnt AS n_a, ib.cnt AS n_b,
+        |  p.n_ab * 4 >= ia.cnt AS conf_ok,
+        |  p.n_ab * t.n_orders > ia.cnt * ib.cnt AS lift_pos
+        |FROM p
+        |JOIN itn ia ON ia.item = p.a
+        |JOIN itn ib ON ib.item = p.b, tot t
+        |ORDER BY 1, 2""".stripMargin,
+    // same milli-quantized norms, same integer TVD, both arms
+    "q192_embed_norm_drift" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(embedding,
+        |      v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)
+        |         * CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT))),
+        |    (a, x) -> a + x) AS n2
+        |  FROM embeddings),
+        |alt AS (
+        |  SELECT vec_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(embedding,
+        |      v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1100) AS BIGINT)
+        |         * CAST(FLOOR(CAST(v AS DOUBLE) * 1100) AS BIGINT))),
+        |    (a, x) -> a + x) AS n2
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT 'null' AS arm, 'a' AS half, n2 FROM base WHERE vec_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'null', 'b', n2 FROM base WHERE vec_id % 2 = 1
+        |  UNION ALL
+        |  SELECT 'scaled', 'a', n2 FROM base WHERE vec_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'scaled', 'b', n2 FROM alt WHERE vec_id % 2 = 1),
+        |c AS (
+        |  SELECT arm, n2 // 1000000 AS bin,
+        |    CAST(SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM e GROUP BY 1, 2),
+        |t AS (
+        |  SELECT arm, CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb
+        |  FROM c GROUP BY 1)
+        |SELECT c.arm, t.na, t.nb,
+        |  CAST(SUM(ABS(c.ca * t.nb - c.cb * t.na)) AS BIGINT) AS tvd_scaled,
+        |  CAST(SUM(ABS(c.ca * t.nb - c.cb * t.na)) AS BIGINT) * 10 >
+        |    t.na * t.nb * 2 AS drifted
+        |FROM c JOIN t USING (arm)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     // HUGEINT cross-multiplied chi-square decision
     "q189_ab_gate" ->
       """WITH e AS (
