@@ -247,6 +247,27 @@ object InfraQueries {
         .orderBy("user_id", "version")
     }),
 
+    // Time-travel (as-of) read on the q127 SCD2 dimension: the table
+    // state at T = 2024-01-16T00:00:00Z is the episodes whose
+    // [valid_from, valid_to) interval covers T — the standard
+    // bi-temporal consumer of an SCD2 build (one row per user active
+    // at T). The as-of predicate is a free filter on the same single
+    // user-hash shuffle as the build; at warehouse scale it prunes to
+    // the partitions overlapping T.
+    "q198_asof_snapshot" -> ((s, dir) => {
+      val T = 1705363200000000L // 2024-01-16T00:00:00Z in epoch micros
+      val ev = t(s, dir, "events").select(col("user_id"),
+        graft.functions.BqShims.epochMicros(col("ts")).as("tsm"), col("event_id"),
+        col("event_type").as("segment"))
+      graft.operators.Scd2.build(ev, key = "user_id", attr = "segment",
+          ord = Seq("tsm", "event_id"))
+        .filter(col("valid_from") <= T &&
+          (col("valid_to").isNull || col("valid_to") > T))
+        .select(col("user_id"), col("segment"), col("valid_from"),
+          col("version"))
+        .orderBy("user_id")
+    }),
+
     // Hilbert-curve layout over the same (customer × order-day) keys as
     // q126 — the better-locality clustering: unit-step curve traversal
     // keeps every bucket's 2-D box tighter than the Morton seams allow.
@@ -587,6 +608,29 @@ object InfraQueries {
         |FROM v
         |WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    // q127's episode build + the covering-interval filter at T
+    "q198_asof_snapshot" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm, event_id,
+        |    event_type AS segment
+        |  FROM events),
+        |c AS (
+        |  SELECT *, lag(segment) OVER
+        |    (PARTITION BY user_id ORDER BY tsm, event_id) AS prev
+        |  FROM e),
+        |v AS (SELECT user_id, segment, tsm, event_id FROM c
+        |      WHERE prev IS NULL OR prev <> segment),
+        |scd AS (
+        |  SELECT user_id, segment, tsm AS valid_from,
+        |    lead(tsm) OVER w AS valid_to,
+        |    row_number() OVER w AS version
+        |  FROM v
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id))
+        |SELECT user_id, segment, valid_from, CAST(version AS BIGINT) AS version
+        |FROM scd
+        |WHERE valid_from <= 1705363200000000
+        |  AND (valid_to IS NULL OR valid_to > 1705363200000000)
+        |ORDER BY user_id""".stripMargin,
     "q130_hilbert_layout" ->
       s"""WITH d AS (
         |  SELECT o_custkey AS x,

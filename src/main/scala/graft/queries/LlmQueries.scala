@@ -1026,6 +1026,49 @@ object LlmQueries {
             col("m").cast(dec) * col("c1").cast(dec) *
               col("c2").cast(dec)).as("colloc"))
         .orderBy("w1", "w2")
+    }),
+
+    // fastText-style hashed linear classifier inference (Joulin et al.
+    // 2016) — the model-based-filtering stage of an LLM data pipeline,
+    // with ZERO shuffles: tokens hash into 256 feature buckets, the
+    // (bucket, class) weights are closed-form integers from the
+    // portable 60-bit mix, and each document folds its own bucket
+    // array per class with `aggregate`. No weight join, no broadcast,
+    // no exchange — the plan is a single projected scan, linear in
+    // corpus bytes at any scale. First-max argmax, scores published.
+    "q193_linear_classifier" -> ((s, dir) =>
+      graft.llm.LinearClassifier.classify(t(s, dir, "documents"),
+        "doc_id", "text", classes = 4, buckets = 256).orderBy("doc_id")),
+
+    // Token-budget apportionment across sources (the "data mixture"
+    // allocation step): a 1M-token training budget split across the
+    // corpus sources proportionally to their token mass by the
+    // largest-remainder (Hamilton) method — base = floor(T·w/W), the
+    // T − Σbase leftover units go to the largest remainders (source
+    // name breaks ties) — so allocations are integer-exact, sum to T
+    // exactly, and replay identically in the oracle. One map-side
+    // token-length scan + a sources-sized window; nothing else moves.
+    "q196_token_budget" -> ((s, dir) => {
+      val T = 1000000L
+      val w = t(s, dir, "documents")
+        .select(col("source"),
+          size(graft.llm.Surprisal.tokens(col("text"))).cast(LongType)
+            .as("n"))
+        .groupBy("source").agg(sum("n").as("w"))
+      val tot = w.agg(sum("w").as("w_tot"))
+      val base = w.crossJoin(broadcast(tot))
+        .select(col("source"), col("w"),
+          expr(s"CAST(($T * w) div w_tot AS BIGINT)").as("base"),
+          expr(s"CAST(($T * w) % w_tot AS BIGINT)").as("rem"))
+      val wAll = Window.orderBy(desc("rem"), col("source"))
+      val wSum = Window.partitionBy(lit(1))
+      base
+        .withColumn("rk", row_number().over(wAll))
+        .withColumn("leftover", lit(T) - sum("base").over(wSum))
+        .select(col("source"), col("w"), col("base"),
+          when(col("rk") <= col("leftover"), 1L).otherwise(0L).as("extra"))
+        .withColumn("alloc", col("base") + col("extra"))
+        .orderBy("source")
     })
   )
 
@@ -1996,6 +2039,35 @@ object LlmQueries {
         |UNION ALL SELECT 2, 'lang_en', (SELECT COUNT(*) FROM s2)
         |UNION ALL SELECT 3, 'quality', (SELECT COUNT(*) FROM s3)
         |UNION ALL SELECT 4, 'exact_dedup', (SELECT COUNT(*) FROM s4)
-        |ORDER BY stage_idx""".stripMargin
+        |ORDER BY stage_idx""".stripMargin,
+    // generated from the same seed/weight constants as the Spark plan —
+    // the two sides cannot drift (the KCore/Hilbert dual-gen pattern)
+    "q193_linear_classifier" ->
+      graft.llm.LinearClassifier.oracleSql("doc_id", "text",
+        classes = 4, buckets = 256),
+    // largest-remainder apportionment: floor quotas + ranked remainders;
+    // `//`/`%` on non-negative BIGINTs match Spark's div/% exactly
+    "q196_token_budget" ->
+      """WITH w AS (
+        |  SELECT source,
+        |    CAST(SUM(len(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> ''))) AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_tot FROM w),
+        |base AS (
+        |  SELECT source, w,
+        |    CAST((1000000 * w) // w_tot AS BIGINT) AS base,
+        |    CAST((1000000 * w) % w_tot AS BIGINT) AS rem
+        |  FROM w, tot),
+        |rk AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        |    1000000 - SUM(base) OVER () AS leftover
+        |  FROM base)
+        |SELECT source, w, base,
+        |  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM rk ORDER BY source""".stripMargin
   )
 }

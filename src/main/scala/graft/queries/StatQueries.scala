@@ -308,6 +308,102 @@ object StatQueries {
         .orderBy("arm")
     }),
 
+    // Two-sample Kolmogorov–Smirnov gate at α=0.05, decided WITHOUT
+    // floats or sqrt: with M = max_x |F̂a(x)·nb − F̂b(x)·na| (an
+    // integer), D > 1.36·√((na+nb)/(na·nb)) squares to
+    // 625·M² > 1156·(na+nb)·na·nb in DECIMAL(38,0) — 1.36 = 34/25
+    // exactly, so the verdict can never drift with libm. Two arms over
+    // value cents: an even/odd null split (stays accepted) and a
+    // 1.3×-scaled arm (pure ×13-vs-×10 integer scaling — rejected at
+    // every test scale: D≈0.10–0.14 vs crit 0.086/0.027/0.009 at
+    // sf0.001/0.01/0.1).
+    // Scale shape: one (arm, value) count shuffle, then the CDF window
+    // runs over DISTINCT values only — bounded by the value domain,
+    // not the row count.
+    "q194_ks_gate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = DecimalType(38, 0)
+      val ev = t(s, dir, "events").select(
+        (pmod(col("event_id"), lit(2L)) === 0).as("is_a"),
+        floor(col("value") * 100).cast(LongType).as("cents"))
+      def arm(name: String, bScale: Long) =
+        ev.select(lit(name).as("arm"), col("is_a"),
+          when(col("is_a"), col("cents") * 10)
+            .otherwise(col("cents") * bScale).as("x"))
+      val e = arm("null", 10L).unionByName(arm("scaled", 13L))
+      val counts = e.groupBy("arm", "x").agg(
+        count_if(col("is_a")).as("ca"),
+        count_if(!col("is_a")).as("cb"))
+      val w = Window.partitionBy("arm").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totals = e.groupBy("arm").agg(
+        count_if(col("is_a")).as("na"),
+        count_if(!col("is_a")).as("nb"))
+      counts
+        .select(col("arm"), sum("ca").over(w).as("fa"),
+          sum("cb").over(w).as("fb"))
+        .join(broadcast(totals), "arm")
+        .groupBy(col("arm"), col("na"), col("nb"))
+        .agg(max(abs(col("fa") * col("nb") - col("fb") * col("na")))
+          .as("m_stat"))
+        .select(col("arm"), col("na"), col("nb"), col("m_stat"),
+          (lit(625).cast(dec) * col("m_stat").cast(dec) *
+            col("m_stat").cast(dec) >
+            lit(1156).cast(dec) * (col("na") + col("nb")).cast(dec) *
+              col("na").cast(dec) * col("nb").cast(dec)).as("rejected"))
+        .orderBy("arm")
+    }),
+
+    // Lag-1 autocorrelation gate per event_type, integer-exact: over
+    // consecutive (ts, event_id)-ordered pairs, the Pearson numerator
+    // num = n·Σxy − Σx·Σy and denominators den_x/den_y in
+    // DECIMAL(38,0) on floor(value) units; the published decisions are
+    // corr_pos ⇔ num > 0 and strong ⇔ 25·num² > den_x·den_y
+    // (|r| > 1/5) — no division, no sqrt, bit-identical replay. Two
+    // arms per series: 'raw' (iid noise, |r| ≤ 0.07 at every SF —
+    // strong=false) and 'ma2', the 2-term moving sum z_i = x_i+x_{i−1}
+    // whose theoretical lag-1 ρ is exactly 0.5 — strong=true; both
+    // outcomes exercise at every test scale. Whole units keep num² and
+    // den_x·den_y under 10³⁸ through sf0.1×100; beyond that a fixed-
+    // offset centering pass would precede the sums. Both lag windows
+    // and the group-by share the event_type hash partitioning — a
+    // single shuffle.
+    "q195_acf_gate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = DecimalType(38, 0)
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      val base = t(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          floor(col("value")).cast(LongType).as("x"))
+        .withColumn("xl", lag("x", 1).over(w))
+        .withColumn("z", col("x") + col("xl"))
+        .withColumn("zl", lag("z", 1).over(w))
+      val pairs = base.filter(col("xl").isNotNull)
+        .select(col("event_type"), lit("raw").as("arm"),
+          col("x"), col("xl").as("y"))
+        .unionByName(base.filter(col("zl").isNotNull)
+          .select(col("event_type"), lit("ma2").as("arm"),
+            col("z").as("x"), col("zl").as("y")))
+      pairs.groupBy("event_type", "arm")
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"))
+        .select(col("event_type"), col("arm"),
+          col("n").cast(LongType).as("n_pairs"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+          (col("n") * col("syy") - col("sy") * col("sy")).as("den_y"))
+        .select(col("event_type"), col("arm"), col("n_pairs"),
+          col("num").cast(DecimalType(38, 0)).as("num"),
+          (col("num") > 0).as("corr_pos"),
+          (lit(25).cast(dec) * col("num") * col("num") >
+            col("den_x") * col("den_y")).as("strong"))
+        .orderBy("event_type", "arm")
+    }),
+
     // A/B significance gate, integer-exact: a 2×2 contingency table
     // per event_type (variant = user parity, success = value above
     // threshold) and the chi-square decision at α=0.05 tested WITHOUT
@@ -774,6 +870,71 @@ object StatQueries {
         |    t.na * t.nb * 2 AS drifted
         |FROM c JOIN t USING (arm)
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // KS decision squared to 625·M² > 1156·(na+nb)·na·nb (1.36 = 34/25)
+    "q194_ks_gate" ->
+      """WITH ev AS (
+        |  SELECT (event_id % 2 = 0) AS is_a,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |e AS (
+        |  SELECT 'null' AS arm, is_a, cents * 10 AS x FROM ev
+        |  UNION ALL
+        |  SELECT 'scaled', is_a,
+        |    CASE WHEN is_a THEN cents * 10 ELSE cents * 13 END FROM ev),
+        |c AS (
+        |  SELECT arm, x,
+        |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM e GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT arm,
+        |    SUM(ca) OVER (PARTITION BY arm ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+        |    SUM(cb) OVER (PARTITION BY arm ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb
+        |  FROM c),
+        |t AS (
+        |  SELECT arm, CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb
+        |  FROM c GROUP BY 1)
+        |SELECT cum.arm, t.na, t.nb,
+        |  CAST(MAX(ABS(cum.fa * t.nb - cum.fb * t.na)) AS BIGINT) AS m_stat,
+        |  625 * CAST(MAX(ABS(cum.fa * t.nb - cum.fb * t.na)) AS HUGEINT) *
+        |    CAST(MAX(ABS(cum.fa * t.nb - cum.fb * t.na)) AS HUGEINT) >
+        |  1156 * CAST(t.na + t.nb AS HUGEINT) * t.na * t.nb AS rejected
+        |FROM cum JOIN t USING (arm)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // HUGEINT Pearson cross-multiplication; same (ts, event_id) lag order
+    "q195_acf_gate" ->
+      """WITH b0 AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(FLOOR(value) AS BIGINT) AS x,
+        |    lag(CAST(FLOOR(value) AS BIGINT)) OVER
+        |      (PARTITION BY event_type ORDER BY ts, event_id) AS xl
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, x, xl, x + xl AS z,
+        |    lag(x + xl) OVER
+        |      (PARTITION BY event_type ORDER BY ts, event_id) AS zl
+        |  FROM b0),
+        |p AS (
+        |  SELECT event_type, 'raw' AS arm, x, xl AS y FROM b
+        |  WHERE xl IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, 'ma2', z, zl FROM b WHERE zl IS NOT NULL),
+        |s AS (
+        |  SELECT event_type, arm, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(x * y) AS HUGEINT) AS sxy,
+        |    CAST(SUM(x * x) AS HUGEINT) AS sxx,
+        |    CAST(SUM(y * y) AS HUGEINT) AS syy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT event_type, arm, CAST(n AS BIGINT) AS n_pairs,
+        |  CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS num,
+        |  (n * sxy - sx * sy) > 0 AS corr_pos,
+        |  25 * (n * sxy - sx * sy) * (n * sxy - sx * sy) >
+        |    (n * sxx - sx * sx) * (n * syy - sy * sy) AS strong
+        |FROM s ORDER BY 1, 2""".stripMargin,
     // HUGEINT cross-multiplied chi-square decision
     "q189_ab_gate" ->
       """WITH e AS (

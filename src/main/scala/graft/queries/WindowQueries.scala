@@ -391,6 +391,26 @@ object WindowQueries {
         .withColumn("is_low", col("n") < col("trail_mean") * 0.5)
         .filter(col("trail_mean").isNotNull)
         .orderBy("event_type", "day")
+    }),
+
+    // Cumulative DISTINCT users per event_type by day — the classic
+    // "can't window COUNT(DISTINCT)" growth metric, done scalably via
+    // the first-seen rewrite: each (type, user) reduces to its first
+    // day (a partial-aggregatable min — one user-level shuffle), daily
+    // first-appearance counts then cum-sum over a days-sized window.
+    // The naive per-day distinct-over-growing-prefix is quadratic in
+    // days×users; this is one groupBy + one tiny window at any scale.
+    "q197_cumulative_distinct" -> ((s, dir) => {
+      val first = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(to_date(col("ts"))).as("day"))
+      val daily = first.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("new_users"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("cum_users", sum("new_users").over(w))
+        .orderBy("event_type", "day")
     })
   )
 
@@ -700,6 +720,19 @@ object WindowQueries {
         |        FROM events GROUP BY 1, 2)
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
         |WHERE trail_mean IS NOT NULL
-        |ORDER BY event_type, day""".stripMargin
+        |ORDER BY event_type, day""".stripMargin,
+    // same first-seen rewrite (min day per user, then cum-sum)
+    "q197_cumulative_distinct" ->
+      """WITH first AS (
+        |  SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT event_type, day, COUNT(*)::BIGINT AS new_users
+        |  FROM first GROUP BY 1, 2)
+        |SELECT event_type, day, new_users,
+        |  CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM daily ORDER BY event_type, day""".stripMargin
   )
 }
