@@ -21,6 +21,20 @@ object InfraQueries {
   private def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  private def deleteTree(p: String): Unit = {
+    import java.nio.file._
+    if (Files.exists(Paths.get(p)))
+      Files.walk(Paths.get(p)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+  }
+
+  // q199 fixture: the q129 changelog chopped into 4 arrival files, built
+  // once per sf dir; the per-run state scratch is rotated on reuse.
+  private val cdcLogDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val cdcScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Root of the reference SQL corpus (q108/q109). Overridable so the
     * bench/verify harness isn't coupled to one machine's checkout; fails
     * with a clear message rather than a deep FileNotFound mid-query. */
@@ -192,6 +206,50 @@ object InfraQueries {
           sum("k").as("sum_key"),
           sum(when(col("from_change"), 1L).otherwise(0L)).as("n_changed"))
         .orderBy("status")
+    }),
+
+    // Streaming form of the q129 CDC fold: the SAME out-of-order
+    // changelog arrives chopped into 4 micro-batch files, and
+    // StreamOps.cdcUpsertStream folds each trigger onto a persisted
+    // keyed state that remembers the latest-applied (seq, op) per key —
+    // so the final table equals the single-shot batch fold regardless
+    // of chop or arrival order, and a late lower-seq update can never
+    // resurrect a tombstoned key. The oracle is the batch fold's SQL:
+    // two independent implementations of MERGE semantics must agree
+    // row-for-row.
+    "q199_stream_cdc_upsert" -> ((s, dir) => {
+      val logSchema = StructType(Seq(
+        StructField("k", LongType), StructField("seq", LongType),
+        StructField("op", StringType),
+        StructField("price", DecimalType(18, 2)),
+        StructField("status", StringType)))
+      val o = t(s, dir, "orders")
+      val snap = o.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+          col("o_orderstatus").as("status"))
+      val logDir = cdcLogDirs.computeIfAbsent(dir, _ => {
+        val ld = tmpDir("graft_cdclog")
+        val upserts = o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("k"),
+            (col("o_orderkey") % 7).as("seq"), lit("U").as("op"),
+            (col("o_totalprice").cast(DecimalType(18, 2)) + lit(10))
+              .cast(DecimalType(18, 2)).as("price"),
+            col("o_orderpriority").as("status"))
+        val deletes = o.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey").as("k"),
+            (col("o_orderkey") % 11).as("seq"), lit("D").as("op"),
+            lit(null).cast(DecimalType(18, 2)).as("price"),
+            lit(null).cast(StringType).as("status"))
+        upserts.unionByName(deletes).repartition(4)
+          .write.mode("overwrite").parquet(ld)
+        ld
+      })
+      Option(cdcScratch.remove(dir)).foreach(deleteTree)
+      val stateDir = tmpDir("graft_cdcstate")
+      cdcScratch.put(dir, stateDir)
+      StreamOps.cdcUpsertStream(s, logDir, stateDir, logSchema, snap)
+        .orderBy("k")
     }),
 
     // Triangle counting by degree-oriented wedge join over the supplier
@@ -554,6 +612,31 @@ object InfraQueries {
         |  CAST(SUM(k) AS BIGINT) AS sum_key,
         |  CAST(COUNT(*) FILTER (WHERE from_change) AS BIGINT) AS n_changed
         |FROM final GROUP BY status ORDER BY status""".stripMargin,
+    // the batch MERGE fold published row-for-row — the streaming fold
+    // must reproduce it exactly despite the 4-file chop
+    "q199_stream_cdc_upsert" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |ch AS (
+        |  SELECT o_orderkey AS k, o_orderkey % 7 AS seq, 'U' AS op,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) + 10 AS price,
+        |    o_orderpriority AS status
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderkey % 11, 'D', NULL, NULL
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY k ORDER BY seq DESC, op DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT s.k, s.price, s.status, FALSE AS from_change
+        |FROM snap s LEFT JOIN latest l ON s.k = l.k WHERE l.k IS NULL
+        |UNION ALL
+        |SELECT k, price, status, TRUE FROM latest WHERE op <> 'D'
+        |ORDER BY k""".stripMargin,
     "q153_triangle_count" ->
       """WITH ol AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
