@@ -133,6 +133,92 @@ object Multimodal {
     }.toDF("doc_id", "payload", "media_type")
   }
 
+  /** [[syntheticPngMedia]] plus a planted color-shifted duplicate for
+    * every 10th doc: the duplicate (id = base + `dupOffset`) has the
+    * base image's channels ROTATED (r,g,b)→(g,b,r) — byte-wise a
+    * different PNG, perceptually the same luminance field, which is
+    * exactly what a perceptual hash must equate and a byte digest must
+    * not. */
+  def syntheticPngPairMedia(spark: SparkSession, documents: DataFrame,
+      dupOffset: Long): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].flatMap(d =>
+        Seq((d, d, false)) ++
+          (if (d % 10 == 0) Seq((d + dupOffset, d, true)) else Nil))
+      .mapPartitions { rows =>
+        rows.map { case (id, base, rotate) =>
+          val w = 4 + (base % 5).toInt
+          val h = 3 + (base % 4).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = ((base + 3L * x + 7L * y) % 256).toInt
+              val g = ((2L * base + 5L * x + y) % 256).toInt
+              val b = ((base + x.toLong * y) % 256).toInt
+              val rgb = if (rotate) (g << 16) | (b << 8) | r
+                        else (r << 16) | (g << 8) | b
+              img.setRGB(x, y, rgb)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray, "image/png")
+        }
+      }.toDF("doc_id", "payload", "media_type")
+  }
+
+  case class ImageHash(doc_id: Long, width: Int, height: Int, ahash: Long)
+
+  /** Perceptual average-hash over DECODED pixels (the real-codec dedup
+    * path): gray = r+g+b per pixel, the image partitions into a
+    * `gw`×`gh` integer grid (cell i = x·gw div w), and bit (j·gw+i)
+    * sets iff the cell's gray sum exceeds the image mean
+    * CROSS-MULTIPLIED — s_c·N > S·n_c, no division — so the hash is
+    * invariant under any luminance-preserving recoloring (channel
+    * rotation, uniform shift) and exactly replayable from the pixel
+    * closed form by an engine with no codec. Per-row mapPartitions:
+    * no shuffle; the dedup join downstream is a hash equi-join. */
+  def imageAHash(spark: SparkSession, media: DataFrame,
+      gw: Int = 4, gh: Int = 3): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable payload for doc ${r.doc_id}")
+        val w = img.getWidth; val h = img.getHeight
+        val s = new Array[Long](gw * gh)
+        val n = new Array[Long](gw * gh)
+        var tot = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val gray = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            val c = (y * gh / h) * gw + (x * gw / w)
+            s(c) += gray; n(c) += 1; tot += gray
+            x += 1
+          }
+          y += 1
+        }
+        val npix = w.toLong * h
+        var hash = 0L
+        var c = 0
+        while (c < gw * gh) {
+          if (s(c) * npix > tot * n(c)) hash |= 1L << c
+          c += 1
+        }
+        ImageHash(r.doc_id, w, h, hash)
+      }
+    }
+  }
+
   case class ImageStats(doc_id: Long, width: Int, height: Int,
       r_sum: Long, g_sum: Long, b_sum: Long)
 

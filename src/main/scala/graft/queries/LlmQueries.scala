@@ -543,6 +543,23 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Perceptual image near-dup via average-hash over the REAL PNG
+    // decode path: every 10th doc gets a planted color-rotated
+    // duplicate ((r,g,b)→(g,b,r) — byte-wise a different PNG, same
+    // luminance field). The aHash bits compare each grid cell's gray
+    // sum to the image mean CROSS-MULTIPLIED (s_c·N > S·n_c, no
+    // division), so planted dups hash identically by construction
+    // while a byte digest separates them (Wave7Spec), and the oracle
+    // replays every hash from the pixel closed form with no codec.
+    // Per-row decode+hash, no shuffle; dedup is then a hash equi-join.
+    "q200_image_phash_dedup" -> ((s, dir) =>
+      Multimodal.imageAHash(s,
+          pinnedStage(s, s"$dir|pngpair",
+            Multimodal.syntheticPngPairMedia(s, t(s, dir, "documents"),
+              dupOffset = 1000000000L)))
+        .toDF()
+        .orderBy("doc_id")),
+
     // REAL audio codec round-trip: deterministic 16-bit PCM clips
     // encoded to WAV with javax.sound.sampled executor-side, then
     // DECODED with javax.sound.sampled; the decoded channel count,
@@ -2040,6 +2057,39 @@ object LlmQueries {
         |UNION ALL SELECT 3, 'quality', (SELECT COUNT(*) FROM s3)
         |UNION ALL SELECT 4, 'exact_dedup', (SELECT COUNT(*) FROM s4)
         |ORDER BY stage_idx""".stripMargin,
+    // the aHash replayed from the pixel closed form — no codec needed:
+    // same grid mapping (i = x·4 div w), same cross-multiplied bits
+    "q200_image_phash_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id, doc_id AS base FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, doc_id FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |dims AS (
+        |  SELECT doc_id, base, CAST(4 + base % 5 AS BIGINT) AS w,
+        |    CAST(3 + base % 4 AS BIGINT) AS h
+        |  FROM ids),
+        |xs AS (SELECT doc_id, base, w, h, unnest(range(0, w)) AS x FROM dims),
+        |ys AS (SELECT doc_id, base, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |px AS (
+        |  SELECT doc_id, w, h, (x * 4) // w AS i, (y * 3) // h AS j,
+        |    ((base + 3*x + 7*y) % 256) + ((2*base + 5*x + y) % 256) +
+        |      ((base + x*y) % 256) AS gray
+        |  FROM ys),
+        |cells AS (
+        |  SELECT doc_id, w, h, i, j, CAST(SUM(gray) AS BIGINT) AS s,
+        |    COUNT(*)::BIGINT AS n
+        |  FROM px GROUP BY 1, 2, 3, 4, 5),
+        |tot AS (
+        |  SELECT doc_id, CAST(SUM(s) AS BIGINT) AS st,
+        |    CAST(SUM(n) AS BIGINT) AS np
+        |  FROM cells GROUP BY 1)
+        |SELECT c.doc_id, CAST(MIN(c.w) AS INTEGER) AS width,
+        |  CAST(MIN(c.h) AS INTEGER) AS height,
+        |  CAST(SUM(CASE WHEN c.s * t.np > t.st * c.n
+        |    THEN 1 << (j * 4 + i) ELSE 0 END) AS BIGINT) AS ahash
+        |FROM cells c JOIN tot t USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // generated from the same seed/weight constants as the Spark plan —
     // the two sides cannot drift (the KCore/Hilbert dual-gen pattern)
     "q193_linear_classifier" ->
