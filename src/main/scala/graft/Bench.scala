@@ -129,7 +129,10 @@ object Bench {
       // r11 batch 8: candidate-verify containment join
       "q184_containment_dedup",
       // r11 batch 9: the within-order pair-count shuffle
-      "q186_cooccurrence_topk")
+      "q186_cooccurrence_topk",
+      // r12: the two ≥3 s additions — per-token md5 folds and the
+      // 4x-unpivoted encoding scan — join the tail
+      "q193_linear_classifier", "q201_encoding_stats")
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (heavyLast.contains(name), name) }

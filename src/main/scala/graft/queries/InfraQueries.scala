@@ -208,6 +208,64 @@ object InfraQueries {
         .orderBy("status")
     }),
 
+    // Storage-layout planning: per-column dictionary-vs-RLE encoding
+    // estimates from EXACT cardinality and run counts in the table's
+    // (l_orderkey, l_linenumber) order. Runs are counted DISTRIBUTED-
+    // exactly: within-chunk matches via a chunk-partitioned lag window
+    // plus a chunk-boundary stitch over the tiny chunk-summary table —
+    // runs = n − matches − boundary_matches — so no global window ever
+    // sees the full column (the oracle runs the naive global window as
+    // the independent implementation). val itself is the final order
+    // tiebreak: (ok, ln) is not unique here, and with val in the key a
+    // tie group sorts identically in any engine. Decision integers only:
+    // dict_bits = n·w + nd·40, rle_bits = runs·(w+32), w = bitlen(nd−1).
+    "q201_encoding_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_returnflag").as("returnflag"),
+        col("l_linestatus").as("linestatus"),
+        col("l_quantity").cast(LongType).cast(StringType).as("quantity"),
+        month(col("l_shipdate")).cast(StringType).as("shipmonth"))
+      val long = li.unpivot(Array(col("ok"), col("ln")),
+        Array(col("returnflag"), col("linestatus"), col("quantity"),
+          col("shipmonth")), "colname", "val")
+        .withColumn("chunk", expr("ok div 1000"))
+      // (ok, ln) is NOT unique in the synthetic lineitem — val joins the
+      // order key so tie groups sort identically in both engines and the
+      // match count is well-defined
+      val w = Window.partitionBy("colname", "chunk")
+        .orderBy("ok", "ln", "val")
+      val perChunk = long
+        .withColumn("same",
+          when(col("val") === lag("val", 1).over(w), 1L).otherwise(0L))
+        .groupBy("colname", "chunk")
+        .agg(count(lit(1)).as("n"), sum("same").as("matches"),
+          min(struct(col("ok"), col("ln"), col("val")))
+            .getField("val").as("first_val"),
+          max(struct(col("ok"), col("ln"), col("val")))
+            .getField("val").as("last_val"))
+      val wc = Window.partitionBy("colname").orderBy("chunk")
+      val stitched = perChunk
+        .withColumn("bmatch",
+          when(col("first_val") === lag("last_val", 1).over(wc), 1L)
+            .otherwise(0L))
+        .groupBy("colname")
+        .agg(sum("n").as("n"), sum("matches").as("m"),
+          sum("bmatch").as("bm"))
+      val nd = long.groupBy("colname")
+        .agg(count_distinct(col("val")).as("n_distinct"))
+      stitched.join(nd, "colname")
+        .select(col("colname"), col("n"), col("n_distinct"),
+          (col("n") - col("m") - col("bm")).as("runs"),
+          length(bin(col("n_distinct") - 1)).cast(LongType).as("w_bits"))
+        .select(col("colname"), col("n"), col("n_distinct"), col("runs"),
+          col("w_bits"),
+          (col("n") * col("w_bits") + col("n_distinct") * 40 <
+            col("runs") * (col("w_bits") + 32)).as("dict_better"))
+        .orderBy("colname")
+    }),
+
     // Streaming form of the q129 CDC fold: the SAME out-of-order
     // changelog arrives chopped into 4 micro-batch files, and
     // StreamOps.cdcUpsertStream folds each trigger onto a persisted
@@ -612,6 +670,35 @@ object InfraQueries {
         |  CAST(SUM(k) AS BIGINT) AS sum_key,
         |  CAST(COUNT(*) FILTER (WHERE from_change) AS BIGINT) AS n_changed
         |FROM final GROUP BY status ORDER BY status""".stripMargin,
+    // independent implementation: the naive GLOBAL lag window (the
+    // engine counts runs chunk-locally + boundary stitch)
+    "q201_encoding_stats" ->
+      """WITH base AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |    l_returnflag AS returnflag, l_linestatus AS linestatus,
+        |    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS quantity,
+        |    CAST(month(l_shipdate) AS VARCHAR) AS shipmonth
+        |  FROM lineitem),
+        |lng AS (
+        |  SELECT ok, ln, 'returnflag' AS colname, returnflag AS val FROM base
+        |  UNION ALL SELECT ok, ln, 'linestatus', linestatus FROM base
+        |  UNION ALL SELECT ok, ln, 'quantity', quantity FROM base
+        |  UNION ALL SELECT ok, ln, 'shipmonth', shipmonth FROM base),
+        |lagged AS (
+        |  SELECT colname, val, lag(val) OVER
+        |    (PARTITION BY colname ORDER BY ok, ln, val) AS pv
+        |  FROM lng),
+        |runs AS (
+        |  SELECT colname, COUNT(*)::BIGINT AS n,
+        |    CAST(COUNT(*) - SUM(CASE WHEN val = pv THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS runs,
+        |    CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct
+        |  FROM lagged GROUP BY 1)
+        |SELECT colname, n, n_distinct, runs,
+        |  CAST(length(bin(n_distinct - 1)) AS BIGINT) AS w_bits,
+        |  (n * length(bin(n_distinct - 1)) + n_distinct * 40) <
+        |    (runs * (length(bin(n_distinct - 1)) + 32)) AS dict_better
+        |FROM runs ORDER BY colname""".stripMargin,
     // the batch MERGE fold published row-for-row — the streaming fold
     // must reproduce it exactly despite the 4-file chop
     "q199_stream_cdc_upsert" ->

@@ -300,6 +300,32 @@ object SourceQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // Schema-evolution merged read: two parquet generations of one
+    // table — gen1 written BEFORE a column existed, gen2 after — read
+    // together with mergeSchema; gen1 rows surface the added column as
+    // NULL, and the aggregate proves the union semantics. The
+    // schema-on-read upgrade path every long-lived 100 TB table walks
+    // (the alternative is rewriting history); the footer-merge cost is
+    // per-FILE, not per-row.
+    "q203_schema_evolution" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val path = tmpDir("graft_schevo")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/gen=1")
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+          col("o_orderstatus").as("status"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/gen=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("price").cast(DoubleType)
+          .as("total_price"), sum("k").as("sum_key"))
+        .orderBy("status")
+    }),
+
     // S7 — gzipped TSV source (pg_dump_to_parquet.py:104-112: read
     // *.dat.gz tab-separated with explicit schema).
     "q97_tsv_gz" -> ((s, dir) => {
@@ -714,6 +740,19 @@ object SourceQueries {
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q97_tsv_gz" ->
       "SELECT CAST(n_nationkey AS BIGINT) AS key, n_name AS name FROM nation ORDER BY key",
+    // the merged read's union semantics: gen1 rows carry NULL status
+    "q203_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    CAST(NULL AS VARCHAR) AS status
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)), o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 <> 0)
+        |SELECT status, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total_price,
+        |  CAST(SUM(k) AS BIGINT) AS sum_key
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q98_json_rows" ->
       """SELECT * FROM (
         |  SELECT n_nationkey, n_name FROM nation

@@ -404,6 +404,33 @@ object StatQueries {
         .orderBy("event_type", "arm")
     }),
 
+    // k-anonymity audit (k=5) over quasi-identifiers (nation, market
+    // segment, balance band) with a 3-level generalization ladder —
+    // each level doubles the band width and must shrink the unsafe
+    // mass. Two partial-aggregatable group-bys per level (row→class,
+    // class→summary); the class table is the only shuffled state, so
+    // the audit runs one pass over any table size. floor(x/denom) on
+    // doubles is IEEE-identical in both engines.
+    "q202_k_anonymity" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      def level(l: Int, denom: Int) =
+        c.select(lit(l).as("level"), col("c_nationkey").as("nation"),
+          col("c_mktsegment").as("segment"),
+          floor(col("c_acctbal") / denom).cast(LongType).as("band"))
+      level(0, 1000).unionByName(level(1, 2000))
+        .unionByName(level(2, 4000))
+        .groupBy("level", "nation", "segment", "band")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("level")
+        .agg(count(lit(1)).as("n_classes"),
+          count_if(col("n") < 5).as("n_unsafe"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L))
+            .as("rows_at_risk"))
+        .select(col("level"), col("n_classes"), col("n_unsafe"),
+          col("rows_at_risk"), (col("n_unsafe") === 0).as("all_safe"))
+        .orderBy("level")
+    }),
+
     // A/B significance gate, integer-exact: a 2×2 contingency table
     // per event_type (variant = user parity, success = value above
     // threshold) and the chi-square decision at α=0.05 tested WITHOUT
@@ -935,6 +962,26 @@ object StatQueries {
         |  25 * (n * sxy - sx * sy) * (n * sxy - sx * sy) >
         |    (n * sxx - sx * sx) * (n * syy - sy * sy) AS strong
         |FROM s ORDER BY 1, 2""".stripMargin,
+    // same ladder, same IEEE floor bands
+    "q202_k_anonymity" ->
+      """WITH l AS (
+        |  SELECT 0 AS level, c_nationkey AS nation, c_mktsegment AS segment,
+        |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band FROM customer
+        |  UNION ALL
+        |  SELECT 1, c_nationkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal / 2000) AS BIGINT) FROM customer
+        |  UNION ALL
+        |  SELECT 2, c_nationkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal / 4000) AS BIGINT) FROM customer),
+        |cls AS (
+        |  SELECT level, nation, segment, band, COUNT(*)::BIGINT AS n
+        |  FROM l GROUP BY 1, 2, 3, 4)
+        |SELECT level, COUNT(*)::BIGINT AS n_classes,
+        |  CAST(COUNT(*) FILTER (WHERE n < 5) AS BIGINT) AS n_unsafe,
+        |  CAST(COALESCE(SUM(n) FILTER (WHERE n < 5), 0) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(COUNT(*) FILTER (WHERE n < 5) AS BIGINT) = 0 AS all_safe
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
     // HUGEINT cross-multiplied chi-square decision
     "q189_ab_gate" ->
       """WITH e AS (
