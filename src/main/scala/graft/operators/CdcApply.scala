@@ -40,6 +40,35 @@ object CdcApply {
       .filter(col("rn") === 1).drop("rn")
   }
 
+  /** CDC CAPTURE — the inverse of [[apply]]: diff two snapshots of a
+    * keyed table into the minimal I/U/D changelog that transforms the
+    * old into the new (applying the captured log to `oldSnap` with
+    * [[apply]] reproduces `newSnap` exactly — the round-trip gate in
+    * Wave8Spec). Change detection is one null-safe struct comparison
+    * over the payload; unchanged keys emit NOTHING, so the changelog
+    * is |delta|-sized, not |table|-sized.
+    *
+    * Scale shape: one key-equi full-outer join (both sides bucketed by
+    * key at warehouse scale → zero-shuffle), no windows. This is how a
+    * warehouse CAPTURES changes from a source that only offers periodic
+    * full snapshots — the reference's nightly-snapshot jobs are exactly
+    * that shape. */
+  def capture(oldSnap: DataFrame, newSnap: DataFrame,
+      key: String): DataFrame = {
+    val payload = oldSnap.columns.toSeq.filterNot(_ == key)
+    val j = oldSnap.alias("o").join(newSnap.alias("n"),
+      col(s"o.$key") === col(s"n.$key"), "full_outer")
+    val oldS = struct(payload.map(p => col(s"o.$p")): _*)
+    val newS = struct(payload.map(p => col(s"n.$p")): _*)
+    val op = when(col(s"o.$key").isNull, "I")
+      .when(col(s"n.$key").isNull, "D")
+      .when(!(oldS <=> newS), "U")
+    j.withColumn("op", op)
+      .filter(col("op").isNotNull)
+      .select(coalesce(col(s"n.$key"), col(s"o.$key")).as(key) +:
+        col("op") +: payload.map(p => col(s"n.$p").as(p)): _*)
+  }
+
   /** Apply the changelog to a snapshot. Payload columns of the two
     * frames must align (same names/types); `op`/seq columns are
     * stripped from the result. Adds `from_change`: whether the row

@@ -208,6 +208,62 @@ object InfraQueries {
         .orderBy("status")
     }),
 
+    // CDC CAPTURE — the inverse of the q129 fold: diff two snapshots
+    // into the minimal I/U/D changelog (inserts where only the new
+    // snapshot has the key, deletes where only the old, updates where
+    // the null-safe payload struct differs; unchanged keys emit
+    // NOTHING, so the log is |delta|-sized). One key-equi full-outer
+    // join, no windows; applying the captured log back onto the old
+    // snapshot reproduces the new one exactly (Wave8Spec round-trip).
+    "q204_cdc_capture" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val snapOld = o.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+          col("o_orderstatus").as("status"))
+      val snapNew = o.filter(col("o_orderkey") % 7 =!= 3)
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) +
+            when(col("o_orderkey") % 3 === 0, 5).otherwise(0))
+            .cast(DecimalType(18, 2)).as("price"),
+          col("o_orderstatus").as("status"))
+      graft.operators.CdcApply.capture(snapOld, snapNew, key = "k")
+        .orderBy("k")
+    }),
+
+    // Bitmap index build + conjunctive query: per (column value, 63-row
+    // word) bitmaps via bit_or(1 << rid%63) — 63 bits per BIGINT word
+    // keeps the sign bit clear (an engine-portable left shift; DuckDB
+    // raises on 1<<63) — a value-partitioned,
+    // partial-aggregatable build, |index| ≪ |table| on low-cardinality
+    // columns — then status='F' ∧ priority='1-URGENT' answered by a
+    // word-equi join + bit_count(b1 & b2), never rescanning the fact
+    // table. The query publishes the bitmap answer NEXT TO the direct
+    // scan count with an equality gate: two independent evaluation
+    // strategies must agree exactly.
+    "q205_bitmap_index" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("rid"),
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("prio"))
+      def idx(c: String) = o
+        .groupBy(col(c).as("v"), expr("rid div 63").as("word"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(rid % 63 AS INT)))").as("bits"))
+      val f = idx("status").filter(col("v") === "F")
+        .select(col("word"), col("bits").as("b1"))
+      val u = idx("prio").filter(col("v") === "1-URGENT")
+        .select(col("word"), col("bits").as("b2"))
+      val viaBitmap = f.join(u, "word")
+        .agg(coalesce(sum(expr("bit_count(b1 & b2)")), lit(0L))
+          .as("n_match"),
+          count(lit(1)).as("n_words_joined"))
+      val direct = o.agg(count_if(col("status") === "F" &&
+        col("prio") === "1-URGENT").as("n_direct"))
+      viaBitmap.crossJoin(broadcast(direct))
+        .select(col("n_match"), col("n_words_joined"), col("n_direct"),
+          (col("n_match") === col("n_direct")).as("agree"))
+    }),
+
     // Storage-layout planning: per-column dictionary-vs-RLE encoding
     // estimates from EXACT cardinality and run counts in the table's
     // (l_orderkey, l_linenumber) order. Runs are counted DISTRIBUTED-
@@ -670,6 +726,58 @@ object InfraQueries {
         |  CAST(SUM(k) AS BIGINT) AS sum_key,
         |  CAST(COUNT(*) FILTER (WHERE from_change) AS BIGINT) AS n_changed
         |FROM final GROUP BY status ORDER BY status""".stripMargin,
+    // the same two evaluation strategies replayed: word bitmaps via
+    // bit_or/bit_count, and the direct predicate count
+    "q205_bitmap_index" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS rid, o_orderstatus AS status,
+        |    o_orderpriority AS prio
+        |  FROM orders),
+        |f AS (
+        |  SELECT rid // 63 AS word,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(rid % 63 AS INTEGER)) AS b1
+        |  FROM o WHERE status = 'F' GROUP BY 1),
+        |u AS (
+        |  SELECT rid // 63 AS word,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(rid % 63 AS INTEGER)) AS b2
+        |  FROM o WHERE prio = '1-URGENT' GROUP BY 1),
+        |j AS (
+        |  SELECT CAST(COALESCE(SUM(bit_count(b1 & b2)), 0) AS BIGINT)
+        |    AS n_match,
+        |    COUNT(*)::BIGINT AS n_words_joined
+        |  FROM f JOIN u USING (word)),
+        |d AS (
+        |  SELECT COUNT(*)::BIGINT AS n_direct FROM o
+        |  WHERE status = 'F' AND prio = '1-URGENT')
+        |SELECT j.n_match, j.n_words_joined, d.n_direct,
+        |  j.n_match = d.n_direct AS agree
+        |FROM j, d""".stripMargin,
+    // the same diff as a FULL OUTER JOIN; IS NOT DISTINCT FROM is the
+    // null-safe struct comparison
+    "q204_cdc_capture" ->
+      """WITH oldS AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |newS AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) +
+        |      CASE WHEN o_orderkey % 3 = 0 THEN 5 ELSE 0 END
+        |      AS DECIMAL(18,2)) AS price,
+        |    o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 7 <> 3)
+        |SELECT COALESCE(n.k, o.k) AS k,
+        |  CASE WHEN o.k IS NULL THEN 'I'
+        |       WHEN n.k IS NULL THEN 'D'
+        |       WHEN NOT ((o.price, o.status) IS NOT DISTINCT FROM
+        |                 (n.price, n.status)) THEN 'U' END AS op,
+        |  n.price, n.status
+        |FROM oldS o FULL OUTER JOIN newS n ON o.k = n.k
+        |WHERE (CASE WHEN o.k IS NULL THEN 'I'
+        |       WHEN n.k IS NULL THEN 'D'
+        |       WHEN NOT ((o.price, o.status) IS NOT DISTINCT FROM
+        |                 (n.price, n.status)) THEN 'U' END) IS NOT NULL
+        |ORDER BY k""".stripMargin,
     // independent implementation: the naive GLOBAL lag window (the
     // engine counts runs chunk-locally + boundary stitch)
     "q201_encoding_stats" ->

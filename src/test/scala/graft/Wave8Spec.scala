@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Wave-8 invariants: CDC capture (q204), bitmap index (q205),
+  * encoding stats (q201). */
+class Wave8Spec extends SparkTestBase {
+
+  test("cdc capture -> apply round-trips the new snapshot exactly") {
+    val o = graft.util.Tables.t(spark, sfDir, "orders")
+    val snapOld = o.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+        col("o_orderstatus").as("status"))
+    val snapNew = o.filter(col("o_orderkey") % 7 =!= 3)
+      .select(col("o_orderkey").as("k"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) +
+          when(col("o_orderkey") % 3 === 0, 5).otherwise(0))
+          .cast(DecimalType(18, 2)).as("price"),
+        col("o_orderstatus").as("status"))
+    val log = graft.operators.CdcApply.capture(snapOld, snapNew, "k")
+    // the captured log is |delta|-sized: every row is a real change
+    assert(log.filter(col("op").isNull).count() == 0)
+    val applied = graft.operators.CdcApply(snapOld,
+        log.withColumn("seq", lit(1L)), key = "k", seqCols = Seq("seq"))
+      .drop("from_change")
+    assert(applied.exceptAll(snapNew).isEmpty &&
+      snapNew.exceptAll(applied).isEmpty)
+    // all three ops occur in this fixture
+    val ops = log.select("op").distinct().collect().map(_.getString(0)).toSet
+    assert(ops == Set("I", "U", "D"))
+  }
+
+  test("capture of identical snapshots is empty") {
+    val o = graft.util.Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"))
+    assert(graft.operators.CdcApply.capture(o, o, "k").isEmpty)
+  }
+
+  test("bitmap answer agrees with the direct scan") {
+    val r = SparkEntry.queries("q205_bitmap_index")(spark, sfDir).collect()(0)
+    assert(r.getAs[Boolean]("agree"))
+    assert(r.getAs[Long]("n_match") > 0)
+  }
+
+  test("encoding stats: runs bounded by [n_distinct, n] and decisions sane") {
+    val rows = SparkEntry.queries("q201_encoding_stats")(spark, sfDir)
+      .collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n"); val nd = r.getAs[Long]("n_distinct")
+      val runs = r.getAs[Long]("runs")
+      assert(runs >= nd && runs <= n, s"runs $runs outside [$nd, $n]")
+    }
+  }
+}
