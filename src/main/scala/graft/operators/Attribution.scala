@@ -47,4 +47,40 @@ object Attribution {
         when(col("t_ts") >= col("ts") - lookback, col("t_ts")).as("touch_ts"),
         when(col("t_ts") >= col("ts") - lookback, col("t_kind")).as("touch_kind"))
   }
+
+  /** Linear MULTI-touch attribution — every qualifying touch shares its
+    * entity's NEXT conversion (the nearest one strictly after it in
+    * (ts, id) order, within `lookahead`), and each conversion's credit
+    * splits EQUALLY across its touches in integer micro-units:
+    * floor(unit / n_touches) per touch, so sums are exact integers in
+    * any engine and the per-conversion shortfall is a documented
+    * `< n_touches` units (never redistributed — determinism over
+    * completeness). The REVERSE union-carry of [[lastTouch]]: one
+    * window pass ordered (ts DESC, id DESC) carries the nearest
+    * following conversion back onto each touch — no range join — then
+    * one count per conversion and one broadcast-sized join back.
+    *
+    * @return one row per credited touch: (key, conv_id, conv_ts,
+    *         touch_id, touch_kind, n_touches, credit)
+    */
+  def linearMultiTouch(events: DataFrame, touchKinds: Seq[String],
+      convKind: String, lookahead: Long,
+      unit: Long = 1000000000000L): DataFrame = {
+    val w = Window.partitionBy("key")
+      .orderBy(col("ts").desc, col("id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isConv = col("kind") === convKind
+    val touches = events
+      .withColumn("c_id", last(when(isConv, col("id")), ignoreNulls = true).over(w))
+      .withColumn("c_ts", last(when(isConv, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind").isin(touchKinds: _*) &&
+        col("c_ts").isNotNull && col("c_ts") - col("ts") <= lookahead)
+    val counts = touches.groupBy(col("c_id"))
+      .agg(count(lit(1)).as("n_touches"))
+    touches.join(counts, Seq("c_id"))
+      .select(col("key"), col("c_id").as("conv_id"),
+        col("c_ts").as("conv_ts"), col("id").as("touch_id"),
+        col("kind").as("touch_kind"), col("n_touches"),
+        expr(s"CAST($unit div n_touches AS BIGINT)").as("credit"))
+  }
 }

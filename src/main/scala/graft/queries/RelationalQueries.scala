@@ -255,6 +255,23 @@ object RelationalQueries {
         .orderBy("status")
     }),
 
+    // Native CUBE over two dimensions (q24's ROLLUP widened to all 4
+    // grouping sets in ONE shuffle) with grouping_id() published so
+    // subtotal rows are distinguishable from real NULL groups — the
+    // engine-portable disambiguator (both engines pack the grouping
+    // bits first-column-most-significant).
+    "q206_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+          grouping_id().cast(LongType).as("gid"))
+        .select(col("gid"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n"), col("total"))
+        .orderBy("gid", "status", "prio")
+    }),
+
     // Pareto frontier — "cheapest-and-newest" orders: no other order is
     // both ≤ price and ≥ date (strict in one). The oracle runs the
     // textbook O(n²) NOT EXISTS self-join; the engine runs the grid-
@@ -442,6 +459,14 @@ object RelationalQueries {
     "q25_sample_scan" ->
       """SELECT o_orderkey % 100 AS sample_bucket, COUNT(*) AS n
         |FROM orders WHERE o_orderkey % 100 < 10
-        |GROUP BY 1 ORDER BY sample_bucket""".stripMargin
+        |GROUP BY 1 ORDER BY sample_bucket""".stripMargin,
+    "q206_cube" ->
+      s"""SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+         |    AS gid,
+         |  COALESCE(o_orderstatus, 'ALL') AS status,
+         |  COALESCE(o_orderpriority, 'ALL') AS prio,
+         |  COUNT(*) AS n, ${dec.format("o_totalprice")} AS total
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY gid, status, prio""".stripMargin
   )
 }

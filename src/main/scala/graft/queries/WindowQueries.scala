@@ -114,6 +114,28 @@ object WindowQueries {
         .orderBy("key", "conv_id")
     }),
 
+    // Linear MULTI-touch attribution (q134's single-credit rule
+    // generalized): every click/view within 3 days BEFORE the user's
+    // next purchase shares that purchase's credit equally, in integer
+    // micro-units (floor(1e12/n) per touch — exact sums in any engine,
+    // documented <n shortfall). The REVERSE union-carry: one window
+    // pass ordered (ts DESC, id DESC) carries the nearest FOLLOWING
+    // conversion onto each touch — no range join; then a conversion-
+    // sized count joins back. Published as the per-channel rollup.
+    "q207_multitouch" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id").as("key"),
+        graft.functions.BqShims.epochMicros(col("ts")).as("ts"),
+        col("event_type").as("kind"), col("event_id").as("id"))
+      graft.operators.Attribution.linearMultiTouch(e,
+          touchKinds = Seq("click", "view"), convKind = "purchase",
+          lookahead = 259200000000L)
+        .groupBy("touch_kind")
+        .agg(count(lit(1)).as("n_touches"),
+          count_distinct(col("conv_id")).as("n_convs"),
+          sum("credit").as("credit_units"))
+        .orderBy("touch_kind")
+    }),
+
     // Generalized as-of join (merge_asof/kdb-aj): every purchase picks
     // the user's latest click at-or-before it, within a 1-day
     // tolerance — via the union-carry rewrite (one shuffle by user, one
@@ -603,6 +625,30 @@ object WindowQueries {
         |  CASE WHEN t_ts >= ts - 259200000000 THEN t_ts END AS touch_ts,
         |  CASE WHEN t_ts >= ts - 259200000000 THEN t_kind END AS touch_kind
         |FROM c WHERE kind = 'purchase' ORDER BY key, conv_id""".stripMargin,
+    // reverse carry (ts DESC, id DESC), integer floor-split credits
+    "q207_multitouch" ->
+      """WITH e AS (
+        |  SELECT user_id AS key, epoch_us(ts) AS ts, event_type AS kind,
+        |    event_id AS id
+        |  FROM events),
+        |c AS (
+        |  SELECT key, ts, kind, id,
+        |    last_value(CASE WHEN kind = 'purchase' THEN id END
+        |      IGNORE NULLS) OVER w AS c_id,
+        |    last_value(CASE WHEN kind = 'purchase' THEN ts END
+        |      IGNORE NULLS) OVER w AS c_ts
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY key ORDER BY ts DESC, id DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (
+        |  SELECT * FROM c WHERE kind IN ('click', 'view')
+        |    AND c_ts IS NOT NULL AND c_ts - ts <= 259200000000),
+        |n AS (SELECT c_id, COUNT(*)::BIGINT AS nt FROM t GROUP BY 1)
+        |SELECT t.kind AS touch_kind, COUNT(*)::BIGINT AS n_touches,
+        |  COUNT(DISTINCT t.c_id)::BIGINT AS n_convs,
+        |  CAST(SUM(1000000000000 // n.nt) AS BIGINT) AS credit_units
+        |FROM t JOIN n USING (c_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q131_gap_fill" ->
       """WITH obs AS (
         |  SELECT user_id,

@@ -44,6 +44,35 @@ class Wave8Spec extends SparkTestBase {
     assert(r.getAs[Long]("n_match") > 0)
   }
 
+  test("multi-touch: per-conversion credits sum within n of the unit") {
+    import spark.implicits._
+    val e = graft.util.Tables.t(spark, sfDir, "events")
+      .select(col("user_id").as("key"),
+        graft.functions.BqShims.epochMicros(col("ts")).as("ts"),
+        col("event_type").as("kind"), col("event_id").as("id"))
+    val credits = graft.operators.Attribution.linearMultiTouch(e,
+      Seq("click", "view"), "purchase", 259200000000L)
+    val perConv = credits.groupBy("conv_id")
+      .agg(sum("credit").as("total"), count(lit(1)).as("n"))
+    val unit = 1000000000000L
+    val bad = perConv.filter(col("total") > unit ||
+      col("total") <= lit(unit) - col("n")).count()
+    assert(bad == 0, "per-conversion credit outside (unit-n, unit]")
+    // every credited touch strictly precedes (or ties into) its conversion
+    assert(credits.filter(col("conv_ts") < col("ts")).count() == 0)
+  }
+
+  test("cube: gid partitions agree with per-set aggregates") {
+    val r = SparkEntry.queries("q206_cube")(spark, sfDir)
+    val n = graft.util.Tables.t(spark, sfDir, "orders").count()
+    // gid=3 is the grand total; gid=0 rows sum to the table size
+    val grand = r.filter(col("gid") === 3).collect()
+    assert(grand.length == 1 && grand(0).getAs[Long]("n") == n)
+    val detail = r.filter(col("gid") === 0)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(detail == n)
+  }
+
   test("encoding stats: runs bounded by [n_distinct, n] and decisions sane") {
     val rows = SparkEntry.queries("q201_encoding_stats")(spark, sfDir)
       .collect()
