@@ -14,6 +14,19 @@ object StatQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  // q208 fixture: events chopped into 4 arrival files (built once per sf
+  // dir); per-run summary-state scratch rotated on reuse.
+  private val hhSrcDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val hhScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def deleteTree(p: String): Unit = {
+    import java.nio.file._
+    if (Files.exists(Paths.get(p)))
+      Files.walk(Paths.get(p)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+  }
+
   val queries: Map[String, Q] = Map(
     // Grouped top-k through the native bounded-heap aggregate
     // (operators/TopKAgg): each map task keeps ≤ k entries per group,
@@ -117,6 +130,47 @@ object StatQueries {
           element_at(col("mg"), col("key")).isNotNull.as("in_candidates"),
           ((col("exact_n") - coalesce(element_at(col("mg"), col("key")),
             lit(0L))) * (k + 1) <= col("n")).as("bound_ok"))
+        .orderBy("key")
+    }),
+
+    // STREAMING Misra–Gries heavy hitters: the q164 sketch maintained
+    // across 4 micro-batch triggers — each trigger folds its own
+    // k-counter summary (constant memory) and merges into the ≤k-row
+    // persisted state with the PODS-2012 reduction done RELATIONALLY
+    // (union → sum → subtract the (k+1)-th largest → keep positive).
+    // Contents stay merge-order-dependent, so per the q133/q164 rule
+    // the query publishes the chop-invariant GUARANTEES against exact
+    // counts: every true heavy hitter is present with error ≤ N/(k+1).
+    "q208_stream_heavy_hitters" -> ((s, dir) => {
+      val k = 8
+      val srcDir = hhSrcDirs.computeIfAbsent(dir, _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_hhsrc").toString
+        t(s, dir, "events").select("event_id", "user_id")
+          .repartition(4).write.mode("overwrite").parquet(d)
+        d
+      })
+      Option(hhScratch.remove(dir)).foreach(deleteTree)
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_hhstate").toString
+      hhScratch.put(dir, stateDir)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType)))
+      def toKeys(b: DataFrame) = b.select(
+        floor(sqrt(col("user_id").cast(DoubleType))).cast(LongType)
+          .cast(StringType).as("key"))
+      val summary = graft.streaming.StreamOps.heavyHittersStream(
+        s, srcDir, schema, toKeys, k, stateDir)
+      val e = toKeys(t(s, dir, "events"))
+      val n = e.agg(count(lit(1)).as("n"))
+      e.groupBy("key").agg(count(lit(1)).as("exact_n"))
+        .crossJoin(broadcast(n))
+        .filter(col("exact_n") * (k + 1) > col("n"))
+        .join(summary.select(col("key"), col("cnt").as("est")),
+          Seq("key"), "left")
+        .select(col("key"), col("exact_n"),
+          col("est").isNotNull.as("in_candidates"),
+          ((col("exact_n") - coalesce(col("est"), lit(0L))) * (k + 1) <=
+            col("n")).as("bound_ok"))
         .orderBy("key")
     }),
 
@@ -1226,6 +1280,16 @@ object StatQueries {
     // guarantees hold by theorem; exact side recomputed — the booleans
     // are the assertion (q133 pattern)
     "q164_heavy_hitters" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(floor(sqrt(CAST(user_id AS DOUBLE)))
+        |    AS BIGINT) AS VARCHAR) AS key
+        |  FROM events),
+        |x AS (SELECT key, COUNT(*) AS exact_n FROM e GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM e)
+        |SELECT key, exact_n, TRUE AS in_candidates, TRUE AS bound_ok
+        |FROM x, n WHERE exact_n * 9 > n ORDER BY key""".stripMargin,
+    // the chop-invariant guarantees, recomputed from exact counts
+    "q208_stream_heavy_hitters" ->
       """WITH e AS (
         |  SELECT CAST(CAST(floor(sqrt(CAST(user_id AS DOUBLE)))
         |    AS BIGINT) AS VARCHAR) AS key

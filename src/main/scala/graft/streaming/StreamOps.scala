@@ -456,6 +456,67 @@ object StreamOps {
       .select((col("k") +: payload.map(col)) :+ col("from_change"): _*)
   }
 
+  /** Streaming Misra–Gries heavy hitters: each micro-batch reduces to
+    * its own k-counter summary (the native TypedImperativeAggregate —
+    * constant memory, partial-agg shuffle), then merges into the
+    * persisted summary with the PODS-2012 mergeable reduction
+    * expressed RELATIONALLY: union the two counter sets, sum per key,
+    * subtract the (k+1)-th largest combined count from everyone, keep
+    * the positive — at most k survivors, and the additive error stays
+    * ≤ N/(k+1) across any number of merges. The summary CONTENTS stay
+    * merge-order-dependent (q133/q164 rule: queries publish the
+    * deterministic guarantees, never the raw sketch); the GUARANTEES
+    * hold under any trigger chopping.
+    *
+    * Scale shape: per trigger the state is ≤ k rows and the batch
+    * summary ≤ k rows — the merge window sorts ≤ 2k entries. The only
+    * per-row work is the batch summary's constant-memory fold.
+    */
+  def heavyHittersStream(spark: SparkSession, srcDir: String,
+      schema: StructType, toKeys: DataFrame => DataFrame, k: Int,
+      stateDir: String, maxFilesPerTrigger: Int = 1,
+      globFilter: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stateSchema = StructType(Seq(
+      StructField("key", org.apache.spark.sql.types.StringType),
+      StructField("cnt", LongType)))
+    def vPath(i: Long) = s"$stateDir/v$i"
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      stateSchema).write.mode("overwrite").parquet(vPath(0))
+    @volatile var cur = 0L
+    val rdr = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val src = globFilter.fold(rdr)(g => rdr.option("pathGlobFilter", g))
+      .parquet(srcDir)
+    val q = src.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        withStatePartitions(spark, 4) {
+          val bs = toKeys(batch)
+            .agg(graft.operators.MisraGries.summary(col("key"), k).as("mg"))
+            .select(explode(col("mg")).as(Seq("key", "cnt")))
+          val st = spark.read.schema(stateSchema).parquet(vPath(cur))
+          val uni = st.unionByName(bs)
+            .groupBy("key").agg(sum("cnt").as("cnt"))
+          val w = Window.orderBy(desc("cnt"), col("key"))
+          val ranked = uni.withColumn("rk", row_number().over(w))
+          val sub = ranked.filter(col("rk") === k + 1)
+            .agg(coalesce(max("cnt"), lit(0L)).as("sub"))
+          ranked.crossJoin(broadcast(sub))
+            .select(col("key"), (col("cnt") - col("sub")).as("cnt"))
+            .filter(col("cnt") > 0)
+            .write.mode("overwrite").parquet(vPath(id + 1))
+          cur = id + 1
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    unloadStateStores()
+    spark.read.schema(stateSchema).parquet(vPath(cur))
+  }
+
   final case class SessionEvent(user_id: Long, ts_micros: Long, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start: Long, session_end: Long,

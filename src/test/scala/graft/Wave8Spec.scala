@@ -73,6 +73,35 @@ class Wave8Spec extends SparkTestBase {
     assert(detail == n)
   }
 
+  test("streaming MG guarantees hold under a different trigger chop") {
+    val docs = graft.util.Tables.t(spark, sfDir, "events")
+      .select("event_id", "user_id")
+    val srcDir = java.nio.file.Files.createTempDirectory("w8hh").toString
+    docs.repartition(6).write.mode("overwrite").parquet(srcDir)
+    val stateDir = java.nio.file.Files.createTempDirectory("w8hhs").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType)))
+    val k = 8
+    def toKeys(b: org.apache.spark.sql.DataFrame) = b.select(
+      floor(sqrt(col("user_id").cast("double"))).cast("long")
+        .cast("string").as("key"))
+    val summary = graft.streaming.StreamOps.heavyHittersStream(
+      spark, srcDir, schema, toKeys, k, stateDir, maxFilesPerTrigger = 2)
+    assert(summary.count() <= k)
+    val e = toKeys(docs)
+    val n = e.count()
+    val exact = e.groupBy("key").agg(count(lit(1)).as("exact_n"))
+    val joined = exact.filter(col("exact_n") * (k + 1) > n)
+      .join(summary.select(col("key"), col("cnt").as("est")), Seq("key"), "left")
+    assert(joined.filter(col("est").isNull).count() == 0,
+      "a true heavy hitter missing from the merged summary")
+    assert(joined.filter((col("exact_n") - col("est")) * (k + 1) > n)
+      .count() == 0, "estimate error exceeded N/(k+1) after merges")
+  }
+
   test("encoding stats: runs bounded by [n_distinct, n] and decisions sane") {
     val rows = SparkEntry.queries("q201_encoding_stats")(spark, sfDir)
       .collect()
