@@ -73,6 +73,32 @@ object Ann {
       .select(col("qid"), col("rank"), col("cid"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** HARD-NEGATIVE mining for contrastive training: for each query
+    * vector, the k nearest candidates with a DIFFERENT label — the
+    * "looks similar, means different" pairs a contrastive/embedding
+    * fine-tune wants (in-batch negatives are mostly easy; these are
+    * the informative ones). Same decimal-exact cosine and tie order as
+    * [[bruteForceTopK]], plus the label-mismatch join predicate.
+    *
+    * Scale: the query set broadcasts (bounded by contract, like the
+    * brute path); at corpus scale the candidates come from the IVF/LSH
+    * bucket probes instead and this exact form is their recall oracle. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("embedding").as("ce"), norm2Decimal(col("embedding")).as("cn2"))
+    val q = queries.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+      col("embedding").as("qe"), norm2Decimal(col("embedding")).as("qn2"))
+    val scored = c.join(broadcast(q),
+      col("cid") =!= col("qid") && col("clabel") =!= col("qlabel"))
+      .withColumn("dot", dotDecimal(col("qe"), col("ce")))
+      .withColumn("cosine", cosineFrom(col("dot"), col("qn2"), col("cn2")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("qlabel"), col("rank"), col("cid"),
+        col("clabel").as("neg_label"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (dim i, plane p):
     * uniform in [-0.5, 0.5), derived from xxhash64 — no RNG state, same
     * on every executor. */

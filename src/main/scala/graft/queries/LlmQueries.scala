@@ -1045,6 +1045,19 @@ object LlmQueries {
         .orderBy("w1", "w2")
     }),
 
+    // Hard-negative mining for contrastive training (q74's exact-cosine
+    // machinery + a label-mismatch predicate): for each of 20 query
+    // vectors, the 5 nearest DIFFERENT-label candidates — the
+    // "looks similar, means different" pairs an embedding fine-tune
+    // wants. Decimal-exact dots, deterministic (cosine DESC, cid) tie
+    // order; at corpus scale the candidate set comes from the IVF/LSH
+    // probes and this exact form is their recall oracle.
+    "q209_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Ann.hardNegatives(emb, emb.filter(col("vec_id") < 20), k = 5)
+        .orderBy("qid", "rank")
+    }),
+
     // fastText-style hashed linear classifier inference (Joulin et al.
     // 2016) — the model-based-filtering stage of an LLM data pipeline,
     // with ZERO shuffles: tokens hash into 256 feature buckets, the
@@ -2057,6 +2070,42 @@ object LlmQueries {
         |UNION ALL SELECT 3, 'quality', (SELECT COUNT(*) FROM s3)
         |UNION ALL SELECT 4, 'exact_dedup', (SELECT COUNT(*) FROM s4)
         |ORDER BY stage_idx""".stripMargin,
+    // same decimal dot accumulation + IEEE cosine as the q74 oracle,
+    // plus the label-mismatch predicate
+    "q209_hard_negatives" ->
+      """WITH norms AS (
+        |  SELECT vec_id,
+        |    SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+        |      AS DECIMAL(30,15))) AS n2
+        |  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
+        |  GROUP BY vec_id),
+        |el AS (
+        |  SELECT q.vec_id AS qid, q.label AS qlabel,
+        |    c.vec_id AS cid, c.label AS clabel,
+        |    unnest(q.embedding) AS qv, unnest(c.embedding) AS cv
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 20 AND c.vec_id != q.vec_id
+        |      AND c.label != q.label),
+        |dots AS (
+        |  SELECT qid, qlabel, cid, clabel,
+        |    SUM(CAST(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE)
+        |      AS DECIMAL(30,15))) AS dot
+        |  FROM el GROUP BY 1, 2, 3, 4),
+        |scored AS (
+        |  SELECT d.qid, d.qlabel, d.cid, d.clabel,
+        |    CAST(d.dot AS DOUBLE) /
+        |      (SQRT(CAST(nq.n2 AS DOUBLE)) * SQRT(CAST(nc.n2 AS DOUBLE)))
+        |      AS cosine
+        |  FROM dots d
+        |  JOIN norms nq ON nq.vec_id = d.qid
+        |  JOIN norms nc ON nc.vec_id = d.cid)
+        |SELECT qid, qlabel, rank, cid, clabel AS neg_label,
+        |  round(cosine, 6) AS cosine
+        |FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // the aHash replayed from the pixel closed form — no codec needed:
     // same grid mapping (i = x·4 div w), same cross-multiplied bits
     "q200_image_phash_dedup" ->

@@ -415,6 +415,26 @@ object WindowQueries {
         .orderBy("event_type", "day")
     }),
 
+    // Rolling EXACT 7-day median of daily counts per series — the
+    // robust monitoring band (one outlier day cannot drag it, unlike
+    // q36's rolling mean): the 7-element frame is collected, sorted
+    // and indexed — integer in, integer out, engine-identical. Frame
+    // collection is bounded by the window width (7), so the state per
+    // row is constant; the window rides the series-key exchange.
+    "q210_rolling_median" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, 0)
+      daily
+        .withColumn("win", collect_list("n").over(w))
+        .filter(size(col("win")) === 7)
+        .select(col("event_type"), col("day"), col("n"),
+          element_at(array_sort(col("win")), 4).as("med7"))
+        .orderBy("event_type", "day")
+    }),
+
     // Cumulative DISTINCT users per event_type by day — the classic
     // "can't window COUNT(DISTINCT)" growth metric, done scalably via
     // the first-seen rewrite: each (type, user) reduces to its first
@@ -766,6 +786,20 @@ object WindowQueries {
         |        FROM events GROUP BY 1, 2)
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
         |WHERE trail_mean IS NOT NULL
+        |ORDER BY event_type, day""".stripMargin,
+    // same 7-frame list, sorted, 4th element — integer-exact median
+    "q210_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n,
+        |    list(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS win
+        |  FROM daily)
+        |SELECT event_type, day, n,
+        |  CAST(list_sort(win)[4] AS BIGINT) AS med7
+        |FROM w WHERE len(win) = 7
         |ORDER BY event_type, day""".stripMargin,
     // same first-seen rewrite (min day per user, then cum-sum)
     "q197_cumulative_distinct" ->
