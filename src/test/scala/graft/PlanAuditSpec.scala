@@ -289,4 +289,33 @@ class PlanAuditSpec extends SparkTestBase {
     val cartesians = "CartesianProduct".r.findAllIn(p).length
     assert(cartesians == 0, s"cartesian in PMI plan:\n$p")
   }
+
+  test("q193 classifier is zero-shuffle: the only exchange is the published sort") {
+    val p = formatted("q193_linear_classifier")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"classifier plan grew a data exchange:\n$p")
+    assert(!p.contains("Join"), s"classifier plan grew a weight join:\n$p")
+  }
+
+  test("q205 bitmap build partial-aggregates bit_or before the exchange") {
+    val p = formatted("q205_bitmap_index")
+    assert(p.contains("partial_bit_or"),
+      s"bitmap build lost its map-side combine:\n$p")
+  }
+
+  test("q209 hard negatives broadcast the bounded query set (no shuffle join)") {
+    val p = formatted("q209_hard_negatives")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"query set did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"hard-negative scoring fell into a shuffle join:\n$p")
+  }
+
+  test("q207 multi-touch carries via one user-key window, no range join") {
+    val p = formatted("q207_multitouch")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"multi-touch plan grew a cartesian:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"no window operator in the carry plan:\n$p")
+  }
 }
