@@ -300,6 +300,47 @@ object SourceQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // Corrupt-record-tolerant JSON ingestion (PERMISSIVE mode): a feed
+    // of one JSON object per line with deliberately broken lines mixed
+    // in (truncated object, bare text, wrong-type field). The read
+    // surfaces bad lines in _corrupt_record instead of failing the
+    // job — the dead-letter split every production feed needs — and
+    // the query publishes the valid aggregate NEXT TO the quarantine
+    // count. The corrupt lines are constructed (3 per nation batch),
+    // so the oracle knows both sides exactly. try_cast keeps the
+    // wrong-type row in the valid set with a NULL field, matching
+    // permissive semantics.
+    "q211_corrupt_records" -> ((s, dir) => {
+      val path = tmpDir("graft_badjson")
+      val n = t(s, dir, "nation")
+      val good = n.select(to_json(struct(col("n_nationkey").as("k"),
+        col("n_name").as("name"), col("n_regionkey").as("r"))).as("line"))
+      val bad = s.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row("{\"k\": 900, \"name\": \"TRUNCAT"),
+          org.apache.spark.sql.Row("not json at all"),
+          org.apache.spark.sql.Row("{\"k\": \"NaN-key\", \"name\": \"BADTYPE\", \"r\": 0}")),
+        StructType(Seq(StructField("line", StringType))))
+      good.unionByName(bad).coalesce(1)
+        .write.mode(SaveMode.Overwrite).text(path)
+      val schema = StructType(Seq(
+        StructField("k", StringType), StructField("name", StringType),
+        StructField("r", LongType),
+        StructField("_corrupt_record", StringType)))
+      val read = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+      read.select(
+          (col("_corrupt_record").isNotNull && col("k").isNull &&
+            col("name").isNull).as("quarantined"),
+          expr("try_cast(k AS BIGINT)").as("kk"), col("r"))
+        .groupBy("quarantined")
+        .agg(count(lit(1)).as("n_rows"), sum("kk").as("sum_key"),
+          count_if(col("kk").isNull && !col("quarantined"))
+            .as("n_null_key"))
+        .orderBy("quarantined")
+    }),
+
     // Schema-evolution merged read: two parquet generations of one
     // table — gen1 written BEFORE a column existed, gen2 after — read
     // together with mergeSchema; gen1 rows surface the added column as
@@ -740,6 +781,20 @@ object SourceQueries {
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q97_tsv_gz" ->
       "SELECT CAST(n_nationkey AS BIGINT) AS key, n_name AS name FROM nation ORDER BY key",
+    // constructed feed: 25 valid nations + 1 wrong-type row (kept,
+    // null key) + 2 unparseable lines (quarantined)
+    "q211_corrupt_records" ->
+      """WITH v AS (
+        |  SELECT FALSE AS quarantined, CAST(n_nationkey AS BIGINT) AS kk
+        |  FROM nation
+        |  UNION ALL SELECT FALSE, NULL
+        |  UNION ALL SELECT TRUE, NULL
+        |  UNION ALL SELECT TRUE, NULL)
+        |SELECT quarantined, COUNT(*)::BIGINT AS n_rows,
+        |  CAST(SUM(kk) AS BIGINT) AS sum_key,
+        |  CAST(COUNT(*) FILTER (WHERE kk IS NULL AND NOT quarantined)
+        |    AS BIGINT) AS n_null_key
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     // the merged read's union semantics: gen1 rows carry NULL status
     "q203_schema_evolution" ->
       """WITH u AS (
