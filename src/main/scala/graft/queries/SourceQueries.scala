@@ -300,6 +300,34 @@ object SourceQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // Dictionary normalization round trip (string interning as a table
+    // rewrite): the low-cardinality o_orderpriority column extracts
+    // into a dimension (distinct values, dense ids by sort order), the
+    // fact rewrites to carry the id, and the query proves the
+    // round-trip — joining back reproduces the original aggregate
+    // exactly — alongside the size win (n_fact·id_bytes vs string
+    // bytes, integers). The extract is one partial-aggregatable
+    // distinct; the rewrite is a broadcast join at any fact size.
+    "q212_dictionary_normalize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority").as("prio"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val dim = o.select("prio").distinct()
+        .withColumn("prio_id",
+          row_number().over(Window.orderBy("prio")).cast(LongType))
+      val fact = o.join(broadcast(dim), "prio")
+        .select(col("o_orderkey"), col("prio_id"), col("price"))
+      fact.join(broadcast(dim), "prio_id")
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum("price").cast(DoubleType)
+          .as("total"),
+          sum(length(col("prio")).cast(LongType)).as("string_bytes"),
+          (count(lit(1)) * 8).as("id_bytes"))
+        .withColumn("dict_wins", col("id_bytes") < col("string_bytes"))
+        .orderBy("prio")
+    }),
+
     // Corrupt-record-tolerant JSON ingestion (PERMISSIVE mode): a feed
     // of one JSON object per line with deliberately broken lines mixed
     // in (truncated object, bare text, wrong-type field). The read
@@ -781,6 +809,15 @@ object SourceQueries {
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q97_tsv_gz" ->
       "SELECT CAST(n_nationkey AS BIGINT) AS key, n_name AS name FROM nation ORDER BY key",
+    // the round trip is the identity on (prio, n, total); size columns
+    // recomputed directly
+    "q212_dictionary_normalize" ->
+      """SELECT o_orderpriority AS prio, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(SUM(length(o_orderpriority)) AS BIGINT) AS string_bytes,
+        |  CAST(COUNT(*) * 8 AS BIGINT) AS id_bytes,
+        |  COUNT(*) * 8 < SUM(length(o_orderpriority)) AS dict_wins
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // constructed feed: 25 valid nations + 1 wrong-type row (kept,
     // null key) + 2 unparseable lines (quarantined)
     "q211_corrupt_records" ->

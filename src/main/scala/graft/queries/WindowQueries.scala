@@ -415,6 +415,35 @@ object WindowQueries {
         .orderBy("event_type", "day")
     }),
 
+    // Hysteresis alert state machine over daily counts (ON above +1%
+    // of the series mean, OFF below −1%, hold in between — the
+    // anti-flap band every alerting system needs): path-dependent
+    // state expressed RELATIONALLY with the union-carry trick — days
+    // that cross a threshold emit ON/OFF events, and each day's state
+    // is the last carried event (`last ignoreNulls`), default OFF.
+    // Thresholds are mean-relative and cross-multiplied to integers
+    // (100·n·D ≷ 101·S / 99·S) so the state path replays exactly.
+    // One window pass riding the series-key exchange; the per-type
+    // totals broadcast.
+    "q213_hysteresis_alert" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = daily.groupBy("event_type")
+        .agg(sum("n").as("s"), count(lit(1)).as("d"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(tot), "event_type")
+        .withColumn("crossing",
+          when(col("n") * 100 * col("d") > col("s") * 101, "ON")
+            .when(col("n") * 100 * col("d") < col("s") * 99, "OFF"))
+        .withColumn("state",
+          coalesce(last(col("crossing"), ignoreNulls = true).over(w),
+            lit("OFF")))
+        .select(col("event_type"), col("day"), col("n"), col("state"))
+        .orderBy("event_type", "day")
+    }),
+
     // Rolling EXACT 7-day median of daily counts per series — the
     // robust monitoring band (one outlier day cannot drag it, unlike
     // q36's rolling mean): the 7-element frame is collected, sorted
@@ -787,6 +816,26 @@ object WindowQueries {
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
         |WHERE trail_mean IS NOT NULL
         |ORDER BY event_type, day""".stripMargin,
+    // same crossing events, same carried state, same integer thresholds
+    "q213_hysteresis_alert" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS s,
+        |    COUNT(*)::BIGINT AS d
+        |  FROM daily GROUP BY 1),
+        |x AS (
+        |  SELECT daily.event_type, day, n,
+        |    CASE WHEN n * 100 * d > s * 101 THEN 'ON'
+        |         WHEN n * 100 * d < s * 99 THEN 'OFF' END AS crossing
+        |  FROM daily JOIN tot USING (event_type))
+        |SELECT event_type, day, n,
+        |  COALESCE(last_value(crossing IGNORE NULLS) OVER
+        |    (PARTITION BY event_type ORDER BY day
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 'OFF')
+        |    AS state
+        |FROM x ORDER BY event_type, day""".stripMargin,
     // same 7-frame list, sorted, 4th element — integer-exact median
     "q210_rolling_median" ->
       """WITH daily AS (
