@@ -458,6 +458,50 @@ object StatQueries {
         .orderBy("event_type", "arm")
     }),
 
+    // Group-wise min-max feature scaling to integer [0, 1000] units —
+    // the quantization-friendly normalization a feature pipeline ships
+    // (floats would drift across engines; integer floor-div cannot):
+    // scaled = (cents − min)·1000 div (max − min). Two passes sharing
+    // the group key: a min/max aggregate broadcast back, then the
+    // per-row rescale; published as the per-group checksum with the
+    // range gates (min 0, max exactly 1000).
+    "q215_minmax_scale" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        floor(col("value") * 100).cast(LongType).as("cents"))
+      val mm = e.groupBy("event_type")
+        .agg(min("cents").as("lo"), max("cents").as("hi"))
+      e.join(broadcast(mm), "event_type")
+        .withColumn("scaled",
+          expr("CAST((cents - lo) * 1000 div (hi - lo) AS BIGINT)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("scaled").as("min_s"),
+          max("scaled").as("max_s"), sum("scaled").as("sum_s"))
+        .withColumn("range_ok", col("min_s") === 0 && col("max_s") === 1000)
+        .orderBy("event_type")
+    }),
+
+    // Join-skew advisor — the partition-planning report behind the
+    // q152 salting decision: per candidate join key, exact key count,
+    // hottest-key share, and the cross-multiplied skew flag
+    // (max_cnt·n_keys > 4·n ⇔ the hottest key carries >4× the average)
+    // plus the salt factor a skewed key needs (ceil of hot-key share ×
+    // partition count). One partial-aggregatable count per key column.
+    "q216_skew_advisor" -> ((s, dir) => {
+      def audit(name: String, df: DataFrame) = df
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(lit(name).as("key_col"), sum("c").as("n"),
+          count(lit(1)).as("n_keys"), max("c").as("max_cnt"))
+      audit("orders.o_custkey",
+          t(s, dir, "orders").select(col("o_custkey").as("k")))
+        .unionByName(audit("lineitem.l_partkey",
+          t(s, dir, "lineitem").select(col("l_partkey").as("k"))))
+        .select(col("key_col"), col("n"), col("n_keys"), col("max_cnt"),
+          (col("max_cnt") * col("n_keys") > col("n") * 4).as("skewed"),
+          expr("CAST((max_cnt * 32 + n - 1) div n AS BIGINT)")
+            .as("salt_factor"))
+        .orderBy("key_col")
+    }),
+
     // k-anonymity audit (k=5) over quasi-identifiers (nation, market
     // segment, balance band) with a 3-level generalization ladder —
     // each level doubles the band width and must shrink the unsafe
@@ -1016,6 +1060,39 @@ object StatQueries {
         |  25 * (n * sxy - sx * sy) * (n * sxy - sx * sy) >
         |    (n * sxx - sx * sx) * (n * syy - sy * sy) AS strong
         |FROM s ORDER BY 1, 2""".stripMargin,
+    // same integer floor-div rescale; `//` truncation = Spark div on
+    // non-negative (cents - lo)
+    "q215_minmax_scale" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |mm AS (
+        |  SELECT event_type, MIN(cents) AS lo, MAX(cents) AS hi
+        |  FROM e GROUP BY 1),
+        |sc AS (
+        |  SELECT e.event_type,
+        |    CAST((cents - lo) * 1000 // (hi - lo) AS BIGINT) AS scaled
+        |  FROM e JOIN mm USING (event_type))
+        |SELECT event_type, COUNT(*)::BIGINT AS n,
+        |  CAST(MIN(scaled) AS BIGINT) AS min_s,
+        |  CAST(MAX(scaled) AS BIGINT) AS max_s,
+        |  CAST(SUM(scaled) AS BIGINT) AS sum_s,
+        |  MIN(scaled) = 0 AND MAX(scaled) = 1000 AS range_ok
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact key-count audit per candidate column
+    "q216_skew_advisor" ->
+      """WITH a AS (
+        |  SELECT 'orders.o_custkey' AS key_col, COUNT(*)::BIGINT AS c
+        |  FROM orders GROUP BY o_custkey
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey', COUNT(*) FROM lineitem
+        |  GROUP BY l_partkey)
+        |SELECT key_col, CAST(SUM(c) AS BIGINT) AS n,
+        |  COUNT(*)::BIGINT AS n_keys, CAST(MAX(c) AS BIGINT) AS max_cnt,
+        |  MAX(c) * COUNT(*) > SUM(c) * 4 AS skewed,
+        |  CAST((MAX(c) * 32 + SUM(c) - 1) // SUM(c) AS BIGINT)
+        |    AS salt_factor
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     // same ladder, same IEEE floor bands
     "q202_k_anonymity" ->
       """WITH l AS (

@@ -415,6 +415,37 @@ object WindowQueries {
         .orderBy("event_type", "day")
     }),
 
+    // Exclusion funnel (the NOT-pattern conversion MATCH_RECOGNIZE
+    // covers in other engines): a purchase converts from a click only
+    // if NO error happened between that click and the purchase. Three
+    // union-carries in ONE window pass — each purchase sees its
+    // latest prior click and latest prior error, and qualifies iff
+    // the click exists and is more recent than any error — instead of
+    // a per-pair interval join. Published as the per-user rollup.
+    "q214_exclusion_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val e = t(s, dir, "events").select(col("user_id"),
+        graft.functions.BqShims.epochMicros(col("ts")).as("tsm"),
+        col("event_id"), col("event_type"))
+      e.withColumn("last_click",
+          last(when(col("event_type") === "click", col("tsm")),
+            ignoreNulls = true).over(w))
+        .withColumn("last_error",
+          last(when(col("event_type") === "error", col("tsm")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          (col("last_click").isNotNull &&
+            (col("last_error").isNull ||
+              col("last_error") < col("last_click"))).as("clean_conv"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          count_if(col("clean_conv")).as("n_clean"))
+        .filter(col("n_purchases") > 0)
+        .orderBy("user_id")
+    }),
+
     // Hysteresis alert state machine over daily counts (ON above +1%
     // of the series mean, OFF below −1%, hold in between — the
     // anti-flap band every alerting system needs): path-dependent
@@ -816,6 +847,26 @@ object WindowQueries {
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
         |WHERE trail_mean IS NOT NULL
         |ORDER BY event_type, day""".stripMargin,
+    // same three carries, same qualification predicate
+    "q214_exclusion_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm, event_id, event_type
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN tsm END
+        |      IGNORE NULLS) OVER w AS last_click,
+        |    last_value(CASE WHEN event_type = 'error' THEN tsm END
+        |      IGNORE NULLS) OVER w AS last_error
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, COUNT(*)::BIGINT AS n_purchases,
+        |  CAST(COUNT(*) FILTER (WHERE last_click IS NOT NULL AND
+        |    (last_error IS NULL OR last_error < last_click))
+        |    AS BIGINT) AS n_clean
+        |FROM c WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // same crossing events, same carried state, same integer thresholds
     "q213_hysteresis_alert" ->
       """WITH daily AS (
