@@ -415,6 +415,60 @@ object WindowQueries {
         .orderBy("event_type", "day")
     }),
 
+    // Calendar-dimension build + fact join: a generated 2024 date
+    // spine with the derived attributes every warehouse calendar
+    // carries — ISO week/year, quarter, ISO day-of-week, July-start
+    // fiscal year/quarter (closed-form integer arithmetic, no locale)
+    // — joined to the daily event rollup. The dim is 366 rows: always
+    // a broadcast; the attributes are engine-portable by construction
+    // (weekofyear=ISO in both, isodow via weekday+1).
+    "q217_calendar_dim" -> ((s, dir) => {
+      val spine = s.range(0, 366).select(
+        date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+          col("id").cast(IntegerType)).as("day"))
+      val dim = spine.select(col("day"),
+        weekofyear(col("day")).cast(LongType).as("iso_week"),
+        quarter(col("day")).cast(LongType).as("cal_q"),
+        expr("CAST(weekday(day) + 1 AS BIGINT)").as("iso_dow"),
+        (year(col("day")) + when(month(col("day")) >= 7, 1).otherwise(0))
+          .cast(LongType).as("fiscal_year"),
+        (((month(col("day")) + 5) % 12) / 3 + 1).cast(LongType)
+          .as("fiscal_q"))
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      daily.join(broadcast(dim), "day")
+        .select(col("day"), col("iso_week"), col("cal_q"), col("iso_dow"),
+          col("fiscal_year"), col("fiscal_q"), col("n"))
+        .orderBy("day")
+    }),
+
+    // Sequential pattern mining (frequent "A then B" 2-sequences): for
+    // each event, the SET of types seen strictly before it in the
+    // user's (ts, id) order — one collect_set window pass, bounded by
+    // the 5-type alphabet — explodes into distinct per-user (A, B)
+    // precedence pairs, counted across users with a universal-support
+    // flag. The oracle is the NAIVE precedence self-join: two
+    // independent implementations must agree pair-for-pair.
+    "q218_seq_patterns" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        graft.functions.BqShims.epochMicros(col("ts")).as("tsm"),
+        col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pairs = e
+        .withColumn("before", collect_set("event_type").over(w))
+        .select(col("user_id"), explode(col("before")).as("a"),
+          col("event_type").as("b"))
+        .distinct()
+      val nu = e.agg(count_distinct(col("user_id")).as("nu"))
+      pairs.groupBy("a", "b").agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(nu))
+        .select(col("a"), col("b"), col("n_users"),
+          (col("n_users") === col("nu")).as("universal"))
+        .orderBy("a", "b")
+    }),
+
     // Exclusion funnel (the NOT-pattern conversion MATCH_RECOGNIZE
     // covers in other engines): a purchase converts from a click only
     // if NO error happened between that click and the purchase. Three
@@ -847,6 +901,37 @@ object WindowQueries {
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
         |WHERE trail_mean IS NOT NULL
         |ORDER BY event_type, day""".stripMargin,
+    // same closed-form calendar arithmetic (week()=ISO, isodow()=1-Mon)
+    "q217_calendar_dim" ->
+      """WITH spine AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+        |    DATE '2024-12-31', INTERVAL 1 DAY)) AS DATE) AS day),
+        |dim AS (
+        |  SELECT day, CAST(week(day) AS BIGINT) AS iso_week,
+        |    CAST(quarter(day) AS BIGINT) AS cal_q,
+        |    CAST(isodow(day) AS BIGINT) AS iso_dow,
+        |    CAST(year(day) + CASE WHEN month(day) >= 7 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS fiscal_year,
+        |    CAST(((month(day) + 5) % 12) // 3 + 1 AS BIGINT) AS fiscal_q
+        |  FROM spine),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS n
+        |  FROM events GROUP BY 1)
+        |SELECT d.day, iso_week, cal_q, iso_dow, fiscal_year, fiscal_q, n
+        |FROM daily d JOIN dim USING (day) ORDER BY d.day""".stripMargin,
+    // the naive precedence self-join — an independent implementation
+    "q218_seq_patterns" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm, event_id, event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT DISTINCT a.user_id, a.event_type AS a, b.event_type AS b
+        |  FROM e a JOIN e b ON a.user_id = b.user_id
+        |    AND (a.tsm < b.tsm OR (a.tsm = b.tsm AND a.event_id < b.event_id))),
+        |u AS (SELECT COUNT(DISTINCT user_id) AS nu FROM e)
+        |SELECT a, b, COUNT(*)::BIGINT AS n_users,
+        |  COUNT(*) = nu AS universal
+        |FROM p, u GROUP BY 1, 2, nu ORDER BY 1, 2""".stripMargin,
     // same three carries, same qualification predicate
     "q214_exclusion_funnel" ->
       """WITH e AS (
