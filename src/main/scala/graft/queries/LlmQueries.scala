@@ -1045,6 +1045,28 @@ object LlmQueries {
         .orderBy("w1", "w2")
     }),
 
+    // Vocabulary-coverage / OOV-rate audit (the tokenizer-vocab check
+    // run before committing a training corpus): the reference vocab is
+    // the corpus's own top-20 tokens (count DESC, token ASC — fully
+    // deterministic), every token outside it counts as OOV, and each
+    // source gets a cross-multiplied coverage gate (OOV < 10%). The
+    // vocab is a 20-row broadcast; the corpus pass is one explode +
+    // partial-aggregatable rollup — linear at any scale.
+    "q219_oov_rate" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("source"),
+        explode(graft.llm.Surprisal.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("tok")).limit(20)
+        .select(col("tok"), lit(1).as("in_v"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          count_if(col("in_v").isNull).as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          (col("n_oov") * 10 < col("n_tokens")).as("coverage_ok"))
+        .orderBy("source")
+    }),
+
     // Hard-negative mining for contrastive training (q74's exact-cosine
     // machinery + a label-mismatch predicate): for each of 20 query
     // vectors, the 5 nearest DIFFERENT-label candidates — the
@@ -2070,6 +2092,23 @@ object LlmQueries {
         |UNION ALL SELECT 3, 'quality', (SELECT COUNT(*) FROM s3)
         |UNION ALL SELECT 4, 'exact_dedup', (SELECT COUNT(*) FROM s4)
         |ORDER BY stage_idx""".stripMargin,
+    // same deterministic top-20 vocab, same coverage gate
+    "q219_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source,
+        |      unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1
+        |    ORDER BY c DESC, tok LIMIT 20))
+        |SELECT source, COUNT(*)::BIGINT AS n_tokens,
+        |  CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+        |  COUNT(*) FILTER (WHERE v.tok IS NULL) * 10 < COUNT(*)
+        |    AS coverage_ok
+        |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // same decimal dot accumulation + IEEE cosine as the q74 oracle,
     // plus the label-mismatch predicate
     "q209_hard_negatives" ->
