@@ -458,6 +458,39 @@ object StatQueries {
         .orderBy("event_type", "arm")
     }),
 
+    // Item-item cosine similarity over co-purchase vectors (the
+    // neighborhood-model recsys primitive q186's raw counts feed):
+    // sim(a,b) = c_ab / √(d_a·d_b) where c_ab = orders containing
+    // both, d = orders containing the item. Within-order pair explode
+    // (bounded per order ≈ linear overall), one pair shuffle, two
+    // degree joins; ranking is deterministic (cos DESC, b ASC) and the
+    // only float is the final IEEE sqrt/divide — identical in both
+    // engines on identical integers.
+    "q220_item_similarity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val deg = li.groupBy(col("l_partkey").as("item"))
+        .agg(count(lit(1)).as("d"))
+      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+          Seq("l_orderkey"))
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+      val scored = pairs
+        .join(deg.select(col("item").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("item").as("b"), col("d").as("db")), Seq("b"))
+        .withColumn("cos", col("c") /
+          (sqrt(col("da").cast(DoubleType)) * sqrt(col("db").cast(DoubleType))))
+      val w = Window.partitionBy("a").orderBy(desc("cos"), col("b"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("a"), col("rank"), col("b"), col("c"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("a", "rank")
+    }),
+
     // Group-wise min-max feature scaling to integer [0, 1000] units —
     // the quantization-friendly normalization a feature pipeline ships
     // (floats would drift across engines; integer floor-div cannot):
@@ -1060,6 +1093,28 @@ object StatQueries {
         |  25 * (n * sxy - sx * sy) * (n * sxy - sx * sy) >
         |    (n * sxx - sx * sx) * (n * syy - sy * sy) AS strong
         |FROM s ORDER BY 1, 2""".stripMargin,
+    // same degrees, same IEEE sqrt/divide, same (cos DESC, b) rank
+    "q220_item_similarity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |deg AS (
+        |  SELECT l_partkey AS item, COUNT(*)::BIGINT AS d
+        |  FROM li GROUP BY 1),
+        |p AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*)::BIGINT AS c
+        |  FROM li x JOIN li y USING (l_orderkey)
+        |  WHERE x.l_partkey <> y.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |s AS (
+        |  SELECT p.a, p.b, p.c,
+        |    p.c / (sqrt(CAST(da.d AS DOUBLE)) * sqrt(CAST(db.d AS DOUBLE)))
+        |      AS cos
+        |  FROM p
+        |  JOIN deg da ON da.item = p.a
+        |  JOIN deg db ON db.item = p.b)
+        |SELECT a, rank, b, c, round(cos, 6) AS cos FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY a ORDER BY cos DESC, b) AS rank
+        |  FROM s) WHERE rank <= 3 ORDER BY a, rank""".stripMargin,
     // same integer floor-div rescale; `//` truncation = Spark div on
     // non-negative (cents - lo)
     "q215_minmax_scale" ->
