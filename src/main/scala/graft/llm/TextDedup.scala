@@ -269,9 +269,12 @@ object TextDedup {
     * parsed as an integer — computable identically in Spark and DuckDB
     * (or any engine with md5), which is what lets a simhash be
     * oracle-checked bit-for-bit. xxhash64 stays the scale default
-    * (no md5 string round-trip per token). */
-  def portableHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    * (no md5 per token at all). Implemented as the native
+    * [[graft.functions.PortableHash60]] expression — same value as the
+    * `conv(substring(md5(c), 1, 15), 16, 10)` derivation (spec-gated)
+    * without the hex-string/substring/base-16-parse round trip per
+    * token. */
+  def portableHash(c: Column): Column = graft.functions.PortableHash60(c)
 
   // ---- Engine-portable integer seed-mixing --------------------------
   // The portable MinHash pipeline needs k seeded re-hashes of each
