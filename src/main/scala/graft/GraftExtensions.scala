@@ -37,6 +37,9 @@ object GraftFunctions {
     ("dot_product_f32", classOf[graft.functions.DotProductF32].getName,
       (args: Seq[Expression]) =>
         graft.functions.DotProductF32(args(0), args(1))),
+    ("portable_hash60", classOf[graft.functions.PortableHash60].getName,
+      (args: Seq[Expression]) =>
+        graft.functions.PortableHash60(args(0))),
     ("misra_gries", classOf[graft.operators.MisraGriesAgg].getName,
       (args: Seq[Expression]) =>
         graft.operators.MisraGriesAgg(args(0),

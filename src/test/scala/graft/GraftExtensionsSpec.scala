@@ -39,6 +39,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("portable_hash60 is callable from SQL and matches the md5 derivation") {
+    withExtSession { s =>
+      val r = s.sql(
+        """SELECT portable_hash60('spark') AS h,
+          |  CAST(conv(substring(md5('spark'), 1, 15), 16, 10) AS BIGINT) AS ref
+          |""".stripMargin).head
+      assert(r.getLong(0) == r.getLong(1))
+    }
+  }
+
   test("native aggregates are callable from SQL") {
     withExtSession { s =>
       import s.implicits._
