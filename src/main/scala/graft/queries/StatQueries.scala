@@ -458,6 +458,60 @@ object StatQueries {
         .orderBy("event_type", "arm")
     }),
 
+    // RFM customer segmentation (the BI scoring every commerce
+    // warehouse ships): recency = last order day, frequency = order
+    // count, monetary = decimal-exact revenue; each scored into
+    // quintiles with ntile over a UNIQUE order (metric, then customer
+    // key — deterministic in any engine), combined into the 3-digit
+    // RFM code. Three ntile windows over the customers-sized aggregate
+    // (not the fact table); published as the per-code rollup.
+    "q221_rfm_segments" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("c"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("monetary"))
+      val scored = per
+        .withColumn("r_score", ntile(5).over(
+          Window.orderBy(col("last_day"), col("c"))))
+        .withColumn("f_score", ntile(5).over(
+          Window.orderBy(col("freq"), col("c"))))
+        .withColumn("m_score", ntile(5).over(
+          Window.orderBy(col("monetary"), col("c"))))
+      scored
+        .select((col("r_score") * 100 + col("f_score") * 10 +
+          col("m_score")).cast(LongType).as("rfm"))
+        .groupBy("rfm").agg(count(lit(1)).as("n_customers"))
+        .orderBy("rfm")
+    }),
+
+    // Cohort LTV accumulation: customers cohorted by first-order
+    // month, revenue accumulated by cohort age (months since first
+    // order) — the (cohort × age) triangle a growth team reads.
+    // Decimal-exact revenue, integer month arithmetic, one customer
+    // aggregate + one fact pass + a cohorts-sized cum-sum window.
+    "q222_cohort_ltv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders").select(col("o_custkey").as("c"),
+        (year(to_date(col("o_orderdate"))) * 12 +
+          month(to_date(col("o_orderdate"))) - 1).as("m"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("rev"))
+      val cohort = o.groupBy("c").agg(min("m").as("m0"))
+      val cells = o.join(cohort, "c")
+        .groupBy(col("m0").as("cohort_month"),
+          (col("m") - col("m0")).as("age"))
+        .agg(sum("rev").as("rev"), count_distinct(col("c")).as("n_active"))
+      val w = Window.partitionBy("cohort_month").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("cum_rev", sum("rev").over(w).cast(DoubleType))
+        .select(col("cohort_month"), col("age"),
+          col("rev").cast(DoubleType).as("rev"), col("n_active"),
+          col("cum_rev"))
+        .orderBy("cohort_month", "age")
+    }),
+
     // Item-item cosine similarity over co-purchase vectors (the
     // neighborhood-model recsys primitive q186's raw counts feed):
     // sim(a,b) = c_ab / √(d_a·d_b) where c_ab = orders containing
@@ -1093,6 +1147,43 @@ object StatQueries {
         |  25 * (n * sxy - sx * sy) * (n * sxy - sx * sy) >
         |    (n * sxx - sx * sx) * (n * syy - sy * sy) AS strong
         |FROM s ORDER BY 1, 2""".stripMargin,
+    // same unique (metric, customer) ntile order — standard front-
+    // loaded ntile distribution in both engines
+    "q221_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS c,
+        |    MAX(CAST(o_orderdate AS DATE)) AS last_day,
+        |    COUNT(*)::BIGINT AS freq,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT ntile(5) OVER (ORDER BY last_day, c) AS r_score,
+        |    ntile(5) OVER (ORDER BY freq, c) AS f_score,
+        |    ntile(5) OVER (ORDER BY monetary, c) AS m_score
+        |  FROM per)
+        |SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+        |    AS rfm,
+        |  COUNT(*)::BIGINT AS n_customers
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same integer month key, same decimal revenue, same cum-sum
+    "q222_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS c,
+        |    year(CAST(o_orderdate AS DATE)) * 12 +
+        |      month(CAST(o_orderdate AS DATE)) - 1 AS m,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+        |  FROM orders),
+        |coh AS (SELECT c, MIN(m) AS m0 FROM o GROUP BY 1),
+        |cells AS (
+        |  SELECT m0 AS cohort_month, m - m0 AS age, SUM(rev) AS rev,
+        |    COUNT(DISTINCT o.c)::BIGINT AS n_active
+        |  FROM o JOIN coh ON o.c = coh.c
+        |  GROUP BY 1, 2)
+        |SELECT cohort_month, age, CAST(rev AS DOUBLE) AS rev, n_active,
+        |  CAST(SUM(rev) OVER (PARTITION BY cohort_month ORDER BY age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS cum_rev
+        |FROM cells ORDER BY cohort_month, age""".stripMargin,
     // same degrees, same IEEE sqrt/divide, same (cos DESC, b) rank
     "q220_item_similarity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
