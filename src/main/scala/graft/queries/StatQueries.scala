@@ -458,6 +458,60 @@ object StatQueries {
         .orderBy("event_type", "arm")
     }),
 
+    // Duplicate-transaction rule (the ops/fraud screen): two events by
+    // the same user with the same cent amount within 6 hours flag as
+    // suspected duplicates. One lag window over (user, cents) ordered
+    // by time — the partition key makes "same amount" an exchange
+    // property, so no self-join and no pair explosion; integer micros
+    // arithmetic end to end. Published as the per-type audit rollup —
+    // a clean corpus legitimately reports zero duplicates.
+    "q223_dup_transactions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events").select(col("user_id"),
+        col("event_type"),
+        graft.functions.BqShims.epochMicros(col("ts")).as("tsm"),
+        col("event_id"),
+        floor(col("value") * 100).cast(LongType).as("cents"))
+      val w = Window.partitionBy("user_id", "cents")
+        .orderBy("tsm", "event_id")
+      e.withColumn("prev", lag("tsm", 1).over(w))
+        .withColumn("dup",
+          col("prev").isNotNull &&
+            col("tsm") - col("prev") <= 21600000000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), count_if(col("dup")).as("n_dup"),
+          count_if(col("prev").isNotNull).as("n_same_amount"))
+        .orderBy("event_type")
+    }),
+
+    // Order↔lineitem reconciliation audit (the cross-table consistency
+    // check a warehouse runs after load): each order's header total
+    // compared to its recomputed line total Σ price·(1−disc)·(1+tax),
+    // all in exact decimal, discrepancy gated at 1% by cross-
+    // multiplication (|heads−lines|·100 > heads — no float division).
+    // One lineitem aggregate + one key join; published per status.
+    "q224_order_reconcile" -> ((s, dir) => {
+      val dec = DecimalType(28, 8)
+      val lines = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(sum((col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec)) *
+          (lit(1).cast(dec) + col("l_tax").cast(dec))).cast(dec))
+          .as("line_total"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("head_total"))
+        .join(lines, Seq("k"), "left")
+        .withColumn("mismatch", col("line_total").isNull ||
+          abs(col("head_total").cast(dec) - col("line_total")) * 100 >
+            col("head_total").cast(dec))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_orders"),
+          count_if(col("line_total").isNull).as("n_no_lines"),
+          count_if(col("mismatch")).as("n_mismatch"))
+        .orderBy("status")
+    }),
+
     // RFM customer segmentation (the BI scoring every commerce
     // warehouse ships): recency = last order day, frequency = order
     // count, monetary = decimal-exact revenue; each scored into
@@ -1147,6 +1201,40 @@ object StatQueries {
         |  25 * (n * sxy - sx * sy) * (n * sxy - sx * sy) >
         |    (n * sxx - sx * sx) * (n * syy - sy * sy) AS strong
         |FROM s ORDER BY 1, 2""".stripMargin,
+    // same (user, cents) lag window, same 6-hour micros bound
+    "q223_dup_transactions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tsm, event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type,
+        |    lag(tsm) OVER (PARTITION BY user_id, cents
+        |      ORDER BY tsm, event_id) AS prev, tsm
+        |  FROM e)
+        |SELECT event_type, COUNT(*)::BIGINT AS n_events,
+        |  CAST(COUNT(*) FILTER (WHERE prev IS NOT NULL AND
+        |    tsm - prev <= 21600000000) AS BIGINT) AS n_dup,
+        |  CAST(COUNT(*) FILTER (WHERE prev IS NOT NULL) AS BIGINT)
+        |    AS n_same_amount
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same exact-decimal recompute, same cross-multiplied 1% gate
+    "q224_order_reconcile" ->
+      """WITH lines AS (
+        |  SELECT l_orderkey AS k,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,8)) *
+        |      (1 - CAST(l_discount AS DECIMAL(28,8))) *
+        |      (1 + CAST(l_tax AS DECIMAL(28,8))) AS DECIMAL(28,8)))
+        |      AS line_total
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderstatus AS status, COUNT(*)::BIGINT AS n_orders,
+        |  CAST(COUNT(*) FILTER (WHERE line_total IS NULL) AS BIGINT)
+        |    AS n_no_lines,
+        |  CAST(COUNT(*) FILTER (WHERE line_total IS NULL OR
+        |    ABS(CAST(o_totalprice AS DECIMAL(28,8)) - line_total) * 100 >
+        |      CAST(o_totalprice AS DECIMAL(28,8))) AS BIGINT) AS n_mismatch
+        |FROM orders LEFT JOIN lines ON o_orderkey = lines.k
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // same unique (metric, customer) ntile order — standard front-
     // loaded ntile distribution in both engines
     "q221_rfm_segments" ->
