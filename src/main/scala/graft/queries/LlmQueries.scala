@@ -1045,6 +1045,32 @@ object LlmQueries {
         .orderBy("w1", "w2")
     }),
 
+    // Distinctive terms per source, c-TF-IDF style (the BERTopic
+    // class-based TF-IDF topic-labeling step): each source's terms
+    // rank by tf_in_source / corpus_tf — the lift of the term inside
+    // the class — with min support 5. The ratio is one IEEE integer÷
+    // integer divide (deterministic, q220 discipline), ties break by
+    // token; top-3 per source. One token shuffle builds both counts;
+    // the corpus vocab joins back partial-aggregated.
+    "q225_distinctive_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents").select(col("source"),
+        explode(graft.llm.Surprisal.tokens(col("text"))).as("tok"))
+      val bySrc = toks.groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+        .filter(col("tf") >= 5)
+      val corpus = bySrc.groupBy("tok").agg(sum("tf").as("ctf"))
+      val scored = bySrc.join(corpus, "tok")
+        .withColumn("lift", col("tf").cast(DoubleType) /
+          col("ctf").cast(DoubleType))
+      val w = Window.partitionBy("source")
+        .orderBy(desc("lift"), col("tok"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("source"), col("rank"), col("tok"), col("tf"),
+          col("ctf"), round(col("lift"), 6).as("lift"))
+        .orderBy("source", "rank")
+    }),
+
     // Vocabulary-coverage / OOV-rate audit (the tokenizer-vocab check
     // run before committing a training corpus): the reference vocab is
     // the corpus's own top-20 tokens (count DESC, token ASC — fully
@@ -2092,6 +2118,27 @@ object LlmQueries {
         |UNION ALL SELECT 3, 'quality', (SELECT COUNT(*) FROM s3)
         |UNION ALL SELECT 4, 'exact_dedup', (SELECT COUNT(*) FROM s4)
         |ORDER BY stage_idx""".stripMargin,
+    // same counts, same IEEE ratio, same (lift DESC, tok) rank
+    "q225_distinctive_terms" ->
+      """WITH toks AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source,
+        |      unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |bysrc AS (
+        |  SELECT source, tok, COUNT(*)::BIGINT AS tf
+        |  FROM toks GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |corpus AS (
+        |  SELECT tok, CAST(SUM(tf) AS BIGINT) AS ctf
+        |  FROM bysrc GROUP BY 1),
+        |s AS (
+        |  SELECT b.source, b.tok, b.tf, c.ctf,
+        |    CAST(b.tf AS DOUBLE) / CAST(c.ctf AS DOUBLE) AS lift
+        |  FROM bysrc b JOIN corpus c USING (tok))
+        |SELECT source, rank, tok, tf, ctf, round(lift, 6) AS lift FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY source ORDER BY lift DESC, tok) AS rank
+        |  FROM s) WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
     // same deterministic top-20 vocab, same coverage gate
     "q219_oov_rate" ->
       """WITH toks AS (
