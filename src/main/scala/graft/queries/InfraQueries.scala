@@ -208,6 +208,79 @@ object InfraQueries {
         .orderBy("status")
     }),
 
+    // Incremental JOIN-view maintenance (ΔV = ΔA⋈B for a static dim —
+    // the base case of the bilinear Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB):
+    // the materialized V_old and the delta-only join union into the
+    // maintained view, and the published aggregate must equal the full
+    // recompute (the oracle IS the full join — the gate proves the
+    // incremental path loses nothing). At scale the delta join touches
+    // |Δ| rows, never the fact history.
+    "q226_ivm_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val aOld = o.filter(col("o_orderkey") % 10 =!= 0)
+      val dA = o.filter(col("o_orderkey") % 10 === 0)
+      val vOld = aOld.join(c, col("o_custkey") === col("c_custkey"))
+      val dV = dA.join(c, col("o_custkey") === col("c_custkey"))
+      vOld.unionByName(dV)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum("price").cast(DoubleType).as("total"),
+          sum("o_orderkey").as("key_sum"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Incremental AGGREGATE-view maintenance with RETRACTIONS (the
+    // Flink/Materialize-style upsert-aware rollup): the maintained
+    // per-status (n, Σprice) absorbs the q129 changelog WITHOUT
+    // rescanning the snapshot — changed keys' old rows (a key-pruned
+    // semi-join probe at scale) emit (−1, −price) retractions, winning
+    // non-delete changes emit (+1, +price) insertions, and the delta
+    // folds onto the base aggregate. The oracle is the full
+    // apply-then-aggregate recompute: the incremental fold must land
+    // on exactly the same numbers.
+    "q227_ivm_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val snap = o.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+          col("o_orderstatus").as("status"))
+      val upserts = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), (col("o_orderkey") % 7).as("seq"),
+          lit("U").as("op"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) + lit(10))
+            .cast(DecimalType(18, 2)).as("price"),
+          col("o_orderpriority").as("status"))
+      val deletes = o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("k"), (col("o_orderkey") % 11).as("seq"),
+          lit("D").as("op"), lit(null).cast(DecimalType(18, 2)).as("price"),
+          lit(null).cast(StringType).as("status"))
+      val winners = graft.operators.CdcApply.latest(
+        upserts.unionByName(deletes), key = "k", seqCols = Seq("seq"))
+      val retract = snap
+        .join(winners.select("k"), Seq("k"), "left_semi")
+        .select(col("status"), lit(-1L).as("dn"),
+          (-col("price")).cast(DecimalType(18, 2)).as("dp"))
+      val insert = winners.filter(col("op") =!= "D")
+        .select(col("status"), lit(1L).as("dn"), col("price").as("dp"))
+      val baseAgg = snap.groupBy("status")
+        .agg(count(lit(1)).as("n0"), sum("price").as("p0"))
+      val delta = retract.unionByName(insert).groupBy("status")
+        .agg(sum("dn").as("dn"), sum("dp").as("dp"))
+      baseAgg.join(delta, Seq("status"), "full_outer")
+        .select(col("status"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n"),
+          (coalesce(col("p0"), lit(0).cast(DecimalType(18, 2))) +
+            coalesce(col("dp"), lit(0).cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("total"))
+        .filter(col("n") > 0)
+        .orderBy("status")
+    }),
+
     // CDC CAPTURE — the inverse of the q129 fold: diff two snapshots
     // into the minimal I/U/D changelog (inserts where only the new
     // snapshot has the key, deletes where only the old, updates where
@@ -726,6 +799,42 @@ object InfraQueries {
         |  CAST(SUM(k) AS BIGINT) AS sum_key,
         |  CAST(COUNT(*) FILTER (WHERE from_change) AS BIGINT) AS n_changed
         |FROM final GROUP BY status ORDER BY status""".stripMargin,
+    // the FULL join — the incremental path must lose nothing
+    "q226_ivm_join" ->
+      """SELECT c_mktsegment, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the FULL apply-then-aggregate recompute (q129 semantics)
+    "q227_ivm_agg" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |ch AS (
+        |  SELECT o_orderkey AS k, o_orderkey % 7 AS seq, 'U' AS op,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 10
+        |      AS DECIMAL(18,2)) AS price,
+        |    o_orderpriority AS status
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderkey % 11, 'D', NULL, NULL
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY k ORDER BY seq DESC, op DESC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |final AS (
+        |  SELECT s.k, s.price, s.status
+        |  FROM snap s LEFT JOIN latest l ON s.k = l.k WHERE l.k IS NULL
+        |  UNION ALL
+        |  SELECT k, price, status FROM latest WHERE op <> 'D')
+        |SELECT status, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     // the same two evaluation strategies replayed: word bitmaps via
     // bit_or/bit_count, and the direct predicate count
     "q205_bitmap_index" ->
