@@ -130,9 +130,9 @@ object Bench {
       "q184_containment_dedup",
       // r11 batch 9: the within-order pair-count shuffle
       "q186_cooccurrence_topk",
-      // r12: the two ≥3 s additions — per-token md5 folds and the
-      // 4x-unpivoted encoding scan — join the tail
-      "q193_linear_classifier", "q201_encoding_stats")
+      // r12: the ≥3 s additions — per-token md5 folds, the 4x-unpivoted
+      // encoding scan, and the kNN-graph CC iterations — join the tail
+      "q193_linear_classifier", "q201_encoding_stats", "q228_knn_graph")
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (heavyLast.contains(name), name) }

@@ -458,6 +458,77 @@ object StatQueries {
         .orderBy("event_type", "arm")
     }),
 
+    // kNN-graph construction + sparsification (the graph-ANN pipeline
+    // step: build each node's top-k neighbor edges, then read the
+    // component structure): per-item top-3 co-purchase-cosine edges
+    // (the q220 scoring on a 1-in-5 part sample), symmetrized, fed to
+    // the pointer-jumping CC operator; published as the one-row graph
+    // summary (nodes, edges, components, giant-component size). The
+    // oracle recomputes CC with a recursive CTE over the same edges —
+    // an independent implementation of the reachability fixpoint.
+    "q228_knn_graph" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(5)) === 0)
+        .select("l_orderkey", "l_partkey").distinct()
+      val nParts = li.select("l_partkey").distinct()
+        .agg(count(lit(1)).as("n_parts"))
+      val deg = li.groupBy(col("l_partkey").as("item"))
+        .agg(count(lit(1)).as("d"))
+      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+          Seq("l_orderkey"))
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+      val scored = pairs
+        .join(deg.select(col("item").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("item").as("b"), col("d").as("db")), Seq("b"))
+        .withColumn("cos", col("c") /
+          (sqrt(col("da").cast(DoubleType)) * sqrt(col("db").cast(DoubleType))))
+      val w = Window.partitionBy("a").orderBy(desc("cos"), col("b"))
+      val topk = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3).select("a", "b")
+      val ue = topk.select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v")).distinct()
+      val verts = ue.select(col("u").as("id"))
+        .unionByName(ue.select(col("v").as("id"))).distinct()
+      val cc = graft.operators.ConnectedComponents.connectedComponents(
+        verts, ue.select(col("u").as("src"), col("v").as("dst")))
+      val sizes = cc.groupBy("comp").agg(count(lit(1)).as("sz"))
+      val summary = sizes.agg(count(lit(1)).as("n_components"),
+        coalesce(max("sz"), lit(0L)).as("max_comp_size"))
+      verts.agg(count(lit(1)).as("n_in_graph"))
+        .crossJoin(ue.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(broadcast(summary))
+        .crossJoin(broadcast(nParts))
+        .select(col("n_parts"), col("n_in_graph"), col("n_edges"),
+          col("n_components"), col("max_comp_size"))
+    }),
+
+    // Benford first-significant-digit audit (the classic books/fraud
+    // screen): cent amounts' leading digits counted per digit 1-9 with
+    // the adjacent non-increase flag — a Benford-distributed ledger
+    // descends monotonically (30.1%, 17.6%, ...); this synthetic
+    // near-uniform corpus legitimately does NOT, and the flags say so
+    // deterministically. Leading digit via integer-string head —
+    // BIGINT-to-string is identical in both engines; no logs anywhere.
+    "q229_benford_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "events")
+        .select(floor(col("value") * 100).cast(LongType).as("cents"))
+        .filter(col("cents") > 0)
+        .select(substring(col("cents").cast(StringType), 1, 1)
+          .cast(LongType).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("digit")
+      d.withColumn("next_n", lead("n", 1).over(w))
+        .select(col("digit"), col("n"),
+          (col("next_n").isNull || col("n") >= col("next_n"))
+            .as("ge_next"))
+        .orderBy("digit")
+    }),
+
     // Duplicate-transaction rule (the ops/fraud screen): two events by
     // the same user with the same cent amount within 6 hours flag as
     // suspected duplicates. One lag window over (user, cents) ordered
@@ -1201,6 +1272,64 @@ object StatQueries {
         |  25 * (n * sxy - sx * sy) * (n * sxy - sx * sy) >
         |    (n * sxx - sx * sx) * (n * syy - sy * sy) AS strong
         |FROM s ORDER BY 1, 2""".stripMargin,
+    // independent CC: recursive-CTE reachability over the same top-3
+    // edges (min-label = LEAST(node, min reachable) on both sides)
+    "q228_knn_graph" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 5 = 0),
+        |deg AS (
+        |  SELECT l_partkey AS item, COUNT(*)::BIGINT AS d
+        |  FROM li GROUP BY 1),
+        |p AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*)::BIGINT AS c
+        |  FROM li x JOIN li y USING (l_orderkey)
+        |  WHERE x.l_partkey <> y.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |s AS (
+        |  SELECT p.a, p.b,
+        |    p.c / (sqrt(CAST(da.d AS DOUBLE)) * sqrt(CAST(db.d AS DOUBLE)))
+        |      AS cos
+        |  FROM p JOIN deg da ON da.item = p.a JOIN deg db ON db.item = p.b),
+        |topk AS (
+        |  SELECT a, b FROM (
+        |    SELECT a, b, row_number() OVER
+        |      (PARTITION BY a ORDER BY cos DESC, b) AS rank
+        |    FROM s) WHERE rank <= 3),
+        |ue AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        |  FROM topk),
+        |edges AS (SELECT u AS s0, v AS d0 FROM ue
+        |  UNION SELECT v, u FROM ue),
+        |reach AS (
+        |  SELECT s0 AS a, d0 AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.d0 FROM reach r JOIN edges e ON r.b = e.s0
+        |  WHERE e.d0 != r.a),
+        |verts AS (SELECT DISTINCT s0 AS id FROM edges),
+        |mins AS (SELECT a, MIN(b) AS mn FROM reach GROUP BY a),
+        |comp AS (
+        |  SELECT v.id, LEAST(v.id, COALESCE(m.mn, v.id)) AS comp
+        |  FROM verts v LEFT JOIN mins m ON m.a = v.id),
+        |sizes AS (SELECT comp, COUNT(*)::BIGINT AS sz FROM comp GROUP BY 1)
+        |SELECT
+        |  (SELECT COUNT(DISTINCT l_partkey) FROM li)::BIGINT AS n_parts,
+        |  (SELECT COUNT(*) FROM verts)::BIGINT AS n_in_graph,
+        |  (SELECT COUNT(*) FROM ue)::BIGINT AS n_edges,
+        |  (SELECT COUNT(*) FROM sizes)::BIGINT AS n_components,
+        |  COALESCE((SELECT MAX(sz) FROM sizes), 0)::BIGINT
+        |    AS max_comp_size""".stripMargin,
+    // same integer-string leading digit, same adjacent flags
+    "q229_benford_audit" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(FLOOR(value * 100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    COUNT(*)::BIGINT AS n
+        |  FROM events WHERE CAST(FLOOR(value * 100) AS BIGINT) > 0
+        |  GROUP BY 1)
+        |SELECT digit, n,
+        |  (lead(n) OVER (ORDER BY digit) IS NULL OR
+        |   n >= lead(n) OVER (ORDER BY digit)) AS ge_next
+        |FROM d ORDER BY digit""".stripMargin,
     // same (user, cents) lag window, same 6-hour micros bound
     "q223_dup_transactions" ->
       """WITH e AS (
