@@ -458,6 +458,56 @@ object StatQueries {
         .orderBy("event_type", "arm")
     }),
 
+    // Simpson's-paradox guardrail (the metric-review check behind
+    // every A/B readout): the OVERALL conversion-rate difference
+    // between variants vs each segment's difference, all compared by
+    // cross-multiplication (xa·nb ≷ xb·na — no rate division ever),
+    // flagging segments whose sign DISAGREES with the aggregate.
+    // Variant = user parity, conversion = value > 50, segments =
+    // event_type. One counts pass + a segments-sized broadcast.
+    "q230_simpson_check" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        (pmod(col("user_id"), lit(2L)) === 0).as("va"),
+        (col("value") > 50.0).as("conv"))
+      def counts(g: DataFrame => org.apache.spark.sql.RelationalGroupedDataset,
+          df: DataFrame) = g(df)
+        .agg(count_if(col("va")).as("na"),
+          count_if(col("va") && col("conv")).as("xa"),
+          count_if(!col("va")).as("nb"),
+          count_if(!col("va") && col("conv")).as("xb"))
+      val seg = counts(_.groupBy("event_type"), e)
+      val overall = counts(_.groupBy(), e)
+        .select(col("na").as("ona"), col("xa").as("oxa"),
+          col("nb").as("onb"), col("xb").as("oxb"))
+      seg.crossJoin(broadcast(overall))
+        .select(col("event_type"), col("na"), col("xa"), col("nb"),
+          col("xb"),
+          (col("xa") * col("nb") > col("xb") * col("na")).as("seg_a_wins"),
+          (col("oxa") * col("onb") > col("oxb") * col("ona"))
+            .as("overall_a_wins"))
+        .withColumn("disagrees",
+          col("seg_a_wins") =!= col("overall_a_wins"))
+        .orderBy("event_type")
+    }),
+
+    // Source-freshness SLA audit (the data-ops staleness check every
+    // ingestion dashboard runs): each source's newest document
+    // high-watermark lag vs the corpus-wide high-watermark — here over
+    // the documents table keyed by max doc_id per source (the
+    // monotonic ingest cursor), flagged when a source trails the
+    // global cursor by more than 2% of its span. Pure integers; one
+    // partial-aggregatable max per source.
+    "q231_freshness_audit" -> ((s, dir) => {
+      val per = t(s, dir, "documents").groupBy("source")
+        .agg(max("doc_id").as("hw"), count(lit(1)).as("n_docs"))
+      val global = per.agg(max("hw").as("ghw"), min("hw").as("mhw"))
+      per.crossJoin(broadcast(global))
+        .select(col("source"), col("n_docs"), col("hw"), col("ghw"),
+          ((col("ghw") - col("hw")) * 50 > col("ghw") - col("mhw") + 1)
+            .as("stale"))
+        .orderBy("source")
+    }),
+
     // kNN-graph construction + sparsification (the graph-ANN pipeline
     // step: build each node's top-k neighbor edges, then read the
     // component structure): per-item top-3 co-purchase-cosine edges
@@ -1272,6 +1322,40 @@ object StatQueries {
         |  25 * (n * sxy - sx * sy) * (n * sxy - sx * sy) >
         |    (n * sxx - sx * sx) * (n * syy - sy * sy) AS strong
         |FROM s ORDER BY 1, 2""".stripMargin,
+    // same cross-multiplied rate comparisons, no division
+    "q230_simpson_check" ->
+      """WITH e AS (
+        |  SELECT event_type, (user_id % 2 = 0) AS va,
+        |    (value > 50.0) AS conv
+        |  FROM events),
+        |seg AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) FILTER (WHERE va) AS BIGINT) AS na,
+        |    CAST(COUNT(*) FILTER (WHERE va AND conv) AS BIGINT) AS xa,
+        |    CAST(COUNT(*) FILTER (WHERE NOT va) AS BIGINT) AS nb,
+        |    CAST(COUNT(*) FILTER (WHERE NOT va AND conv) AS BIGINT) AS xb
+        |  FROM e GROUP BY 1),
+        |o AS (
+        |  SELECT CAST(COUNT(*) FILTER (WHERE va) AS BIGINT) AS ona,
+        |    CAST(COUNT(*) FILTER (WHERE va AND conv) AS BIGINT) AS oxa,
+        |    CAST(COUNT(*) FILTER (WHERE NOT va) AS BIGINT) AS onb,
+        |    CAST(COUNT(*) FILTER (WHERE NOT va AND conv) AS BIGINT) AS oxb
+        |  FROM e)
+        |SELECT event_type, na, xa, nb, xb,
+        |  xa * nb > xb * na AS seg_a_wins,
+        |  oxa * onb > oxb * ona AS overall_a_wins,
+        |  (xa * nb > xb * na) <> (oxa * onb > oxb * ona) AS disagrees
+        |FROM seg, o ORDER BY event_type""".stripMargin,
+    // same integer high-watermark lag vs 2% of the cursor span
+    "q231_freshness_audit" ->
+      """WITH per AS (
+        |  SELECT source, CAST(MAX(doc_id) AS BIGINT) AS hw,
+        |    COUNT(*)::BIGINT AS n_docs
+        |  FROM documents GROUP BY 1),
+        |g AS (SELECT MAX(hw) AS ghw, MIN(hw) AS mhw FROM per)
+        |SELECT source, n_docs, hw, CAST(g.ghw AS BIGINT) AS ghw,
+        |  (g.ghw - hw) * 50 > g.ghw - g.mhw + 1 AS stale
+        |FROM per, g ORDER BY source""".stripMargin,
     // independent CC: recursive-CTE reachability over the same top-3
     // edges (min-label = LEAST(node, min reachable) on both sides)
     "q228_knn_graph" ->
