@@ -272,6 +272,28 @@ object RelationalQueries {
         .orderBy("gid", "status", "prio")
     }),
 
+    // Explicit GROUPING SETS (the irregular-subtotal form neither
+    // ROLLUP q24 nor CUBE q206 covers): exactly the three sets
+    // (status, priority), (status), () — skipping the (priority)-only
+    // set a full cube would add — in ONE shuffle, with grouping_id
+    // disambiguation. The reference's dashboard UNION fan-outs are
+    // this shape.
+    "q232_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("gs_orders")
+      s.sql(
+        """SELECT CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+          |    AS gid,
+          |  COALESCE(o_orderstatus, 'ALL') AS status,
+          |  COALESCE(o_orderpriority, 'ALL') AS prio,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM gs_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |  (o_orderstatus), ())
+          |ORDER BY gid, status, prio""".stripMargin)
+    }),
+
     // Pareto frontier — "cheapest-and-newest" orders: no other order is
     // both ≤ price and ≥ date (strict in one). The oracle runs the
     // textbook O(n²) NOT EXISTS self-join; the engine runs the grid-
@@ -460,6 +482,16 @@ object RelationalQueries {
       """SELECT o_orderkey % 100 AS sample_bucket, COUNT(*) AS n
         |FROM orders WHERE o_orderkey % 100 < 10
         |GROUP BY 1 ORDER BY sample_bucket""".stripMargin,
+    "q232_grouping_sets" ->
+      s"""SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+         |    AS gid,
+         |  COALESCE(o_orderstatus, 'ALL') AS status,
+         |  COALESCE(o_orderpriority, 'ALL') AS prio,
+         |  COUNT(*) AS n, ${dec.format("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+         |  (o_orderstatus), ())
+         |ORDER BY gid, status, prio""".stripMargin,
     "q206_cube" ->
       s"""SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
          |    AS gid,

@@ -415,6 +415,53 @@ object WindowQueries {
         .orderBy("event_type", "day")
     }),
 
+    // Week-over-week growth report: weekly counts per series (Monday
+    // week start — date_sub(day, weekday) ↔ date_trunc('week'), the
+    // engine-portable pair), lag comparison with cross-multiplied
+    // flags: grew ⇔ n > prev, grew_10pct ⇔ 10·n > 11·prev. The BI
+    // staple, integers end to end.
+    "q233_wow_growth" -> ((s, dir) => {
+      val weekly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("date_sub(to_date(ts), weekday(to_date(ts)))").as("week"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("week")
+      weekly
+        .withColumn("prev", lag("n", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"), col("week"), col("n"), col("prev"),
+          (col("n") > col("prev")).as("grew"),
+          (col("n") * 10 > col("prev") * 11).as("grew_10pct"))
+        .orderBy("event_type", "week")
+    }),
+
+    // Week-over-week audience overlap (retention's set-similarity
+    // form): the Jaccard of adjacent weeks' active-user sets, exactly —
+    // distinct (user, week) reduce, one self-join on user across
+    // adjacent weeks for the intersection, totals joined back; the
+    // J > 0.2 gate cross-multiplies (5·inter > union). At scale the
+    // per-user reduce partial-aggregates and the week pair space is
+    // tiny.
+    "q234_week_overlap" -> ((s, dir) => {
+      val uw = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("date_sub(to_date(ts), weekday(to_date(ts)))").as("week"))
+        .distinct()
+      val inter = uw.select(col("user_id"), col("week").as("w1"))
+        .join(uw.select(col("user_id"),
+          expr("date_sub(week, 7)").as("w1"), col("week").as("w2")),
+          Seq("user_id", "w1"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("inter"))
+      val totals = uw.groupBy("week").agg(count(lit(1)).as("n"))
+      inter
+        .join(totals.select(col("week").as("w1"), col("n").as("n1")), "w1")
+        .join(totals.select(col("week").as("w2"), col("n").as("n2")), "w2")
+        .select(col("w1"), col("w2"), col("n1"), col("n2"), col("inter"),
+          (col("inter") * 5 > col("n1") + col("n2") - col("inter"))
+            .as("sticky"))
+        .orderBy("w1")
+    }),
+
     // Calendar-dimension build + fact join: a generated 2024 date
     // spine with the derived attributes every warehouse calendar
     // carries — ISO week/year, quarter, ISO day-of-week, July-start
@@ -901,6 +948,37 @@ object WindowQueries {
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
         |WHERE trail_mean IS NOT NULL
         |ORDER BY event_type, day""".stripMargin,
+    // date_trunc('week') = Monday start, same integer flags
+    "q233_wow_growth" ->
+      """WITH weekly AS (
+        |  SELECT event_type,
+        |    CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+        |    COUNT(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, week, n,
+        |    lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev
+        |  FROM weekly)
+        |SELECT event_type, week, n, prev,
+        |  n > prev AS grew, n * 10 > prev * 11 AS grew_10pct
+        |FROM l WHERE prev IS NOT NULL
+        |ORDER BY event_type, week""".stripMargin,
+    // same distinct (user, week) reduce and adjacent-week self-join
+    "q234_week_overlap" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week
+        |  FROM events),
+        |i AS (
+        |  SELECT a.week AS w1, b.week AS w2, COUNT(*)::BIGINT AS inter
+        |  FROM uw a JOIN uw b ON a.user_id = b.user_id
+        |    AND b.week = a.week + INTERVAL 7 DAY
+        |  GROUP BY 1, 2),
+        |t AS (SELECT week, COUNT(*)::BIGINT AS n FROM uw GROUP BY 1)
+        |SELECT i.w1, CAST(i.w2 AS DATE) AS w2, t1.n AS n1, t2.n AS n2,
+        |  i.inter, i.inter * 5 > t1.n + t2.n - i.inter AS sticky
+        |FROM i JOIN t t1 ON t1.week = i.w1 JOIN t t2 ON t2.week = i.w2
+        |ORDER BY i.w1""".stripMargin,
     // same closed-form calendar arithmetic (week()=ISO, isodow()=1-Mon)
     "q217_calendar_dim" ->
       """WITH spine AS (
