@@ -208,6 +208,27 @@ object InfraQueries {
         .orderBy("status")
     }),
 
+    // Aggregate navigator (aggregate-awareness): the monthly question
+    // is answered from the MONTHLY rollup, which is itself derived
+    // from the DAILY rollup (never the fact table) — the two-level MV
+    // chain every BI semantic layer routes through. The published
+    // result carries the navigator's answer; the oracle recomputes
+    // from raw facts — proving the rollup chain loses nothing. Each
+    // level is a partial-aggregatable re-aggregation of the level
+    // below: the fact table is scanned exactly once.
+    "q235_agg_navigator" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast(LongType)).as("cents"))
+      val monthly = daily
+        .groupBy(col("event_type"), trunc(col("day"), "month").as("month"))
+        .agg(sum("n").as("n"), sum("cents").as("cents"))
+      monthly
+        .select(col("event_type"), col("month"), col("n"), col("cents"))
+        .orderBy("event_type", "month")
+    }),
+
     // Incremental JOIN-view maintenance (ΔV = ΔA⋈B for a static dim —
     // the base case of the bilinear Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB):
     // the materialized V_old and the delta-only join union into the
@@ -799,6 +820,13 @@ object InfraQueries {
         |  CAST(SUM(k) AS BIGINT) AS sum_key,
         |  CAST(COUNT(*) FILTER (WHERE from_change) AS BIGINT) AS n_changed
         |FROM final GROUP BY status ORDER BY status""".stripMargin,
+    // recomputed from RAW facts — the rollup chain must lose nothing
+    "q235_agg_navigator" ->
+      """SELECT event_type,
+        |  CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS month,
+        |  COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the FULL join — the incremental path must lose nothing
     "q226_ivm_join" ->
       """SELECT c_mktsegment, COUNT(*)::BIGINT AS n,
