@@ -61,7 +61,11 @@ object DumpPlans {
       "q193_linear_classifier" -> "zero-shuffle classifier: single projected scan, per-doc aggregate folds, no weight join",
       "q194_ks_gate" -> "one (arm, value) count shuffle; CDF window over DISTINCT values only",
       "q197_cumulative_distinct" -> "first-seen rewrite: user-level partial-agg groupBy + days-sized window",
-      "q198_asof_snapshot" -> "SCD2 windows + as-of filter ride ONE exchange by entity key")
+      "q198_asof_snapshot" -> "SCD2 windows + as-of filter ride ONE exchange by entity key",
+      "q226_ivm_join" -> "IVM: delta-join unions onto the maintained view; delta side touches |delta| rows",
+      "q227_ivm_agg" -> "IVM with retractions: changed-key semi-join probe; delta folds onto base agg",
+      "q205_bitmap_index" -> "bitmap build partial bit_or before exchange; word-equi AND join",
+      "q220_item_similarity" -> "within-order pair explode; degree equi-joins; no cartesian")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.tools.DumpPlans` at sf0.01; regenerate with\n")
