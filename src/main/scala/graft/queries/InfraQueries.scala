@@ -513,6 +513,30 @@ object InfraQueries {
         .orderBy("user_id", "version")
     }),
 
+    // Time-in-state from the SCD2 episodes (the dwell-time analytics a
+    // versioned dimension exists to answer): per segment, the total
+    // micros users spent in it — closed episodes contribute
+    // valid_to − valid_from, open episodes run to the corpus
+    // high-watermark. Pure integer micros on top of the q127 build's
+    // single entity-key exchange.
+    "q236_dwell_time" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        graft.functions.BqShims.epochMicros(col("ts")).as("tsm"),
+        col("event_id"), col("event_type").as("segment"))
+      val hw = ev.agg(max("tsm").as("hw"))
+      graft.operators.Scd2.build(ev, key = "user_id", attr = "segment",
+          ord = Seq("tsm", "event_id"))
+        .crossJoin(broadcast(hw))
+        .select(col("segment"),
+          (coalesce(col("valid_to"), col("hw")) - col("valid_from"))
+            .as("dwell"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_episodes"),
+          sum("dwell").as("total_dwell_us"),
+          max("dwell").as("max_dwell_us"))
+        .orderBy("segment")
+    }),
+
     // Time-travel (as-of) read on the q127 SCD2 dimension: the table
     // state at T = 2024-01-16T00:00:00Z is the episodes whose
     // [valid_from, valid_to) interval covers T — the standard
@@ -1023,6 +1047,30 @@ object InfraQueries {
         |FROM v
         |WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    // same episodes, open ones closed at the corpus high-watermark
+    "q236_dwell_time" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm, event_id,
+        |    event_type AS segment
+        |  FROM events),
+        |hw AS (SELECT MAX(tsm) AS hw FROM e),
+        |c AS (
+        |  SELECT *, lag(segment) OVER
+        |    (PARTITION BY user_id ORDER BY tsm, event_id) AS prev
+        |  FROM e),
+        |v AS (SELECT user_id, segment, tsm, event_id FROM c
+        |      WHERE prev IS NULL OR prev <> segment),
+        |scd AS (
+        |  SELECT user_id, segment, tsm AS valid_from,
+        |    lead(tsm) OVER (PARTITION BY user_id ORDER BY tsm, event_id)
+        |      AS valid_to
+        |  FROM v)
+        |SELECT segment, COUNT(*)::BIGINT AS n_episodes,
+        |  CAST(SUM(COALESCE(valid_to, hw.hw) - valid_from) AS BIGINT)
+        |    AS total_dwell_us,
+        |  CAST(MAX(COALESCE(valid_to, hw.hw) - valid_from) AS BIGINT)
+        |    AS max_dwell_us
+        |FROM scd, hw GROUP BY 1 ORDER BY 1""".stripMargin,
     // q127's episode build + the covering-interval filter at T
     "q198_asof_snapshot" ->
       """WITH e AS (

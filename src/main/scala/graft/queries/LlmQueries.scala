@@ -1045,6 +1045,25 @@ object LlmQueries {
         .orderBy("w1", "w2")
     }),
 
+    // Cross-source content leakage report (corpus governance: the same
+    // text appearing under multiple sources means licensing/provenance
+    // review, and dedup-by-source quotas silently double-count it):
+    // exact content keys grouped, keys spanning >1 source counted with
+    // the docs involved. One digest group-by — the q70 exact-dedup
+    // shuffle with a provenance lens.
+    "q237_cross_source_leakage" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents")
+        .select(md5(lower(col("text"))).as("k"), col("source"))
+      val perKey = keyed.groupBy("k")
+        .agg(count_distinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"))
+      perKey.agg(count(lit(1)).as("n_keys"),
+          count_if(col("n_sources") > 1).as("n_leaked_keys"),
+          coalesce(sum(when(col("n_sources") > 1, col("n_docs"))), lit(0L))
+            .as("n_docs_involved"),
+          coalesce(max(col("n_sources")), lit(0L)).as("max_sources"))
+    }),
+
     // Distinctive terms per source, c-TF-IDF style (the BERTopic
     // class-based TF-IDF topic-labeling step): each source's terms
     // rank by tf_in_source / corpus_tf — the lift of the term inside
@@ -2118,6 +2137,20 @@ object LlmQueries {
         |UNION ALL SELECT 3, 'quality', (SELECT COUNT(*) FROM s3)
         |UNION ALL SELECT 4, 'exact_dedup', (SELECT COUNT(*) FROM s4)
         |ORDER BY stage_idx""".stripMargin,
+    // same md5 content keys, same provenance rollup
+    "q237_cross_source_leakage" ->
+      """WITH k AS (
+        |  SELECT md5(lower(text)) AS k,
+        |    COUNT(DISTINCT source)::BIGINT AS n_sources,
+        |    COUNT(*)::BIGINT AS n_docs
+        |  FROM documents GROUP BY 1)
+        |SELECT COUNT(*)::BIGINT AS n_keys,
+        |  CAST(COUNT(*) FILTER (WHERE n_sources > 1) AS BIGINT)
+        |    AS n_leaked_keys,
+        |  CAST(COALESCE(SUM(n_docs) FILTER (WHERE n_sources > 1), 0)
+        |    AS BIGINT) AS n_docs_involved,
+        |  CAST(COALESCE(MAX(n_sources), 0) AS BIGINT) AS max_sources
+        |FROM k""".stripMargin,
     // same counts, same IEEE ratio, same (lift DESC, tok) rank
     "q225_distinctive_terms" ->
       """WITH toks AS (
