@@ -1045,6 +1045,32 @@ object LlmQueries {
         .orderBy("w1", "w2")
     }),
 
+    // Training-shard label-balance audit: embeddings land on 8 md5
+    // shards (the q88 deterministic export key) and each shard's label
+    // distribution is gated against the global one with the q150
+    // integer-exact TVD (cross-multiplied, scaled by shard_n·total_n).
+    // A skewed shard starves a training job of a class; the gate says
+    // which shard and by how much, no floats anywhere.
+    "q238_shard_balance" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(
+        pmod(graft.functions.BqShims.md5Bucket(col("vec_id")), lit(8L))
+          .as("shard"),
+        col("label"))
+      val cell = e.groupBy("shard", "label").agg(count(lit(1)).as("c"))
+      val shardN = e.groupBy("shard").agg(count(lit(1)).as("sn"))
+      val labelN = e.groupBy("label").agg(count(lit(1)).as("ln"))
+      val totalN = e.agg(count(lit(1)).as("tn"))
+      cell.join(shardN, "shard").join(labelN, "label")
+        .crossJoin(broadcast(totalN))
+        .groupBy(col("shard"), col("sn"), col("tn"))
+        .agg(sum(abs(col("c") * col("tn") - col("ln") * col("sn")))
+          .as("tvd_scaled"))
+        .select(col("shard"), col("sn").as("n_rows"), col("tvd_scaled"),
+          (col("tvd_scaled") * 10 > col("sn") * col("tn") * 2)
+            .as("imbalanced"))
+        .orderBy("shard")
+    }),
+
     // Cross-source content leakage report (corpus governance: the same
     // text appearing under multiple sources means licensing/provenance
     // review, and dedup-by-source quotas silently double-count it):
@@ -2137,6 +2163,25 @@ object LlmQueries {
         |UNION ALL SELECT 3, 'quality', (SELECT COUNT(*) FROM s3)
         |UNION ALL SELECT 4, 'exact_dedup', (SELECT COUNT(*) FROM s4)
         |ORDER BY stage_idx""".stripMargin,
+    // same md5 shard key, same scaled integer TVD per shard
+    "q238_shard_balance" ->
+      """WITH e AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 8 AS shard, label
+        |  FROM embeddings),
+        |cell AS (SELECT shard, label, COUNT(*)::BIGINT AS c
+        |  FROM e GROUP BY 1, 2),
+        |sn AS (SELECT shard, COUNT(*)::BIGINT AS sn FROM e GROUP BY 1),
+        |ln AS (SELECT label, COUNT(*)::BIGINT AS ln FROM e GROUP BY 1),
+        |tn AS (SELECT COUNT(*)::BIGINT AS tn FROM e)
+        |SELECT cell.shard, sn.sn AS n_rows,
+        |  CAST(SUM(ABS(cell.c * tn.tn - ln.ln * sn.sn)) AS BIGINT)
+        |    AS tvd_scaled,
+        |  SUM(ABS(cell.c * tn.tn - ln.ln * sn.sn)) * 10 >
+        |    sn.sn * tn.tn * 2 AS imbalanced
+        |FROM cell
+        |JOIN sn USING (shard) JOIN ln USING (label), tn
+        |GROUP BY 1, 2, tn.tn ORDER BY 1""".stripMargin,
     // same md5 content keys, same provenance rollup
     "q237_cross_source_leakage" ->
       """WITH k AS (

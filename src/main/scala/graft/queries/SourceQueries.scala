@@ -300,6 +300,40 @@ object SourceQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // Schema-contract diff between two parquet generations (the
+    // registry check a schema-evolution gate runs BEFORE q203's merged
+    // read): real footer metadata from both generations, diffed
+    // column-by-column into added/removed/kept rows with types — the
+    // "what changed" report a data contract reviews. Metadata-only:
+    // reads two footers, never a row.
+    "q239_schema_contract" -> ((s, dir) => {
+      val path = tmpDir("graft_contract")
+      val o = t(s, dir, "orders").limit(10)
+      val gen1 = o.select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("legacy"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val gen2 = o.select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+        col("o_orderstatus").as("status"))
+      gen1.write.mode(SaveMode.Overwrite).parquet(s"$path/g1")
+      gen2.write.mode(SaveMode.Overwrite).parquet(s"$path/g2")
+      val s1 = s.read.parquet(s"$path/g1").schema
+      val s2 = s.read.parquet(s"$path/g2").schema
+      val m1 = s1.fields.map(f => f.name -> f.dataType.simpleString).toMap
+      val m2 = s2.fields.map(f => f.name -> f.dataType.simpleString).toMap
+      val rows = (m1.keySet ++ m2.keySet).toSeq.sorted.map { c =>
+        val change =
+          if (!m1.contains(c)) "added"
+          else if (!m2.contains(c)) "removed"
+          else if (m1(c) != m2(c)) "retyped"
+          else "kept"
+        (c, m1.getOrElse(c, null), m2.getOrElse(c, null), change)
+      }
+      import s.implicits._
+      rows.toDF("column", "gen1_type", "gen2_type", "change")
+        .orderBy("column")
+    }),
+
     // Dictionary normalization round trip (string interning as a table
     // rewrite): the low-cardinality o_orderpriority column extracts
     // into a dimension (distinct values, dense ids by sort order), the
@@ -809,6 +843,15 @@ object SourceQueries {
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q97_tsv_gz" ->
       "SELECT CAST(n_nationkey AS BIGINT) AS key, n_name AS name FROM nation ORDER BY key",
+    // the fixture is constructed, so the expected diff is literal
+    "q239_schema_contract" ->
+      """SELECT * FROM (VALUES
+        |  ('k', 'bigint', 'bigint', 'kept'),
+        |  ('legacy', 'string', CAST(NULL AS VARCHAR), 'removed'),
+        |  ('price', 'decimal(18,2)', 'decimal(18,2)', 'kept'),
+        |  ('status', CAST(NULL AS VARCHAR), 'string', 'added'))
+        |  AS t("column", gen1_type, gen2_type, change)
+        |ORDER BY "column"""".stripMargin,
     // the round trip is the identity on (prio, n, total); size columns
     // recomputed directly
     "q212_dictionary_normalize" ->
