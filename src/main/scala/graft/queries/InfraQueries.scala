@@ -208,6 +208,26 @@ object InfraQueries {
         .orderBy("status")
     }),
 
+    // Hierarchy flattening by pointer doubling: a binary tree over the
+    // order keys (parent(k) = max(k div 2, 1), root 1 — depth ≈ log2 N,
+    // ~17 levels at sf0.1) flattened to (root, depth) in 5 doubling
+    // rounds (2^5 = 32 ≥ max depth) — each round ONE |V| self-join, no
+    // per-level frontier. The oracle needs NO recursion at all: for
+    // this parent function depth(k) = bitlength(k) − 1 EXACTLY, so the
+    // engine's log-round join ladder is checked against a closed form
+    // — about as independent as two implementations get. Published as
+    // the per-depth census + identity checksum.
+    "q240_hierarchy_flatten" -> ((s, dir) => {
+      val nodes = t(s, dir, "orders")
+        .select((col("o_orderkey") + 1).as("id")) // keys start at 0; ids ≥ 1
+        .withColumn("parent", greatest(expr("id div 2"), lit(1L)))
+      graft.operators.Hierarchy.flatten(nodes, rounds = 5)
+        .groupBy("depth")
+        .agg(count(lit(1)).as("n"), sum("id").as("id_sum"),
+          count_if(col("root") =!= 1).as("n_bad_root"))
+        .orderBy("depth")
+    }),
+
     // Aggregate navigator (aggregate-awareness): the monthly question
     // is answered from the MONTHLY rollup, which is itself derived
     // from the DAILY rollup (never the fact table) — the two-level MV
@@ -844,6 +864,13 @@ object InfraQueries {
         |  CAST(SUM(k) AS BIGINT) AS sum_key,
         |  CAST(COUNT(*) FILTER (WHERE from_change) AS BIGINT) AS n_changed
         |FROM final GROUP BY status ORDER BY status""".stripMargin,
+    // closed form: depth(k) = bitlength(k) − 1 for parent = k div 2
+    "q240_hierarchy_flatten" ->
+      """SELECT CAST(length(bin(o_orderkey + 1)) - 1 AS BIGINT) AS depth,
+        |  COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(o_orderkey + 1) AS BIGINT) AS id_sum,
+        |  CAST(0 AS BIGINT) AS n_bad_root
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // recomputed from RAW facts — the rollup chain must lose nothing
     "q235_agg_navigator" ->
       """SELECT event_type,
