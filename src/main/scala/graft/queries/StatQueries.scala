@@ -458,6 +458,31 @@ object StatQueries {
         .orderBy("event_type", "arm")
     }),
 
+    // Inter-event latency SLO report: per event_type, exact
+    // p50/p95/p99 of the micros gap between a user's consecutive
+    // events of that type — one lag window riding the (user, type)
+    // exchange, then the q60 exact interpolated percentile (both
+    // engines hash-match it bit-for-bit). The "is the feed healthy"
+    // latency panel, exact instead of t-digest.
+    "q241_latency_slo" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("tsm", "event_id")
+      val gaps = t(s, dir, "events").select(col("user_id"),
+          col("event_type"),
+          graft.functions.BqShims.epochMicros(col("ts")).as("tsm"),
+          col("event_id"))
+        .withColumn("gap",
+          (col("tsm") - lag("tsm", 1).over(w)).cast(DoubleType))
+        .filter(col("gap").isNotNull)
+      gaps.groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          Stats.groupPercentile(col("gap"), 0.5).as("p50_us"),
+          Stats.groupPercentile(col("gap"), 0.95).as("p95_us"),
+          Stats.groupPercentile(col("gap"), 0.99).as("p99_us"))
+        .orderBy("event_type")
+    }),
+
     // Simpson's-paradox guardrail (the metric-review check behind
     // every A/B readout): the OVERALL conversion-rate difference
     // between variants vs each segment's difference, all compared by
@@ -1322,6 +1347,37 @@ object StatQueries {
         |  25 * (n * sxy - sx * sy) * (n * sxy - sx * sy) >
         |    (n * sxx - sx * sx) * (n * syy - sy * sy) AS strong
         |FROM s ORDER BY 1, 2""".stripMargin,
+    // same per-(user, type) gaps, same q60 interpolation formula
+    "q241_latency_slo" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tsm, event_id
+        |  FROM events),
+        |gp AS (
+        |  SELECT event_type,
+        |    CAST(tsm - lag(tsm) OVER
+        |      (PARTITION BY user_id, event_type ORDER BY tsm, event_id)
+        |      AS DOUBLE) AS gap
+        |  FROM e),
+        |g AS (
+        |  SELECT event_type, list_sort(list(gap)) AS v, COUNT(*) AS n
+        |  FROM gp WHERE gap IS NOT NULL GROUP BY 1),
+        |i AS (
+        |  SELECT event_type, v, n,
+        |    CAST(0.5 AS DOUBLE) * (n - 1) AS i50,
+        |    CAST(0.95 AS DOUBLE) * (n - 1) AS i95,
+        |    CAST(0.99 AS DOUBLE) * (n - 1) AS i99
+        |  FROM g)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+        |  v[CAST(FLOOR(i50) AS INTEGER) + 1] +
+        |    (v[CAST(CEIL(i50) AS INTEGER) + 1] -
+        |     v[CAST(FLOOR(i50) AS INTEGER) + 1]) * (i50 - FLOOR(i50)) AS p50_us,
+        |  v[CAST(FLOOR(i95) AS INTEGER) + 1] +
+        |    (v[CAST(CEIL(i95) AS INTEGER) + 1] -
+        |     v[CAST(FLOOR(i95) AS INTEGER) + 1]) * (i95 - FLOOR(i95)) AS p95_us,
+        |  v[CAST(FLOOR(i99) AS INTEGER) + 1] +
+        |    (v[CAST(CEIL(i99) AS INTEGER) + 1] -
+        |     v[CAST(FLOOR(i99) AS INTEGER) + 1]) * (i99 - FLOOR(i99)) AS p99_us
+        |FROM i ORDER BY event_type""".stripMargin,
     // same cross-multiplied rate comparisons, no division
     "q230_simpson_check" ->
       """WITH e AS (
