@@ -458,6 +458,39 @@ object StatQueries {
         .orderBy("event_type", "arm")
     }),
 
+    // Pareto concentration report ("how many parts make 80% of
+    // revenue"): parts ranked by exact decimal revenue, the 80% point
+    // found by cross-multiplied cumulative comparison (5·cum ≥
+    // 4·total), plus the top-decile-share>50% gate — all integer/
+    // decimal, no ratios. The rank window runs over the PARTS-sized
+    // aggregate, never the fact table.
+    "q243_pareto_concentration" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = DecimalType(28, 2)
+      val per = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast(dec)).as("rev"))
+      val w = Window.orderBy(desc("rev"), col("l_partkey"))
+      val ranked = per
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cum", sum("rev").over(
+          Window.orderBy(desc("rev"), col("l_partkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = per.agg(sum("rev").as("total"), count(lit(1)).as("n_parts"))
+      ranked.crossJoin(broadcast(tot))
+        .agg(max("n_parts").as("n_parts"),
+          min(when(col("cum") * 5 >= col("total") * 4, col("rn")))
+            .as("n_for_80pct"),
+          max(when(col("rn") * 10 <= col("n_parts"), col("cum"))
+            .otherwise(lit(0).cast(dec))).as("top_decile_rev"),
+          max("total").cast(DoubleType).as("total_rev"))
+        .select(col("n_parts"), col("n_for_80pct"),
+          (col("n_for_80pct") * 5 < col("n_parts")).as("concentrated"),
+          (col("top_decile_rev") * 2 >
+            col("total_rev").cast(DecimalType(28, 2))).as("decile_majority"),
+          col("total_rev"))
+    }),
+
     // Inter-event latency SLO report: per event_type, exact
     // p50/p95/p99 of the micros gap between a user's consecutive
     // events of that type — one lag window riding the (user, type)
@@ -1347,6 +1380,29 @@ object StatQueries {
         |  25 * (n * sxy - sx * sy) * (n * sxy - sx * sy) >
         |    (n * sxx - sx * sx) * (n * syy - sy * sy) AS strong
         |FROM s ORDER BY 1, 2""".stripMargin,
+    // same decimal ranking, same cross-multiplied 80% / decile gates
+    "q243_pareto_concentration" ->
+      """WITH per AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT l_partkey, rev,
+        |    row_number() OVER (ORDER BY rev DESC, l_partkey) AS rn,
+        |    SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM per),
+        |t AS (SELECT SUM(rev) AS total, COUNT(*)::BIGINT AS n_parts FROM per)
+        |SELECT t.n_parts,
+        |  CAST(MIN(CASE WHEN r.cum * 5 >= t.total * 4 THEN r.rn END)
+        |    AS BIGINT) AS n_for_80pct,
+        |  MIN(CASE WHEN r.cum * 5 >= t.total * 4 THEN r.rn END) * 5 <
+        |    t.n_parts AS concentrated,
+        |  MAX(CASE WHEN r.rn * 10 <= t.n_parts THEN r.cum
+        |    ELSE CAST(0 AS DECIMAL(28,2)) END) * 2 > t.total
+        |    AS decile_majority,
+        |  CAST(t.total AS DOUBLE) AS total_rev
+        |FROM r, t GROUP BY t.n_parts, t.total""".stripMargin,
     // same per-(user, type) gaps, same q60 interpolation formula
     "q241_latency_slo" ->
       """WITH e AS (

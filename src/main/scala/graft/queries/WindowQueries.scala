@@ -415,6 +415,33 @@ object WindowQueries {
         .orderBy("event_type", "day")
     }),
 
+    // Weekend-effect report: per series, weekday vs weekend DAILY-MEAN
+    // comparison without a single division — the means cross-multiply
+    // (sum_we·days_wd ≷ sum_wd·days_we), and the ±10% band flags are
+    // scaled the same way. ISO weekday() (0=Mon) makes the weekend
+    // test engine-portable. One daily rollup + a 2-way conditional
+    // aggregate.
+    "q242_weekend_effect" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("is_we", expr("weekday(day) >= 5"))
+      daily.groupBy("event_type")
+        .agg(count_if(!col("is_we")).as("d_wd"),
+          sum(when(!col("is_we"), col("n")).otherwise(0L)).as("s_wd"),
+          count_if(col("is_we")).as("d_we"),
+          sum(when(col("is_we"), col("n")).otherwise(0L)).as("s_we"))
+        .select(col("event_type"), col("d_wd"), col("s_wd"), col("d_we"),
+          col("s_we"),
+          (col("s_we") * col("d_wd") > col("s_wd") * col("d_we"))
+            .as("weekend_higher"),
+          (col("s_we") * col("d_wd") * 10 >
+            col("s_wd") * col("d_we") * 11 ||
+           col("s_we") * col("d_wd") * 10 <
+            col("s_wd") * col("d_we") * 9).as("effect_gt_10pct"))
+        .orderBy("event_type")
+    }),
+
     // Week-over-week growth report: weekly counts per series (Monday
     // week start — date_sub(day, weekday) ↔ date_trunc('week'), the
     // engine-portable pair), lag comparison with cross-multiplied
@@ -948,6 +975,31 @@ object WindowQueries {
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
         |WHERE trail_mean IS NOT NULL
         |ORDER BY event_type, day""".stripMargin,
+    // isodow>=6 ⇔ weekday()>=5; same cross-multiplied mean comparison
+    "q242_weekend_effect" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS n,
+        |    isodow(CAST(ts AS DATE)) >= 6 AS is_we
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(COUNT(*) FILTER (WHERE NOT is_we) AS BIGINT) AS d_wd,
+        |  CAST(COALESCE(SUM(n) FILTER (WHERE NOT is_we), 0) AS BIGINT)
+        |    AS s_wd,
+        |  CAST(COUNT(*) FILTER (WHERE is_we) AS BIGINT) AS d_we,
+        |  CAST(COALESCE(SUM(n) FILTER (WHERE is_we), 0) AS BIGINT) AS s_we,
+        |  COALESCE(SUM(n) FILTER (WHERE is_we), 0) *
+        |    COUNT(*) FILTER (WHERE NOT is_we) >
+        |  COALESCE(SUM(n) FILTER (WHERE NOT is_we), 0) *
+        |    COUNT(*) FILTER (WHERE is_we) AS weekend_higher,
+        |  (COALESCE(SUM(n) FILTER (WHERE is_we), 0) *
+        |     COUNT(*) FILTER (WHERE NOT is_we) * 10 >
+        |   COALESCE(SUM(n) FILTER (WHERE NOT is_we), 0) *
+        |     COUNT(*) FILTER (WHERE is_we) * 11) OR
+        |  (COALESCE(SUM(n) FILTER (WHERE is_we), 0) *
+        |     COUNT(*) FILTER (WHERE NOT is_we) * 10 <
+        |   COALESCE(SUM(n) FILTER (WHERE NOT is_we), 0) *
+        |     COUNT(*) FILTER (WHERE is_we) * 9) AS effect_gt_10pct
+        |FROM daily GROUP BY 1 ORDER BY 1""".stripMargin,
     // date_trunc('week') = Monday start, same integer flags
     "q233_wow_growth" ->
       """WITH weekly AS (
