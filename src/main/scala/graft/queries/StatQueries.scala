@@ -458,6 +458,52 @@ object StatQueries {
         .orderBy("event_type", "arm")
     }),
 
+    // Ship-SLA attainment: per order priority, the share of orders
+    // whose FIRST lineitem ship date lands within 7 days of the order
+    // date — min-aggregate the lineitems once, one key join, integer
+    // date arithmetic, attainment gated cross-multiplied at 50%.
+    // The cross-table temporal SLA every fulfillment dashboard runs.
+    "q244_ship_sla" -> ((s, dir) => {
+      val firstShip = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(min(to_date(col("l_shipdate"))).as("first_ship"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          col("o_orderpriority").as("prio"),
+          to_date(col("o_orderdate")).as("odate"))
+        .join(firstShip, Seq("k"), "left")
+        .withColumn("within_sla", col("first_ship").isNotNull &&
+          datediff(col("first_ship"), col("odate")) <= 7)
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n_orders"),
+          count_if(col("first_ship").isNull).as("n_unshipped"),
+          count_if(col("within_sla")).as("n_within"))
+        .withColumn("attain_ge_50pct",
+          col("n_within") * 2 >= col("n_orders"))
+        .orderBy("prio")
+    }),
+
+    // Overdispersion screen on basket sizes (the count-data model
+    // check before assuming Poisson): per order, the lineitem count;
+    // per priority, variance-vs-mean compared WITHOUT division —
+    // biased var > mean ⇔ n·Σx² − (Σx)² > n·Σx, pure integers. An
+    // overdispersed panel says negative-binomial, not Poisson; the
+    // verdict is deterministic either way.
+    "q245_overdispersion" -> ((s, dir) => {
+      val sizes = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("x"))
+        .join(t(s, dir, "orders").select(col("o_orderkey").as("k"),
+          col("o_orderpriority").as("prio")), Seq("k"))
+      sizes.groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("prio"), col("n"), col("sx"), col("sxx"),
+          (col("n") * col("sxx") - col("sx") * col("sx") >
+            col("n") * col("sx")).as("overdispersed"))
+        .orderBy("prio")
+    }),
+
     // Pareto concentration report ("how many parts make 80% of
     // revenue"): parts ranked by exact decimal revenue, the 80% point
     // found by cross-multiplied cumulative comparison (5·cum ≥
@@ -1380,6 +1426,35 @@ object StatQueries {
         |  25 * (n * sxy - sx * sy) * (n * sxy - sx * sy) >
         |    (n * sxx - sx * sx) * (n * syy - sy * sy) AS strong
         |FROM s ORDER BY 1, 2""".stripMargin,
+    // same first-ship min, same integer date SLA
+    "q244_ship_sla" ->
+      """WITH fs AS (
+        |  SELECT l_orderkey AS k, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderpriority AS prio, COUNT(*)::BIGINT AS n_orders,
+        |  CAST(COUNT(*) FILTER (WHERE first_ship IS NULL) AS BIGINT)
+        |    AS n_unshipped,
+        |  CAST(COUNT(*) FILTER (WHERE first_ship IS NOT NULL AND
+        |    date_diff('day', CAST(o_orderdate AS DATE), first_ship) <= 7)
+        |    AS BIGINT) AS n_within,
+        |  COUNT(*) FILTER (WHERE first_ship IS NOT NULL AND
+        |    date_diff('day', CAST(o_orderdate AS DATE), first_ship) <= 7)
+        |    * 2 >= COUNT(*) AS attain_ge_50pct
+        |FROM orders LEFT JOIN fs ON o_orderkey = fs.k
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same integer variance-vs-mean cross-multiplication
+    "q245_overdispersion" ->
+      """WITH sizes AS (
+        |  SELECT l_orderkey AS k, COUNT(*)::BIGINT AS x
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT o_orderpriority AS prio, x
+        |  FROM sizes JOIN orders ON o_orderkey = k)
+        |SELECT prio, COUNT(*)::BIGINT AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |  CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |  COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) > COUNT(*) * SUM(x)
+        |    AS overdispersed
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // same decimal ranking, same cross-multiplied 80% / decile gates
     "q243_pareto_concentration" ->
       """WITH per AS (
