@@ -458,6 +458,63 @@ object StatQueries {
         .orderBy("event_type", "arm")
     }),
 
+    // Revenue mix-shift report between two halves of the order history
+    // (the "why did the average move" first question): each segment's
+    // revenue share in H1 vs H2 compared by cross-multiplication
+    // (s1·T2 ≷ s2·T1 — no share division), with a ±10% relative-shift
+    // flag scaled the same way. Decimal-exact revenue; halves split on
+    // the order-date median year-month boundary (fixed constant).
+    "q246_mix_shift" -> ((s, dir) => {
+      val dec = DecimalType(28, 2)
+      val o = t(s, dir, "orders").select(
+        col("o_orderpriority").as("segment"),
+        (to_date(col("o_orderdate")) < lit("1995-01-01")).as("h1"),
+        col("o_totalprice").cast(dec).as("rev"))
+      val seg = o.groupBy("segment")
+        .agg(sum(when(col("h1"), col("rev")).otherwise(lit(0).cast(dec)))
+          .as("s1"),
+          sum(when(!col("h1"), col("rev")).otherwise(lit(0).cast(dec)))
+          .as("s2"))
+      val tot = seg.agg(sum("s1").as("t1"), sum("s2").as("t2"))
+      seg.crossJoin(broadcast(tot))
+        .select(col("segment"),
+          col("s1").cast(DoubleType).as("rev_h1"),
+          col("s2").cast(DoubleType).as("rev_h2"),
+          (col("s2") * col("t1") > col("s1") * col("t2"))
+            .as("share_grew"),
+          (col("s2") * col("t1") * 10 > col("s1") * col("t2") * 11 ||
+           col("s2") * col("t1") * 10 < col("s1") * col("t2") * 9)
+            .as("shift_gt_10pct"))
+        .orderBy("segment")
+    }),
+
+    // Markov next-event baseline accuracy (the eval-harness sanity
+    // check before any sequence model ships): from each event type's
+    // empirical argmax successor (count DESC, type ASC — the q175
+    // transition counts), the accuracy of always predicting it,
+    // measured on the same transitions — correct/total as integers.
+    // One lag window + two aggregates; publishes the per-state
+    // majority baseline every fancier model must beat.
+    "q247_markov_baseline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+      val trans = t(s, dir, "events").select(col("user_id"),
+          graft.functions.BqShims.epochMicros(col("ts")).as("tsm"),
+          col("event_id"), col("event_type").as("cur"))
+        .withColumn("nxt", lead("cur", 1).over(w))
+        .filter(col("nxt").isNotNull)
+      val counts = trans.groupBy("cur", "nxt").agg(count(lit(1)).as("c"))
+      val wArg = Window.partitionBy("cur").orderBy(desc("c"), col("nxt"))
+      val argmax = counts.withColumn("rk", row_number().over(wArg))
+        .filter(col("rk") === 1)
+        .select(col("cur"), col("nxt").as("pred"), col("c").as("n_correct"))
+      val totals = counts.groupBy("cur").agg(sum("c").as("n_total"))
+      argmax.join(totals, "cur")
+        .select(col("cur"), col("pred"), col("n_correct"), col("n_total"),
+          (col("n_correct") * 5 > col("n_total")).as("beats_uniform"))
+        .orderBy("cur")
+    }),
+
     // Ship-SLA attainment: per order priority, the share of orders
     // whose FIRST lineitem ship date lands within 7 days of the order
     // date — min-aggregate the lineitems once, one key join, integer
@@ -1426,6 +1483,51 @@ object StatQueries {
         |  25 * (n * sxy - sx * sy) * (n * sxy - sx * sy) >
         |    (n * sxx - sx * sx) * (n * syy - sy * sy) AS strong
         |FROM s ORDER BY 1, 2""".stripMargin,
+    // same halves, same cross-multiplied share signs
+    "q246_mix_shift" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS segment,
+        |    CAST(o_orderdate AS DATE) < DATE '1995-01-01' AS h1,
+        |    CAST(o_totalprice AS DECIMAL(28,2)) AS rev
+        |  FROM orders),
+        |seg AS (
+        |  SELECT segment,
+        |    COALESCE(SUM(rev) FILTER (WHERE h1),
+        |      CAST(0 AS DECIMAL(28,2))) AS s1,
+        |    COALESCE(SUM(rev) FILTER (WHERE NOT h1),
+        |      CAST(0 AS DECIMAL(28,2))) AS s2
+        |  FROM o GROUP BY 1),
+        |t AS (SELECT SUM(s1) AS t1, SUM(s2) AS t2 FROM seg)
+        |SELECT segment, CAST(s1 AS DOUBLE) AS rev_h1,
+        |  CAST(s2 AS DOUBLE) AS rev_h2,
+        |  s2 * t.t1 > s1 * t.t2 AS share_grew,
+        |  (s2 * t.t1 * 10 > s1 * t.t2 * 11) OR
+        |  (s2 * t.t1 * 10 < s1 * t.t2 * 9) AS shift_gt_10pct
+        |FROM seg, t ORDER BY segment""".stripMargin,
+    // same lag transitions, same (count DESC, type) argmax
+    "q247_markov_baseline" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm, event_id,
+        |    event_type AS cur
+        |  FROM events),
+        |tr AS (
+        |  SELECT cur, lead(cur) OVER
+        |    (PARTITION BY user_id ORDER BY tsm, event_id) AS nxt
+        |  FROM e),
+        |c AS (
+        |  SELECT cur, nxt, COUNT(*)::BIGINT AS c
+        |  FROM tr WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |am AS (
+        |  SELECT cur, nxt AS pred, c AS n_correct FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY cur ORDER BY c DESC, nxt) AS rk
+        |    FROM c) WHERE rk = 1),
+        |tot AS (SELECT cur, CAST(SUM(c) AS BIGINT) AS n_total
+        |  FROM c GROUP BY 1)
+        |SELECT am.cur, pred, n_correct, n_total,
+        |  n_correct * 5 > n_total AS beats_uniform
+        |FROM am JOIN tot ON am.cur = tot.cur
+        |ORDER BY am.cur""".stripMargin,
     // same first-ship min, same integer date SLA
     "q244_ship_sla" ->
       """WITH fs AS (
