@@ -458,6 +458,50 @@ object StatQueries {
         .orderBy("event_type", "arm")
     }),
 
+    // Repeat-purchase cadence: exact p25/p50/p75 of the days between a
+    // customer's consecutive orders (the retention-cadence metric
+    // behind replenishment campaigns) — one lag window riding the
+    // customer exchange, then the q60 exact interpolated percentile.
+    // Integer day gaps in, bit-identical doubles out.
+    "q248_repeat_cadence" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c").orderBy("odate", "k")
+      val gaps = t(s, dir, "orders").select(col("o_custkey").as("c"),
+          to_date(col("o_orderdate")).as("odate"), col("o_orderkey").as("k"))
+        .withColumn("gap",
+          datediff(col("odate"), lag("odate", 1).over(w))
+            .cast(DoubleType))
+        .filter(col("gap").isNotNull)
+      gaps.agg(count(lit(1)).as("n_gaps"),
+          Stats.groupPercentile(col("gap"), 0.25).as("p25_days"),
+          Stats.groupPercentile(col("gap"), 0.5).as("p50_days"),
+          Stats.groupPercentile(col("gap"), 0.75).as("p75_days"))
+    }),
+
+    // Quantity-discount interaction: average discount per quantity
+    // band compared WITHOUT division — adjacent bands cross-multiply
+    // (sum_i·n_{i+1} ≷ sum_{i+1}·n_i) into a monotonicity ladder, the
+    // "do bigger baskets really get deeper discounts" pricing check.
+    // Discounts held in exact decimal cents; one banded aggregate +
+    // a bands-sized lead window.
+    "q249_discount_bands" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem").select(
+        (floor(col("l_quantity") / 10) * 10).cast(LongType).as("band"),
+        floor(col("l_discount") * 100).cast(LongType).as("disc_pct"))
+      val per = li.groupBy("band")
+        .agg(count(lit(1)).as("n"), sum("disc_pct").as("s"))
+      val w = Window.orderBy("band")
+      per
+        .withColumn("n2", lead("n", 1).over(w))
+        .withColumn("s2", lead("s", 1).over(w))
+        .select(col("band"), col("n"), col("s"),
+          when(col("n2").isNull, lit(null).cast("boolean"))
+            .otherwise(col("s2") * col("n") > col("s") * col("n2"))
+            .as("next_band_deeper"))
+        .orderBy("band")
+    }),
+
     // Revenue mix-shift report between two halves of the order history
     // (the "why did the average move" first question): each segment's
     // revenue share in H1 vs H2 compared by cross-multiplication
@@ -1483,6 +1527,54 @@ object StatQueries {
         |  25 * (n * sxy - sx * sy) * (n * sxy - sx * sy) >
         |    (n * sxx - sx * sx) * (n * syy - sy * sy) AS strong
         |FROM s ORDER BY 1, 2""".stripMargin,
+    // same per-customer gaps, same q60 interpolation
+    "q248_repeat_cadence" ->
+      """WITH g0 AS (
+        |  SELECT CAST(date_diff('day',
+        |    lag(CAST(o_orderdate AS DATE)) OVER
+        |      (PARTITION BY o_custkey
+        |       ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+        |    CAST(o_orderdate AS DATE)) AS DOUBLE) AS gap
+        |  FROM orders),
+        |g AS (SELECT list_sort(list(gap)) AS v, COUNT(*) AS n
+        |  FROM g0 WHERE gap IS NOT NULL),
+        |i AS (
+        |  SELECT v, n, CAST(0.25 AS DOUBLE) * (n - 1) AS i25,
+        |    CAST(0.5 AS DOUBLE) * (n - 1) AS i50,
+        |    CAST(0.75 AS DOUBLE) * (n - 1) AS i75
+        |  FROM g)
+        |SELECT CAST(n AS BIGINT) AS n_gaps,
+        |  v[CAST(FLOOR(i25) AS INTEGER) + 1] +
+        |    (v[CAST(CEIL(i25) AS INTEGER) + 1] -
+        |     v[CAST(FLOOR(i25) AS INTEGER) + 1]) * (i25 - FLOOR(i25))
+        |    AS p25_days,
+        |  v[CAST(FLOOR(i50) AS INTEGER) + 1] +
+        |    (v[CAST(CEIL(i50) AS INTEGER) + 1] -
+        |     v[CAST(FLOOR(i50) AS INTEGER) + 1]) * (i50 - FLOOR(i50))
+        |    AS p50_days,
+        |  v[CAST(FLOOR(i75) AS INTEGER) + 1] +
+        |    (v[CAST(CEIL(i75) AS INTEGER) + 1] -
+        |     v[CAST(FLOOR(i75) AS INTEGER) + 1]) * (i75 - FLOOR(i75))
+        |    AS p75_days
+        |FROM i""".stripMargin,
+    // same integer cent discounts, same cross-multiplied ladder
+    "q249_discount_bands" ->
+      """WITH li AS (
+        |  SELECT CAST(FLOOR(l_quantity / 10) * 10 AS BIGINT) AS band,
+        |    CAST(FLOOR(l_discount * 100) AS BIGINT) AS disc_pct
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT band, COUNT(*)::BIGINT AS n,
+        |    CAST(SUM(disc_pct) AS BIGINT) AS s
+        |  FROM li GROUP BY 1),
+        |l AS (
+        |  SELECT band, n, s, lead(n) OVER (ORDER BY band) AS n2,
+        |    lead(s) OVER (ORDER BY band) AS s2
+        |  FROM p)
+        |SELECT band, n, s,
+        |  CASE WHEN n2 IS NULL THEN NULL
+        |       ELSE s2 * n > s * n2 END AS next_band_deeper
+        |FROM l ORDER BY band""".stripMargin,
     // same halves, same cross-multiplied share signs
     "q246_mix_shift" ->
       """WITH o AS (
