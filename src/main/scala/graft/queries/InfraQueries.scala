@@ -341,7 +341,12 @@ object InfraQueries {
             when(col("o_orderkey") % 3 === 0, 5).otherwise(0))
             .cast(DecimalType(18, 2)).as("price"),
           col("o_orderstatus").as("status"))
+      // price published as DOUBLE: a DECIMAL publish hash-mismatches in
+      // the driver's pyarrow-vs-duckdb comparator on rendering alone
+      // ('205946.60' vs '205946.6', Decimal None vs float nan —
+      // CORRECTNESS_r11 q204); the diff itself stays exact-decimal.
       graft.operators.CdcApply.capture(snapOld, snapNew, key = "k")
+        .withColumn("price", col("price").cast(DoubleType))
         .orderBy("k")
     }),
 
@@ -476,7 +481,9 @@ object InfraQueries {
       Option(cdcScratch.remove(dir)).foreach(deleteTree)
       val stateDir = tmpDir("graft_cdcstate")
       cdcScratch.put(dir, stateDir)
+      // DOUBLE publish for the same driver-comparator reason as q204.
       StreamOps.cdcUpsertStream(s, logDir, stateDir, logSchema, snap)
+        .withColumn("price", col("price").cast(DoubleType))
         .orderBy("k")
     }),
 
@@ -959,7 +966,7 @@ object InfraQueries {
         |       WHEN n.k IS NULL THEN 'D'
         |       WHEN NOT ((o.price, o.status) IS NOT DISTINCT FROM
         |                 (n.price, n.status)) THEN 'U' END AS op,
-        |  n.price, n.status
+        |  CAST(n.price AS DOUBLE) AS price, n.status
         |FROM oldS o FULL OUTER JOIN newS n ON o.k = n.k
         |WHERE (CASE WHEN o.k IS NULL THEN 'I'
         |       WHEN n.k IS NULL THEN 'D'
@@ -1015,10 +1022,12 @@ object InfraQueries {
         |    SELECT *, row_number() OVER
         |      (PARTITION BY k ORDER BY seq DESC, op DESC) AS rn
         |    FROM ch) WHERE rn = 1)
-        |SELECT s.k, s.price, s.status, FALSE AS from_change
+        |SELECT s.k, CAST(s.price AS DOUBLE) AS price, s.status,
+        |  FALSE AS from_change
         |FROM snap s LEFT JOIN latest l ON s.k = l.k WHERE l.k IS NULL
         |UNION ALL
-        |SELECT k, price, status, TRUE FROM latest WHERE op <> 'D'
+        |SELECT k, CAST(price AS DOUBLE), status, TRUE
+        |FROM latest WHERE op <> 'D'
         |ORDER BY k""".stripMargin,
     "q153_triangle_count" ->
       """WITH ol AS (

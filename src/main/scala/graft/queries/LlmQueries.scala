@@ -975,25 +975,40 @@ object LlmQueries {
 
     // Chunk-embedding mean pooling: chunk vectors (4 consecutive
     // embeddings = one "document") pooled elementwise into a doc
-    // vector. Per-dimension sums accumulate in DECIMAL(20,7) via
-    // posexplode + groupBy (order-independent, engine-identical; a
-    // float fold would be merge-order-dependent at cluster scale),
-    // then ONE double division per dimension. Published as the pooled
-    // array rebuilt in dimension order.
+    // vector via llm/Pooling.meanPoolCells (decimal-accumulated,
+    // order-independent — see the operator Scaladoc). Published in
+    // EXPLODED (doc, pos, m, n) scalar form: r11's ARRAY<DOUBLE>
+    // publish crashed the driver's pandas comparator (numpy arrays
+    // are unhashable under sort_values — CORRECTNESS_r11 q185); the
+    // array form stays available as Pooling.meanPool.
     "q185_embed_pool" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(expr("vec_id div 4").as("doc"),
-          posexplode(col("embedding")))
-      e.groupBy("doc", "pos")
-        .agg(sum(col("col").cast(DoubleType).cast(DecimalType(30, 15)))
-          .as("s"), count(lit(1)).as("n"))
-        .select(col("doc"), col("pos"),
-          (col("s").cast(DoubleType) / col("n")).as("m"))
-        .groupBy("doc")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-          .getField("m").as("pooled"),
-          count(lit(1)).as("dim"))
-        .orderBy("doc")
+      graft.llm.Pooling.meanPoolCells(t(s, dir, "embeddings"),
+          expr("vec_id div 4"), col("embedding"))
+        .toDF("doc", "pos", "m", "n")
+        .orderBy("doc", "pos")
+    }),
+
+    // Max pooling over the same chunk groups — the "any chunk fires"
+    // feature semantics (exact in any merge order, so a plain double
+    // max). Same exploded publish contract as q185.
+    "q250_pool_max" -> ((s, dir) => {
+      graft.llm.Pooling.maxPoolCells(t(s, dir, "embeddings"),
+          expr("vec_id div 4"), col("embedding"))
+        .toDF("doc", "pos", "m")
+        .orderBy("doc", "pos")
+    }),
+
+    // CLS pooling: the group's FIRST vector (min vec_id) stands for
+    // the document — one min_by aggregation, no window, then exploded
+    // for the publish contract. Float→double cast is exact.
+    "q251_pool_cls" -> ((s, dir) => {
+      graft.llm.Pooling.clsPool(t(s, dir, "embeddings"),
+          expr("vec_id div 4"), col("embedding"), col("vec_id"))
+        .select(col("g").as("doc"), col("ord"),
+          posexplode(col("pooled")))
+        .select(col("doc"), col("ord"), col("pos"),
+          col("col").cast(DoubleType).as("v"))
+        .orderBy("doc", "pos")
     }),
 
     // Asymmetric CONTAINMENT near-dup (sub-document duplication — the
@@ -1060,7 +1075,14 @@ object LlmQueries {
       val shardN = e.groupBy("shard").agg(count(lit(1)).as("sn"))
       val labelN = e.groupBy("label").agg(count(lit(1)).as("ln"))
       val totalN = e.agg(count(lit(1)).as("tn"))
-      cell.join(shardN, "shard").join(labelN, "label")
+      // FULL shard × label grid (ADVICE r11): a shard entirely missing
+      // a label — the worst imbalance this audit exists to catch — has
+      // no (shard,label) cell, and a cell-only sum would silently drop
+      // its |0·tn − ln·sn| term. The grid is #shards × #labels rows
+      // (tiny at any scale: both sides are aggregates).
+      val grid = shardN.crossJoin(broadcast(labelN))
+      grid.join(cell, Seq("shard", "label"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
         .crossJoin(broadcast(totalN))
         .groupBy(col("shard"), col("sn"), col("tn"))
         .agg(sum(abs(col("c") * col("tn") - col("ln") * col("sn")))
@@ -1415,16 +1437,30 @@ object LlmQueries {
     "q185_embed_pool" ->
       """WITH e AS (
         |  SELECT vec_id // 4 AS doc, unnest(embedding) AS v,
-        |    unnest(range(1, len(embedding) + 1)) AS pos
-        |  FROM embeddings),
-        |g AS (
-        |  SELECT doc, pos,
-        |    SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS s,
-        |    COUNT(*) AS n
-        |  FROM e GROUP BY 1, 2),
-        |m AS (SELECT doc, pos, CAST(s AS DOUBLE) / n AS m FROM g)
-        |SELECT doc, list(m ORDER BY pos) AS pooled, COUNT(*)::BIGINT AS dim
-        |FROM m GROUP BY doc ORDER BY doc""".stripMargin,
+        |    unnest(range(0, len(embedding))) AS pos
+        |  FROM embeddings)
+        |SELECT doc, pos,
+        |  CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1099511627776.0)
+        |      AS HUGEINT)) AS DOUBLE)
+        |    / (COUNT(*) * 1099511627776.0) AS m,
+        |  COUNT(*)::BIGINT AS n
+        |FROM e GROUP BY 1, 2 ORDER BY doc, pos""".stripMargin,
+    "q250_pool_max" ->
+      """WITH e AS (
+        |  SELECT vec_id // 4 AS doc, unnest(embedding) AS v,
+        |    unnest(range(0, len(embedding))) AS pos
+        |  FROM embeddings)
+        |SELECT doc, pos, MAX(CAST(v AS DOUBLE)) AS m
+        |FROM e GROUP BY 1, 2 ORDER BY doc, pos""".stripMargin,
+    "q251_pool_cls" ->
+      """WITH f AS (
+        |  SELECT vec_id // 4 AS doc, vec_id AS ord, embedding,
+        |    row_number() OVER (PARTITION BY vec_id // 4
+        |      ORDER BY vec_id) AS rn
+        |  FROM embeddings)
+        |SELECT doc, ord, unnest(range(0, len(embedding))) AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS v
+        |FROM f WHERE rn = 1 ORDER BY doc, pos""".stripMargin,
     // same shingle definition as TextDedup.shingles (split on ' ',
     // w=3, short-doc whole-text fallback) hashed to the same 60-bit
     // md5 ids, exact set intersection via the NAIVE shingle self-join
@@ -2173,14 +2209,18 @@ object LlmQueries {
         |  FROM e GROUP BY 1, 2),
         |sn AS (SELECT shard, COUNT(*)::BIGINT AS sn FROM e GROUP BY 1),
         |ln AS (SELECT label, COUNT(*)::BIGINT AS ln FROM e GROUP BY 1),
-        |tn AS (SELECT COUNT(*)::BIGINT AS tn FROM e)
-        |SELECT cell.shard, sn.sn AS n_rows,
-        |  CAST(SUM(ABS(cell.c * tn.tn - ln.ln * sn.sn)) AS BIGINT)
+        |tn AS (SELECT COUNT(*)::BIGINT AS tn FROM e),
+        |grid AS (SELECT sn.shard, sn.sn, ln.label, ln.ln FROM sn, ln),
+        |fc AS (
+        |  SELECT g.shard, g.sn, g.ln, COALESCE(cell.c, 0) AS c
+        |  FROM grid g LEFT JOIN cell
+        |    ON cell.shard = g.shard AND cell.label = g.label)
+        |SELECT fc.shard, fc.sn AS n_rows,
+        |  CAST(SUM(ABS(fc.c * tn.tn - fc.ln * fc.sn)) AS BIGINT)
         |    AS tvd_scaled,
-        |  SUM(ABS(cell.c * tn.tn - ln.ln * sn.sn)) * 10 >
-        |    sn.sn * tn.tn * 2 AS imbalanced
-        |FROM cell
-        |JOIN sn USING (shard) JOIN ln USING (label), tn
+        |  SUM(ABS(fc.c * tn.tn - fc.ln * fc.sn)) * 10 >
+        |    fc.sn * tn.tn * 2 AS imbalanced
+        |FROM fc, tn
         |GROUP BY 1, 2, tn.tn ORDER BY 1""".stripMargin,
     // same md5 content keys, same provenance rollup
     "q237_cross_source_leakage" ->

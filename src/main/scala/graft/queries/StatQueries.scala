@@ -451,7 +451,12 @@ object StatQueries {
           (col("n") * col("sxx") - col("sx") * col("sx")).as("den_x"),
           (col("n") * col("syy") - col("sy") * col("sy")).as("den_y"))
         .select(col("event_type"), col("arm"), col("n_pairs"),
-          col("num").cast(DecimalType(38, 0)).as("num"),
+          // published as DOUBLE: the driver's comparator reads Spark
+          // parquet via pyarrow (Decimal '123' ) but the oracle via
+          // duckdb (float '123.0') — a DECIMAL publish hash-mismatches
+          // on rendering alone (CORRECTNESS_r11 q195). The gates
+          // (corr_pos/strong) stay exact-decimal.
+          col("num").cast(DoubleType).as("num"),
           (col("num") > 0).as("corr_pos"),
           (lit(25).cast(dec) * col("num") * col("num") >
             col("den_x") * col("den_y")).as("strong"))
@@ -630,12 +635,14 @@ object StatQueries {
             .as("n_for_80pct"),
           max(when(col("rn") * 10 <= col("n_parts"), col("cum"))
             .otherwise(lit(0).cast(dec))).as("top_decile_rev"),
-          max("total").cast(DoubleType).as("total_rev"))
+          // exact decimal held THROUGH the comparison (ADVICE r11: a
+          // double round-trip can flip the flag past 2^53); the double
+          // cast happens only on the published column below.
+          max("total").as("total"))
         .select(col("n_parts"), col("n_for_80pct"),
           (col("n_for_80pct") * 5 < col("n_parts")).as("concentrated"),
-          (col("top_decile_rev") * 2 >
-            col("total_rev").cast(DecimalType(28, 2))).as("decile_majority"),
-          col("total_rev"))
+          (col("top_decile_rev") * 2 > col("total")).as("decile_majority"),
+          col("total").cast(DoubleType).as("total_rev"))
     }),
 
     // Inter-event latency SLO report: per event_type, exact
@@ -937,9 +944,12 @@ object StatQueries {
         floor(col("value") * 100).cast(LongType).as("cents"))
       val mm = e.groupBy("event_type")
         .agg(min("cents").as("lo"), max("cents").as("hi"))
+      // nullif guard (ADVICE r11): on a degenerate group (all cents
+      // equal) Spark's `div` returns NULL but DuckDB's `//` raises —
+      // the guard makes both engines yield NULL rows identically.
       e.join(broadcast(mm), "event_type")
         .withColumn("scaled",
-          expr("CAST((cents - lo) * 1000 div (hi - lo) AS BIGINT)"))
+          expr("CAST((cents - lo) * 1000 div nullif(hi - lo, 0) AS BIGINT)"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), min("scaled").as("min_s"),
           max("scaled").as("max_s"), sum("scaled").as("sum_s"))
@@ -1375,6 +1385,77 @@ object StatQueries {
         .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
         .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
         .orderBy("month")
+    }),
+
+    // Classifier-calibration audit (reliability diagram + ECE) — the
+    // gate a quality-filter model must pass before its scores set
+    // keep/drop thresholds on a training corpus: a score that says 0.8
+    // must be right ~80% of the time. Score is the deterministic
+    // doc-length proxy score = min(n_chars, 600)/600 predicting
+    // lang='en'; everything accumulates as INTEGERS scaled by 600 —
+    // per 10-wide bin, gap_scaled = |Σscore_scaled − n_pos·600| and
+    // ECE·N·600 = Σ gaps — so both engines agree bit-for-bit and the
+    // published doubles are single exact-int divisions. One group-by
+    // shuffle on the bin id (10 cells), one broadcast total: scales to
+    // any corpus.
+    "q252_calibration_ece" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        least(col("n_chars"), lit(600L)).as("sc"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .withColumn("bin", least(expr("CAST(sc * 10 div 600 AS BIGINT)"),
+          lit(9L)))
+      val bins = d.groupBy("bin").agg(count(lit(1)).as("n"),
+        sum("y").as("n_pos"), sum("sc").as("conf_sum"))
+        .withColumn("gap_scaled",
+          abs(col("conf_sum") - col("n_pos") * 600L))
+      val tot = bins.agg(sum("n").as("n_tot"),
+        sum("gap_scaled").as("ece_scaled"))
+      bins.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"), col("n_pos"),
+          (col("conf_sum").cast(DoubleType) /
+            (col("n") * 600L).cast(DoubleType)).as("conf"),
+          (col("n_pos").cast(DoubleType) / col("n").cast(DoubleType))
+            .as("acc"),
+          col("gap_scaled"),
+          (col("ece_scaled").cast(DoubleType) /
+            (col("n_tot") * 600L).cast(DoubleType)).as("ece"),
+          (col("ece_scaled") * 10 < col("n_tot") * 600L)
+            .as("well_calibrated"))
+        .orderBy("bin")
+    }),
+
+    // Exact tie-aware ROC AUC by rank-sum (Mann-Whitney U): does doc
+    // length separate lang='en' from the rest? With integer scores
+    // (n_chars) ties are REAL, so ranks are midranks — kept exact by
+    // carrying 2·Σranks⁺ (always integer): AUC = (2·Σranks⁺ −
+    // n⁺(n⁺+1)) / (2·n⁺·n⁻). Midranks come from one global sort
+    // window (rank() gives the tie-block start, a count-by-score join
+    // gives its width — no dense scan); the cross-multiplied gate
+    // 2·U > n⁺·n⁻·2·θ never divides. Published AUC is one exact-int
+    // double division, bit-identical across engines.
+    "q253_auc_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").select(col("n_chars").as("sc"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      // midrank·2 = 2·rank_min + (tie_count − 1)
+      val byScore = d.groupBy("sc").agg(count(lit(1)).as("c"),
+        sum("y").as("pos_c"))
+      val w = Window.orderBy("sc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = byScore
+        .withColumn("cum", sum("c").over(w))
+        .withColumn("rank_min", col("cum") - col("c") + 1)
+        .withColumn("mid2", lit(2) * col("rank_min") + col("c") - 1)
+      val agg = ranked.agg(
+        sum(col("pos_c") * col("mid2")).as("r2"),
+        sum("pos_c").as("np"),
+        (sum("c") - sum("pos_c")).as("nn"))
+      agg.select(col("np"), col("nn"),
+        (col("r2") - col("np") * (col("np") + 1)).as("u2"),
+        ((col("r2") - col("np") * (col("np") + 1)).cast(DoubleType) /
+          (lit(2L) * col("np") * col("nn")).cast(DoubleType)).as("auc"),
+        ((col("r2") - col("np") * (col("np") + 1)) >
+          col("np") * col("nn")).as("better_than_random"))
     })
   )
 
@@ -1522,7 +1603,7 @@ object StatQueries {
         |    CAST(SUM(y * y) AS HUGEINT) AS syy
         |  FROM p GROUP BY 1, 2)
         |SELECT event_type, arm, CAST(n AS BIGINT) AS n_pairs,
-        |  CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS num,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) AS num,
         |  (n * sxy - sx * sy) > 0 AS corr_pos,
         |  25 * (n * sxy - sx * sy) * (n * sxy - sx * sy) >
         |    (n * sxx - sx * sx) * (n * syy - sy * sy) AS strong
@@ -1899,7 +1980,8 @@ object StatQueries {
         |  FROM e GROUP BY 1),
         |sc AS (
         |  SELECT e.event_type,
-        |    CAST((cents - lo) * 1000 // (hi - lo) AS BIGINT) AS scaled
+        |    CAST((cents - lo) * 1000 // nullif(hi - lo, 0) AS BIGINT)
+        |      AS scaled
         |  FROM e JOIN mm USING (event_type))
         |SELECT event_type, COUNT(*)::BIGINT AS n,
         |  CAST(MIN(scaled) AS BIGINT) AS min_s,
@@ -2391,6 +2473,49 @@ object StatQueries {
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  COUNT(*) AS n
-        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    // same 2000-scaled integer bins, same exact-int divisions
+    "q252_calibration_ece" ->
+      """WITH d AS (
+        |  SELECT LEAST(n_chars, 600) AS sc,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |b0 AS (SELECT LEAST(sc * 10 // 600, 9) AS bin, sc, y FROM d),
+        |bins AS (
+        |  SELECT bin, COUNT(*)::BIGINT AS n,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(SUM(sc) AS BIGINT) AS conf_sum
+        |  FROM b0 GROUP BY 1),
+        |g AS (SELECT *, ABS(conf_sum - n_pos * 600) AS gap_scaled
+        |  FROM bins),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+        |  CAST(SUM(gap_scaled) AS BIGINT) AS ece_scaled FROM g)
+        |SELECT bin, n, n_pos,
+        |  CAST(conf_sum AS DOUBLE) / (n * 600) AS conf,
+        |  CAST(n_pos AS DOUBLE) / n AS acc,
+        |  CAST(gap_scaled AS BIGINT) AS gap_scaled,
+        |  CAST(ece_scaled AS DOUBLE) / (n_tot * 600) AS ece,
+        |  ece_scaled * 10 < n_tot * 600 AS well_calibrated
+        |FROM g, tot ORDER BY bin""".stripMargin,
+    // same midrank-by-tie-block construction, same 2x-scaled integers
+    "q253_auc_exact" ->
+      """WITH d AS (
+        |  SELECT n_chars AS sc,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |byscore AS (
+        |  SELECT sc, COUNT(*)::BIGINT AS c, CAST(SUM(y) AS BIGINT) AS pos_c
+        |  FROM d GROUP BY 1),
+        |r AS (SELECT *, CAST(SUM(c) OVER (ORDER BY sc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum FROM byscore),
+        |m AS (SELECT pos_c, c, 2 * (cum - c + 1) + c - 1 AS mid2 FROM r),
+        |a AS (SELECT CAST(SUM(pos_c * mid2) AS BIGINT) AS r2,
+        |  CAST(SUM(pos_c) AS BIGINT) AS np,
+        |  CAST(SUM(c) - SUM(pos_c) AS BIGINT) AS nn FROM m)
+        |SELECT np, nn, CAST(r2 - np * (np + 1) AS BIGINT) AS u2,
+        |  CAST(r2 - np * (np + 1) AS DOUBLE) / (2 * np * nn) AS auc,
+        |  r2 - np * (np + 1) > np * nn AS better_than_random
+        |FROM a""".stripMargin
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 /** Every SparkEntry query runs on sf0.001 and yields a sane result.
   * (Value-level correctness is the driver's DuckDB gate at sf0.01 —
-  * mirrored locally by tools/check_local.py.) */
+  * mirrored locally by tools/check_driver.py.) */
 class QueriesSmokeSpec extends SparkTestBase {
 
   // Queries whose legitimate result can be empty at sf0.001.
