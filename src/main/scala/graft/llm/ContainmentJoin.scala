@@ -34,24 +34,57 @@ object ContainmentJoin {
       shingleW: Int, num: Int, den: Int): DataFrame = {
     // shingles become portable 60-bit md5 ids BEFORE any shuffle: the
     // join/intersect key is a long, not a ~35-byte string (identical
-    // ids on both engines, so the oracle replays exactly)
+    // ids on both engines, so the oracle replays exactly).
+    // CACHED: the set frame feeds the shingle explode AND both sides
+    // of the final array-attach join — uncached, Spark re-runs the
+    // per-doc shingle hashing up to 4x, which (not the verify join)
+    // was q184's actual cost at sf0.1 (probe: 3.8 s of the 10 s
+    // budget per recompute). MEMORY_AND_DISK spills at corpus scale —
+    // compute-once-reuse-thrice is the plan you'd want at 100 TB too.
+    // sz rides along from size(sset): a column, not a second window.
     val sets = docs.select(col(idCol).as("id"),
-      array_sort(array_distinct(transform(
+      array_distinct(transform(
         TextDedup.shingles(col(textCol), shingleW),
-        s => TextDedup.portableHash(s)))).as("sset"))
-    val sh = sets.select(col("id"), explode(col("sset")).as("sh"))
+        s => TextDedup.portableHash(s))).as("sset"))
+      .withColumn("sz", size(col("sset")).cast("long"))
+      .cache()
+    val sh = sets.select(col("id"), col("sz"), explode(col("sset")).as("sh"))
     val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    // prefix size ⌊(1-t)·sz⌋+1 = sz - ceil(t·sz) + 1 = sz - ⌈sz·num/den⌉ + 1
+    // every doc's shingles ranked by GLOBAL rarity (df, sh) — the same
+    // total order on both sides, which is what makes the positional
+    // bound below valid. Cached: probed by the prefix side AND the
+    // full side of the candidate join.
     val byRarity = Window.partitionBy("id").orderBy(col("df"), col("sh"))
-    val prefixes = sh.join(dfs, "sh")
+    val ranked = sh.join(dfs, "sh")
       .withColumn("rk", row_number().over(byRarity))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+      .cache()
+    // prefix size ⌊(1-t)·sz⌋+1 = sz - ceil(t·sz) + 1 = sz - ⌈sz·num/den⌉ + 1
+    val prefixes = ranked
       .filter(col("rk") <= col("sz") - expr(s"cast(ceil(sz * $num / $den) as bigint)") + 1)
-      .select(col("id").as("a"), col("sh"))
+      .select(col("id").as("a"), col("sh"),
+        col("rk").as("rka"), col("sz").as("sza"))
+    // Candidate pruning BEFORE the expensive array-attach joins (the
+    // r11 verdict's watch item — the verify join dominated q184):
+    //  - size filter: containment needs inter ≥ ⌈t·sz_a⌉ and
+    //    inter ≤ sz_b, so sz_b·den < sz_a·num can never qualify;
+    //  - positional filter (PPJoin): a match at ranks (rka, rkb) under
+    //    the shared rarity order splits the remaining common shingles
+    //    into strictly-before and strictly-after, so
+    //    inter ≤ 1 + min(rka−1, rkb−1) + min(sza−rka, szb−rkb);
+    //    per pair the TIGHTEST matched bound applies (min over matches,
+    //    folded into the same shuffle that deduped pairs before).
     val cands = prefixes
-      .join(sh.select(col("id").as("b"), col("sh")), Seq("sh"))
+      .join(ranked.select(col("id").as("b"), col("sh"),
+        col("rk").as("rkb"), col("sz").as("szb")), Seq("sh"))
       .filter(col("a") =!= col("b"))
-      .select("a", "b").distinct()
+      .filter(col("szb") * den >= col("sza") * num)
+      .withColumn("ub", lit(1) +
+        least(col("rka") - 1, col("rkb") - 1) +
+        least(col("sza") - col("rka"), col("szb") - col("rkb")))
+      .groupBy("a", "b", "sza")
+      .agg(min("ub").as("ub"))
+      .filter(col("ub") * den >= col("sza") * num)
+      .select("a", "b")
     cands
       .join(sets.select(col("id").as("a"), col("sset").as("sa")), Seq("a"))
       .join(sets.select(col("id").as("b"), col("sset").as("sb")), Seq("b"))
