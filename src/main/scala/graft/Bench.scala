@@ -173,8 +173,47 @@ object Bench {
       val good = times.filterNot(_.isNaN)
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
+    // Flag-triggered re-measurement (r11 verdict ask #5): the driver
+    // runs ONE sweep, and a co-tenant spike that spans both back-to-back
+    // runs of min-of-2 stands as the round's record (r11: q77 9.9x,
+    // q15 7.2x on UNCHANGED plans that measure 1.0x isolated). Any
+    // query now over 2x its pin gets up to two more timed runs after a
+    // state-store unload + GC settle, keeping the overall min: a real
+    // regression is just as slow on the re-run and stays flagged, a
+    // noise spike recovers. Retried names are printed (bench_retried=)
+    // so a record that needed recovery is visible, never silent.
+    val basePath0 = java.nio.file.Path.of(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BASELINE_BENCH.json"))
+    val baseline: Map[String, Double] =
+      if (sfDir.contains("sf0.1") && java.nio.file.Files.exists(basePath0)) {
+        val entry = """"(q[^"]+)"\s*:\s*([0-9.]+)""".r
+        entry.findAllMatchIn(java.nio.file.Files.readString(basePath0))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    val byName = SparkEntry.queries
+    val retried = scala.collection.mutable.ArrayBuffer.empty[String]
+    val healed = results.map { case (name, v) =>
+      if (v > 0 && baseline.get(name).exists(b => v > 2 * b)) {
+        retried += name
+        graft.streaming.StreamOps.unloadStateStores()
+        System.gc(); Thread.sleep(500)
+        val evalCount = sys.env.get("SPARK_GRAFT_BENCH_EVAL").contains("count")
+        val again = (1 to 2).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            val df = byName(name)(spark, sfDir)
+            if (evalCount) df.count()
+            else df.write.mode("overwrite").format("noop").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => None }
+        }
+        name -> (v +: again).min
+      } else name -> v
+    }
+    if (retried.nonEmpty)
+      println(s"bench_retried=${retried.mkString("[", ",", "]")}")
     // ListMap keeps the run order in the emitted JSON (humans diff these).
-    val resultsMap = scala.collection.immutable.ListMap(results: _*)
+    val resultsMap = scala.collection.immutable.ListMap(healed: _*)
     // Full-name 4-decimal payload → file (complete record for humans/tools).
     val fullQs = resultsMap
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
@@ -215,6 +254,6 @@ object Bench {
     // stop Spark BEFORE the line: executor-shutdown warnings land above
     // it instead of pushing it out of the driver's tail window
     spark.stop()
-    println(shortLine(results, sfLabel))
+    println(shortLine(healed, sfLabel))
   }
 }
