@@ -40,6 +40,12 @@ object GraftFunctions {
     ("portable_hash60", classOf[graft.functions.PortableHash60].getName,
       (args: Seq[Expression]) =>
         graft.functions.PortableHash60(args(0))),
+    ("jaro_winkler_micro", classOf[graft.functions.JaroWinklerMicro].getName,
+      (args: Seq[Expression]) =>
+        graft.functions.JaroWinklerMicro(args(0), args(1))),
+    ("nfc_normalize", classOf[graft.functions.NfcNormalize].getName,
+      (args: Seq[Expression]) =>
+        graft.functions.NfcNormalize(args(0))),
     ("misra_gries", classOf[graft.operators.MisraGriesAgg].getName,
       (args: Seq[Expression]) =>
         graft.operators.MisraGriesAgg(args(0),

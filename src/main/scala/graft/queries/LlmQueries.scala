@@ -1214,8 +1214,134 @@ object LlmQueries {
           when(col("rk") <= col("leftover"), 1L).otherwise(0L).as("extra"))
         .withColumn("alloc", col("base") + col("extra"))
         .orderBy("source")
+    }),
+
+    // Entity-resolution linkage scored by the native Jaro-Winkler
+    // expression (functions/JaroWinkler.scala) — the name-matching
+    // scorer Levenshtein-based q132 can't express (JW rewards shared
+    // prefixes and tolerates transpositions). Blocked equi-join on
+    // (brand, size) — candidate volume is sum of block² (160k pairs at
+    // sf0.1, never all-pairs), the same blocking discipline as
+    // FuzzyJoin; the scorer runs inside whole-stage codegen in exact
+    // micro-units, so the oracle (DuckDB's jaro_winkler_similarity,
+    // ROUND(*1e6)) replays it bit-for-bit — divergence verified zero
+    // over ~180k pairs at three SFs.
+    "q254_jw_linkage" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val a = p.select(col("p_partkey").as("k1"), col("p_name").as("n1"),
+        col("p_brand").as("blk_b"), col("p_size").as("blk_s"))
+      val b = p.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
+        col("p_brand").as("blk_b"), col("p_size").as("blk_s"))
+      a.join(b, Seq("blk_b", "blk_s")).filter(col("k1") < col("k2"))
+        .withColumn("jw_micro",
+          graft.functions.JaroWinklerMicro(col("n1"), col("n2")))
+        .filter(col("jw_micro") >= 850000L)
+        .select("k1", "k2", "n1", "n2", "jw_micro")
+        .orderBy("k1", "k2")
+    }),
+
+    // Unicode NFC canonicalization (functions/NfcNormalize.scala) —
+    // the dedup-key prerequisite: composed 'é' and 'e'+U+0301 are the
+    // same text but different bytes, so un-normalized corpora split
+    // exact-dedup groups and shingle hashes. Inputs are part names
+    // with a deterministic decomposed accent appended (the corpus
+    // itself is ASCII); per-row map, no shuffle, NFC fast-path keeps
+    // already-normalized rows allocation-free. Oracle: DuckDB
+    // nfc_normalize — byte-identical UAX#15.
+    "q255_unicode_normalize" -> ((s, dir) => {
+      val marks = array(lit("\u0301"), lit("\u030a"), lit("\u0302\u0301"))
+      val raw = concat(col("p_name"), lit("e"),
+        element_at(marks, (col("p_partkey") % 3 + 1).cast(IntegerType)))
+      t(s, dir, "part")
+        .select(col("p_partkey").as("k"), raw.as("raw"))
+        .select(col("k"), col("raw"),
+          graft.functions.NfcNormalize(col("raw")).as("norm"))
+        .select(col("k"), col("norm"),
+          length(col("raw")).cast(LongType).as("len_raw"),
+          length(col("norm")).cast(LongType).as("len_norm"))
+        .withColumn("composed", col("len_norm") < col("len_raw"))
+        .orderBy("k")
+    }),
+
+    // Matryoshka truncation eval: recall@10 of a 16-dim-prefix
+    // ranking vs the full 64-dim exact ranking — the measurement that
+    // decides how far MRL embeddings can be truncated before retrieval
+    // quality pays. Dot products are exact integers (floor(v·2^20)
+    // per side, products ≤2^40, 64-term sums ≤2^46 — engine- and
+    // order-identical); queries are broadcast so candidates never
+    // shuffle for scoring; the per-query top-10 window shuffles only
+    // (n_q × n_c) scored pairs. At corpus scale the candidate side
+    // would route through the IVF index (q142) instead of brute
+    // force — this query is the truncation QUALITY gate, not the
+    // serving path.
+    "q256_matryoshka_recall" -> ((s, dir) => {
+      val pairs = dotPairs(s, dir)
+      val wF = Window.partitionBy("qid").orderBy(desc("dot_full"), col("cid"))
+      val wT = Window.partitionBy("qid").orderBy(desc("dot_16"), col("cid"))
+      val topF = pairs.withColumn("r", row_number().over(wF))
+        .filter(col("r") <= 10).select("qid", "cid")
+      val topT = pairs.withColumn("r", row_number().over(wT))
+        .filter(col("r") <= 10).select("qid", "cid")
+      val hits = topF.join(topT, Seq("qid", "cid"))
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+      pairs.select("qid").distinct()
+        .join(hits, Seq("qid"), "left")
+        .withColumn("hits", coalesce(col("hits"), lit(0L)))
+        .withColumn("recall", col("hits").cast(DoubleType) / lit(10.0))
+        .orderBy("qid")
+    }),
+
+    // Retrieval eval metrics over the exact full-dim ranking:
+    // precision@10 and MRR@10 with label-match relevance. Reciprocal
+    // ranks stay EXACT integers via the 2520 trick (2520 = lcm(1..10),
+    // so 2520/rank is integral for every in-window rank) — no float
+    // fold across queries, so corpus-level MRR aggregates of these
+    // rows stay order-independent at any scale. Same scored-pairs
+    // plan as q256.
+    "q257_retrieval_metrics" -> ((s, dir) => {
+      val lab = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val ranked = dotPairs(s, dir)
+        .join(lab.select(col("vec_id").as("qid"), col("label").as("ql")), Seq("qid"))
+        .join(lab.select(col("vec_id").as("cid"), col("label").as("cl")), Seq("cid"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("dot_full"), col("cid"))))
+        .filter(col("r") <= 10)
+        .withColumn("rel", (col("ql") === col("cl")).cast(LongType))
+      ranked.groupBy("qid").agg(
+        sum("rel").as("n_rel10"),
+        min(when(col("rel") === 1L, col("r"))).as("first_rel0"))
+        .select(col("qid"),
+          coalesce(col("first_rel0"), lit(0L)).cast(LongType).as("first_rel"),
+          when(col("first_rel0").isNotNull, lit(2520L) / col("first_rel0"))
+            .otherwise(lit(0L)).cast(LongType).as("rr_2520"),
+          col("n_rel10"),
+          (col("n_rel10").cast(DoubleType) / lit(10.0)).as("prec_at10"))
+        .orderBy("qid")
     })
   )
+
+  /** Exact integer dot products between the 50 query vectors
+    * (vec_id < 50, broadcast) and every other vector, at full width
+    * and at the 16-dim matryoshka prefix. floor(v·2^20) quantization:
+    * the scale mul is exact in double, floor is engine-deterministic,
+    * and all products/sums fit long — so Spark and DuckDB compute the
+    * same integers (the q185/Pooling portability scheme). */
+  private def dotPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"),
+        v => floor(v.cast(DoubleType) * lit(1048576.0)).cast(LongType))
+        .as("iv"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("iv").as("qv"))
+    val c = e.select(col("vec_id").as("cid"), col("iv").as("cv"))
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("dot_full"),
+        aggregate(zip_with(slice(col("qv"), 1, 16), slice(col("cv"), 1, 16),
+          (x, y) => x * y), lit(0L), (acc, v) => acc + v).as("dot_16"))
+  }
 
   /** DuckDB side of [[recallSummary]]: the exact top-k is computed
     * independently (decimal-exact dots, same (cosine DESC, cid) tiebreak
@@ -2371,6 +2497,93 @@ object LlmQueries {
         |  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
         |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
         |    AS alloc
-        |FROM rk ORDER BY source""".stripMargin
+        |FROM rk ORDER BY source""".stripMargin,
+    // DuckDB's own jaro_winkler_similarity is the reference the native
+    // expression was pinned against (floored half-transpositions,
+    // >=0.7 boost) — ROUND(*1e6) is the same micro-unit contract
+    "q254_jw_linkage" ->
+      """SELECT * FROM (
+        |  SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+        |    a.p_name AS n1, b.p_name AS n2,
+        |    CAST(ROUND(jaro_winkler_similarity(a.p_name, b.p_name)
+        |      * 1000000) AS BIGINT) AS jw_micro
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |   AND a.p_partkey < b.p_partkey)
+        |WHERE jw_micro >= 850000 ORDER BY k1, k2""".stripMargin,
+    // same deterministic decomposed-accent construction (chr codes
+    // 769 = U+0301 acute, 778 = U+030A ring, 770 = U+0302 circumflex)
+    "q255_unicode_normalize" ->
+      """WITH d AS (
+        |  SELECT p_partkey AS k,
+        |    p_name || 'e' || CASE p_partkey % 3
+        |      WHEN 0 THEN chr(769) WHEN 1 THEN chr(778)
+        |      ELSE chr(770) || chr(769) END AS raw
+        |  FROM part)
+        |SELECT k, nfc_normalize(raw) AS norm,
+        |  length(raw) AS len_raw,
+        |  length(nfc_normalize(raw)) AS len_norm,
+        |  length(nfc_normalize(raw)) < length(raw) AS composed
+        |FROM d ORDER BY k""".stripMargin,
+    // same floor(v*2^20) integer dot products, same (desc dot, cid)
+    // tiebreak windows
+    "q256_matryoshka_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS v,
+        |    unnest(range(1, len(embedding) + 1)) AS pos
+        |  FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 50),
+        |p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    CAST(SUM(q.v * c.v) AS BIGINT) AS dot_full,
+        |    CAST(SUM(CASE WHEN q.pos <= 16 THEN q.v * c.v ELSE 0 END)
+        |      AS BIGINT) AS dot_16
+        |  FROM q JOIN e c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+        |  GROUP BY 1, 2),
+        |tf AS (SELECT qid, cid, row_number() OVER
+        |  (PARTITION BY qid ORDER BY dot_full DESC, cid) AS r FROM p),
+        |tt AS (SELECT qid, cid, row_number() OVER
+        |  (PARTITION BY qid ORDER BY dot_16 DESC, cid) AS r FROM p),
+        |h AS (
+        |  SELECT tf.qid, COUNT(*)::BIGINT AS hits
+        |  FROM tf JOIN tt ON tf.qid = tt.qid AND tf.cid = tt.cid
+        |  WHERE tf.r <= 10 AND tt.r <= 10 GROUP BY 1)
+        |SELECT q2.qid, COALESCE(h.hits, 0)::BIGINT AS hits,
+        |  COALESCE(h.hits, 0) / 10.0 AS recall
+        |FROM (SELECT DISTINCT vec_id AS qid FROM embeddings
+        |      WHERE vec_id < 50) q2
+        |LEFT JOIN h ON q2.qid = h.qid ORDER BY q2.qid""".stripMargin,
+    // same exact ranking; rr in lcm(1..10)=2520 units stays integral
+    "q257_retrieval_metrics" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS v,
+        |    unnest(range(1, len(embedding) + 1)) AS pos
+        |  FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 50),
+        |p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    CAST(SUM(q.v * c.v) AS BIGINT) AS dot_full
+        |  FROM q JOIN e c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+        |  GROUP BY 1, 2),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |rk AS (
+        |  SELECT p.qid, p.cid,
+        |    row_number() OVER (PARTITION BY p.qid
+        |      ORDER BY p.dot_full DESC, p.cid) AS r,
+        |    CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END AS rel
+        |  FROM p JOIN lab ql ON p.qid = ql.vec_id
+        |         JOIN lab cl ON p.cid = cl.vec_id)
+        |SELECT qid,
+        |  CAST(COALESCE(MIN(CASE WHEN rel = 1 THEN r END), 0) AS BIGINT)
+        |    AS first_rel,
+        |  CAST(COALESCE(2520 // MIN(CASE WHEN rel = 1 THEN r END), 0)
+        |    AS BIGINT) AS rr_2520,
+        |  CAST(SUM(rel) AS BIGINT) AS n_rel10,
+        |  SUM(rel) / 10.0 AS prec_at10
+        |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin
   )
 }

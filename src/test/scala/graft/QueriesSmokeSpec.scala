@@ -7,7 +7,8 @@ class QueriesSmokeSpec extends SparkTestBase {
 
   // Queries whose legitimate result can be empty at sf0.001.
   private val mayBeEmpty = Set("q05_regex_filter", "q12_anti_join",
-    "q22_except_distinct", "q71_jaccard_neardup", "q72_minhash_lsh")
+    "q22_except_distinct", "q71_jaccard_neardup", "q72_minhash_lsh",
+    "q254_jw_linkage")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows") {
