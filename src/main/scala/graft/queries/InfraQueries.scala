@@ -35,6 +35,28 @@ object InfraQueries {
   private val cdcScratch =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // q258 fixture: events staged as ordered arrival files + watermark
+  // sentinel, built once per sf dir.
+  private val sloStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write `df` as ONE parquet file `<name>.parquet` in `dirPath` with
+    * an explicit modification time — file-source streaming orders its
+    * micro-batches by mtime, so staged arrival order is controlled
+    * here, not left to filesystem timing. */
+  private def stageFile(dirPath: String, name: String, df: DataFrame,
+      mtime: Long): Unit = {
+    val tmp = tmpDir("graft_stage_part")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dest = java.nio.file.Paths.get(dirPath, s"$name.parquet")
+    java.nio.file.Files.move(part.toPath, dest,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dest.toFile.setLastModified(mtime)
+    deleteTree(tmp)
+  }
+
   /** Root of the reference SQL corpus (q108/q109). Overridable so the
     * bench/verify harness isn't coupled to one machine's checkout; fails
     * with a clear message rather than a deep FileNotFound mid-query. */
@@ -485,6 +507,46 @@ object InfraQueries {
       StreamOps.cdcUpsertStream(s, logDir, stateDir, logSchema, snap)
         .withColumn("price", col("price").cast(DoubleType))
         .orderBy("k")
+    }),
+
+    // Stream-stream LEFT OUTER watermarked join (the outer-emission
+    // semantics q69's inner join doesn't exercise): purchases joined to
+    // the same user's clicks in the preceding day, unmatched purchases
+    // surfacing as null rows once both watermarks pass their bound.
+    // Events arrive chopped into 2 arrival files (cross-batch state) +
+    // the sentinel that retires the final window (see
+    // StreamOps.streamLeftOuterJoinAvailableNow). Oracle = the batch
+    // LEFT JOIN: same pairs, same unmatched anchors, regardless of chop.
+    "q258_stream_left_outer" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val staged = sloStaged.computeIfAbsent(dir, _ => {
+        val sd = tmpDir("graft_slostage")
+        val e = t(s, dir, "events")
+        val base = System.currentTimeMillis()
+        stageFile(sd, "00_even", e.filter(col("event_id") % 2 === 0), base)
+        stageFile(sd, "01_odd", e.filter(col("event_id") % 2 =!= 0),
+          base + 10000)
+        import s.implicits._
+        val far = java.time.LocalDateTime.of(2100, 1, 1, 0, 0)
+        val sentinel = Seq(
+          (-1L, far, -1L, "purchase", 0.0, "{}"),
+          (-2L, far, -1L, "click", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        stageFile(sd, "02_sentinel", sentinel, base + 20000)
+        sd
+      })
+      StreamOps.streamLeftOuterJoinAvailableNow(s, staged, schema,
+          anchorType = "purchase", otherType = "click", window = "1 DAY",
+          queryName = "stream_louter_" +
+            java.util.UUID.randomUUID().toString.replace("-", ""))
+        .groupBy(col("a_user").as("user_id"))
+        .agg(countDistinct("a_id").as("n_anchors"),
+          count(col("b_id")).as("n_matched"),
+          sum(when(col("b_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+        .orderBy("user_id")
     }),
 
     // Triangle counting by degree-oriented wedge join over the supplier
@@ -1175,6 +1237,23 @@ object InfraQueries {
         |  COUNT(DISTINCT e.user_id)::BIGINT AS n_users
         |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q258_stream_left_outer" ->
+      """WITH a AS (
+        |  SELECT event_id AS a_id, user_id, ts AS a_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT event_id AS b_id, user_id AS b_user, ts AS b_ts
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT a.user_id, a.a_id, b.b_id
+        |  FROM a LEFT JOIN b ON a.user_id = b.b_user
+        |   AND b.b_ts BETWEEN a.a_ts - INTERVAL 1 DAY AND a.a_ts)
+        |SELECT user_id,
+        |  CAST(COUNT(DISTINCT a_id) AS BIGINT) AS n_anchors,
+        |  COUNT(b_id) AS n_matched,
+        |  CAST(SUM(CASE WHEN b_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unmatched
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q69_stream_join" ->
       """WITH a AS (
         |  SELECT event_id AS a_id, user_id, ts AS a_ts

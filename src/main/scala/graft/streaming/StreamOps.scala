@@ -244,6 +244,62 @@ object StreamOps {
     spark.read.schema(outSchema).parquet(outDir)
   }
 
+  /** Stream-stream LEFT OUTER time-bounded join: anchor events joined
+    * to same-user `otherType` events in the preceding `window`, with
+    * unmatched anchors emitted as (a_id, user, NULL) rows — the shape
+    * that answers "which purchases had NO preceding click" on a live
+    * stream. Outer-null emission is the part inner joins don't have:
+    * an anchor's null row may only surface once BOTH watermarks have
+    * passed its join bound (else a late match could still arrive), so
+    * a bounded replay that ends at the data's max timestamp would hold
+    * the last `window`+delay of anchors in state forever and drop them
+    * from the result. The staged source therefore ends with a
+    * far-future SENTINEL file (negative user ids, filtered from the
+    * result) whose only job is to drive both watermarks past every
+    * real bound; maxFilesPerTrigger=1 keeps it in its own trigger so
+    * the final no-data micro-batch evicts state and flushes the nulls.
+    * State is O(rate × window) per side exactly as in the inner join.
+    *
+    * The staged dir must contain the event files plus the sentinel,
+    * ordered by modification time (sentinel last).
+    */
+  def streamLeftOuterJoinAvailableNow(spark: SparkSession, stagedDir: String,
+      schema: StructType, anchorType: String, otherType: String,
+      window: String, queryName: String): DataFrame = {
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagedDir)
+    val anchors = src.filter(col("event_type") === anchorType)
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        eventTime(schema("ts").dataType, col("ts")).as("a_ts"))
+      .withWatermark("a_ts", "1 hour")
+    val others = src.filter(col("event_type") === otherType)
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        eventTime(schema("ts").dataType, col("ts")).as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    val joined = anchors.join(others,
+      expr("a_user = b_user AND " +
+        s"b_ts BETWEEN a_ts - INTERVAL $window AND a_ts"),
+      "left_outer")
+    val outDir = java.nio.file.Files.createTempDirectory(queryName).toString
+    withStatePartitions(spark, 8) {
+      val q = joined.select(col("a_id"), col("a_user"), col("b_id"))
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    unloadStateStores()
+    val outSchema = StructType(Seq(
+      StructField("a_id", LongType), StructField("a_user", LongType),
+      StructField("b_id", LongType)))
+    spark.read.schema(outSchema).parquet(outDir)
+      .filter(col("a_user") >= 0)
+  }
+
   /** One AvailableNow pass of an append passthrough with an EXPLICIT
     * checkpoint: the exactly-once resume primitive. Re-running with the
     * same checkpoint after new source files arrive processes ONLY the

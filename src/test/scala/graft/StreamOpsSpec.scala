@@ -148,4 +148,43 @@ class StreamOpsSpec extends SparkTestBase {
       .as[Long].collect().sorted.toSeq
     assert(ids == Seq(1L, 2L, 3L, 4L, 5L), s"duplicate or lost rows: $ids")
   }
+
+  test("left-outer stream join flushes the LAST anchor's null row (sentinel)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("slo_src").toString
+    def stage(name: String, mtime: Long,
+        rows: Seq[(Long, java.time.LocalDateTime, Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("slo_one").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Path.of(dir, name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    def at(d: Int, h: Int) = java.time.LocalDateTime.of(2024, 1, d, h, 0)
+    val base = System.currentTimeMillis()
+    // user 1: purchase with an in-window click; user 2: purchase with a
+    // click OUTSIDE the 1-day window (>1 day earlier); user 3: purchase
+    // at the stream's MAX real timestamp — the anchor a sentinel-less
+    // bounded replay would starve in state forever.
+    stage("00_data.parquet", base, Seq(
+      (10L, at(5, 12), 1L, "purchase"), (11L, at(5, 2), 1L, "click"),
+      (20L, at(5, 12), 2L, "purchase"), (21L, at(3, 12), 2L, "click"),
+      (30L, at(9, 23), 3L, "purchase")))
+    stage("01_sentinel.parquet", base + 10000, Seq(
+      (-1L, at(28, 0), -1L, "purchase"), (-2L, at(28, 0), -1L, "click")))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    val got = StreamOps.streamLeftOuterJoinAvailableNow(spark, dir, schema,
+        anchorType = "purchase", otherType = "click", window = "1 DAY",
+        queryName = "slo_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((10L, 1L, 11L), (20L, 2L, -1L), (30L, 3L, -1L)),
+      s"got $got")
+  }
 }
