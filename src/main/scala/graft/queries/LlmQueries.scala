@@ -1318,6 +1318,21 @@ object LlmQueries {
           col("n_rel10"),
           (col("n_rel10").cast(DoubleType) / lit(10.0)).as("prec_at10"))
         .orderBy("qid")
+    }),
+
+    // Interpolated Kneser-Ney bigram LM trained distributed with EXACT
+    // rational probabilities (llm/KneserNey — d=3/4 makes every term an
+    // integer over 4·c(w1·)·T, and Σ_w2 P = 1 holds as an integer
+    // identity, spec-proved). Published: the 20 highest-count bigrams
+    // with their count marginals and the exact p_num/p_den pair; p_kn
+    // is the single correctly-rounded division. One (w1,w2) shuffle +
+    // vocab-sized marginal group-bys — the LM table itself stays
+    // distributed (no collect), joining token-keyed like Surprisal's.
+    "q259_kn_bigram" -> ((s, dir) => {
+      graft.llm.KneserNey.bigramModel(t(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy(desc("c"), col("w1"), col("w2"))
+        .limit(20)
     })
   )
 
@@ -2584,6 +2599,37 @@ object LlmQueries {
         |    AS BIGINT) AS rr_2520,
         |  CAST(SUM(rel) AS BIGINT) AS n_rel10,
         |  SUM(rel) / 10.0 AS prec_at10
-        |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin
+        |FROM rk WHERE r <= 10 GROUP BY qid ORDER BY qid""".stripMargin,
+    // same filter-then-position tokenization (list_filter BEFORE the
+    // positional unnest — filtering after would shift positions), same
+    // exact-rational KN algebra
+    "q259_kn_bigram" ->
+      """WITH tl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS l
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(l) AS w,
+        |    unnest(range(1, len(l) + 1)) AS pos
+        |  FROM tl),
+        |bg AS (
+        |  SELECT w1, w2, COUNT(*)::BIGINT AS c FROM (
+        |    SELECT doc_id, w AS w1,
+        |      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM toks)
+        |  WHERE w2 IS NOT NULL GROUP BY 1, 2),
+        |st AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1,
+        |  COUNT(*)::BIGINT AS n_follow FROM bg GROUP BY 1),
+        |pr AS (SELECT w2, COUNT(*)::BIGINT AS n_prec FROM bg GROUP BY 1),
+        |ty AS (SELECT COUNT(*)::BIGINT AS t FROM bg)
+        |SELECT bg.w1, bg.w2, bg.c, st.cw1, st.n_follow, pr.n_prec,
+        |  CAST((4 * bg.c - 3) * ty.t + 3 * st.n_follow * pr.n_prec
+        |    AS BIGINT) AS p_num,
+        |  CAST(4 * st.cw1 * ty.t AS BIGINT) AS p_den,
+        |  CAST((4 * bg.c - 3) * ty.t + 3 * st.n_follow * pr.n_prec
+        |    AS DOUBLE) / (4 * st.cw1 * ty.t) AS p_kn
+        |FROM bg JOIN st USING (w1) JOIN pr USING (w2), ty
+        |ORDER BY bg.c DESC, bg.w1, bg.w2 LIMIT 20""".stripMargin
   )
 }
