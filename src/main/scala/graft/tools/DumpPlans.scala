@@ -65,7 +65,10 @@ object DumpPlans {
       "q226_ivm_join" -> "IVM: delta-join unions onto the maintained view; delta side touches |delta| rows",
       "q227_ivm_agg" -> "IVM with retractions: changed-key semi-join probe; delta folds onto base agg",
       "q205_bitmap_index" -> "bitmap build partial bit_or before exchange; word-equi AND join",
-      "q220_item_similarity" -> "within-order pair explode; degree equi-joins; no cartesian")
+      "q220_item_similarity" -> "within-order pair explode; degree equi-joins; no cartesian",
+      "q254_jw_linkage" -> "blocked (brand,size) equi-join; codegen'd exact-integer JW inside the join project",
+      "q256_matryoshka_recall" -> "broadcast query vectors; zip_with/aggregate integer dots in codegen; window only over scored pairs",
+      "q259_kn_bigram" -> "per-doc lead window; ONE (w1,w2) shuffle; vocab-sized marginal joins + 1-row type-count broadcast")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.tools.DumpPlans` at sf0.01; regenerate with\n")
