@@ -1456,6 +1456,45 @@ object StatQueries {
           (lit(2L) * col("np") * col("nn")).cast(DoubleType)).as("auc"),
         ((col("r2") - col("np") * (col("np") + 1)) >
           col("np") * col("nn")).as("better_than_random"))
+    }),
+
+    // Split-conformal calibration gate — the distribution-free
+    // guarantee an anomaly/quality threshold should come with: qhat is
+    // the ⌈(n+1)·0.9⌉-th order statistic of the calibration half
+    // (even event_ids), and the test half's coverage at qhat must then
+    // be ≥ 0.9 up to the finite-sample term. Everything is integers:
+    // cents scores, k = ⌈9(n+1)/10⌉ by integer division, the k-th
+    // order statistic via one per-type rank window, coverage gated
+    // cross-multiplied (10·covered ≥ 9·n_test). ONE rank window over
+    // the calibration half + one broadcast qhat join — scales as a
+    // sort-within-group; at corpus scale qhat would come from a
+    // quantile sketch (q146) with the same downstream audit.
+    "q260_conformal_gate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events").select(col("event_type"), col("event_id"),
+        floor(col("value") * 100).cast(LongType).as("cents"))
+      val calib = e.filter(col("event_id") % 2 === 0)
+      val test = e.filter(col("event_id") % 2 =!= 0)
+      val n = calib.groupBy("event_type").agg(count(lit(1)).as("n_calib"))
+        .withColumn("k", least(
+          expr("CAST((9 * n_calib + 18) div 10 AS BIGINT)"), col("n_calib")))
+      val ranked = calib.withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("cents", "event_id")))
+      val qhat = ranked.join(broadcast(n), "event_type")
+        .filter(col("rn") === col("k"))
+        .select(col("event_type"), col("n_calib"), col("k"),
+          col("cents").as("qhat_cents"))
+      test.join(broadcast(qhat), "event_type")
+        .groupBy("event_type", "n_calib", "k", "qhat_cents")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("cents") <= col("qhat_cents"), 1L).otherwise(0L))
+            .as("n_covered"))
+        .select(col("event_type"), col("n_calib"), col("k"),
+          col("qhat_cents"), col("n_test"), col("n_covered"),
+          (col("n_covered").cast(DoubleType) / col("n_test").cast(DoubleType))
+            .as("coverage"),
+          (col("n_covered") * 10 >= col("n_test") * 9).as("covered_ok"))
+        .orderBy("event_type")
     })
   )
 
@@ -2516,6 +2555,36 @@ object StatQueries {
         |SELECT np, nn, CAST(r2 - np * (np + 1) AS BIGINT) AS u2,
         |  CAST(r2 - np * (np + 1) AS DOUBLE) / (2 * np * nn) AS auc,
         |  r2 - np * (np + 1) > np * nn AS better_than_random
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    // same integer cents, same ceil-by-intdiv k, same rank-window
+    // order statistic, same cross-multiplied gate
+    "q260_conformal_gate" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |calib AS (SELECT * FROM e WHERE event_id % 2 = 0),
+        |test AS (SELECT * FROM e WHERE event_id % 2 <> 0),
+        |n AS (
+        |  SELECT event_type, COUNT(*)::BIGINT AS n_calib,
+        |    LEAST((9 * COUNT(*) + 18) // 10, COUNT(*))::BIGINT AS k
+        |  FROM calib GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, cents, row_number() OVER
+        |    (PARTITION BY event_type ORDER BY cents, event_id) AS rn
+        |  FROM calib),
+        |qh AS (
+        |  SELECT n.event_type, n.n_calib, n.k, r.cents AS qhat_cents
+        |  FROM n JOIN r ON r.event_type = n.event_type AND r.rn = n.k)
+        |SELECT t.event_type, qh.n_calib, qh.k, qh.qhat_cents,
+        |  COUNT(*)::BIGINT AS n_test,
+        |  CAST(SUM(CASE WHEN t.cents <= qh.qhat_cents THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_covered,
+        |  SUM(CASE WHEN t.cents <= qh.qhat_cents THEN 1 ELSE 0 END)
+        |    / (1.0 * COUNT(*)) AS coverage,
+        |  SUM(CASE WHEN t.cents <= qh.qhat_cents THEN 1 ELSE 0 END) * 10 >=
+        |    COUNT(*) * 9 AS covered_ok
+        |FROM test t JOIN qh ON t.event_type = qh.event_type
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
   )
 }
