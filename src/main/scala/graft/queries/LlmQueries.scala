@@ -1333,6 +1333,41 @@ object LlmQueries {
           col("doc_id"), col("text"))
         .orderBy(desc("c"), col("w1"), col("w2"))
         .limit(20)
+    }),
+
+    // Dataset card: the one-row-per-source release audit every corpus
+    // ships with — volume (docs/tokens/chars), language spread, exact
+    // duplicate mass (md5 content keys, the q70 definition), and the
+    // median length as an exact order statistic (the q260 rank-window
+    // pattern; lower median, doc_id tiebreak). Three group-bys on
+    // source + one per-source rank window; all counts integers, the
+    // two published rates are single exact-int divisions. Sources are
+    // few — the card is a reduction, never a bottleneck.
+    "q261_dataset_card" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+        col("lang"), col("n_chars"),
+        size(graft.llm.Surprisal.tokens(col("text"))).cast(LongType)
+          .as("n_toks"),
+        md5(col("text")).as("key"))
+      val base = d.groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"), countDistinct("lang").as("n_langs"),
+        sum("n_chars").as("sum_chars"))
+      val dup = d.groupBy("source", "key").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_docs"))
+      val med = d.withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy("n_chars", "doc_id")))
+        .join(base.select(col("source"), col("n_docs")), "source")
+        .filter(col("rn") === expr("(n_docs + 1) div 2"))
+        .select(col("source"), col("n_chars").as("p50_chars"))
+      base.join(dup, "source").join(med, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_langs"), col("dup_docs"), col("p50_chars"),
+          (col("sum_chars").cast(DoubleType) / col("n_docs").cast(DoubleType))
+            .as("mean_chars"),
+          (col("dup_docs").cast(DoubleType) / col("n_docs").cast(DoubleType))
+            .as("dup_rate"))
+        .orderBy("source")
     })
   )
 
@@ -2630,6 +2665,37 @@ object LlmQueries {
         |  CAST((4 * bg.c - 3) * ty.t + 3 * st.n_follow * pr.n_prec
         |    AS DOUBLE) / (4 * st.cw1 * ty.t) AS p_kn
         |FROM bg JOIN st USING (w1) JOIN pr USING (w2), ty
-        |ORDER BY bg.c DESC, bg.w1, bg.w2 LIMIT 20""".stripMargin
+        |ORDER BY bg.c DESC, bg.w1, bg.w2 LIMIT 20""".stripMargin,
+    // same md5 content keys (q70), same lower-median rank pattern (q260)
+    "q261_dataset_card" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, lang, n_chars,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> ''))::BIGINT AS n_toks,
+        |    md5(text) AS key
+        |  FROM documents),
+        |base AS (
+        |  SELECT source, COUNT(*)::BIGINT AS n_docs,
+        |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |    COUNT(DISTINCT lang)::BIGINT AS n_langs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |  FROM d GROUP BY 1),
+        |dup AS (
+        |  SELECT source,
+        |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |      AS dup_docs
+        |  FROM (SELECT source, key, COUNT(*) AS c FROM d GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |med AS (
+        |  SELECT source, n_chars AS p50_chars FROM (
+        |    SELECT d.source, d.n_chars, b.n_docs, row_number() OVER
+        |      (PARTITION BY d.source ORDER BY d.n_chars, d.doc_id) AS rn
+        |    FROM d JOIN base b USING (source))
+        |  WHERE rn = (n_docs + 1) // 2)
+        |SELECT base.source, n_docs, n_tokens, n_langs, dup_docs, p50_chars,
+        |  CAST(sum_chars AS DOUBLE) / n_docs AS mean_chars,
+        |  CAST(dup_docs AS DOUBLE) / n_docs AS dup_rate
+        |FROM base JOIN dup USING (source) JOIN med USING (source)
+        |ORDER BY base.source""".stripMargin
   )
 }
