@@ -74,9 +74,12 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, cls, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name), new ExpressionInfo(cls, name), builder))
     }
+    // window-top-k → bounded-heap aggregate (see the rule's scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+  }
 }

@@ -1,0 +1,146 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Ascending, Attribute, AttributeReference, Cast, Expression, GetStructField, IntegerLiteral, LessThan, LessThanOrEqual, Literal, NullsFirst, PosExplode, RowNumber, SortOrder, SpecifiedWindowFrame, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{CurrentRow, RowFrame, UnboundedPreceding}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, Project, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StructType}
+
+import graft.operators.TopKRows
+
+/** Optimizer rule: rewrite the grouped-top-k window idiom
+  *
+  *   SELECT ... FROM (SELECT *, row_number() OVER
+  *     (PARTITION BY p ORDER BY o) AS rn FROM t) WHERE rn <= k
+  *
+  * into a [[TopKRows]] hash aggregate + posexplode. The window plan
+  * shuffles EVERY row of t to its group and sorts whole groups before
+  * the filter throws away all but k rows per group; the rewrite keeps
+  * a bounded k-heap per group per map task, so the exchange carries
+  * ≤ k·groups·tasks rows and nothing sorts more than k elements.
+  * (Spark's own InferWindowGroupLimit prunes rows before the shuffle
+  * too, but still sorts each partition and runs the full Window
+  * machinery; this rewrite removes the sort entirely — the win grows
+  * with rows-per-group. Measured at sf0.1 (tools/TopKProbe, top-3 per
+  * supplier over 600k lineitems, ~600 rows/group): 1.32 s window vs
+  * 0.67 s rewritten, warm min-of-3 — ~2x, against a window plan that
+  * already benefits from WindowGroupLimit.)
+  *
+  * Semantics: exact row_number semantics including ties broken by
+  * heap order — like the window form, the choice among order-key ties
+  * is only deterministic if the ORDER BY is total (every query in this
+  * repo tiebreaks on a unique key; so does the oracle).
+  *
+  * Scope guards (rewrite only when provably safe):
+  *   - single window expression, plain row_number, default frame;
+  *   - filter is exactly `rn <= IntLiteral` / `rn < IntLiteral`
+  *     (optionally under a Cast);
+  *   - partition keys are plain attributes, order keys deterministic;
+  *   - 0 < k ≤ 10000 (the heap is per-group in-memory state).
+  *
+  * The rewritten subtree reproduces the Filter's exact output
+  * (child columns + rn, original exprIds), so any parent plan is
+  * untouched. Registered via GraftExtensions.injectOptimizerRule;
+  * [[apply(df)]] applies it to a single DataFrame without touching
+  * session state.
+  */
+object WindowTopKRewrite extends Rule[LogicalPlan] {
+
+  private val MaxK = 10000
+
+  /** One-shot form: rewrite a DataFrame's plan (no session mutation).
+    * Runs over the OPTIMIZED plan — the analyzer leaves stacked
+    * pass-through Projects between Filter and Window that the
+    * optimizer collapses, giving the same shape the injected-rule
+    * path sees. */
+  def apply(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.ColumnShim.ofRows(df.sparkSession,
+      apply(df.queryExecution.optimizedPlan))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, w: Window) =>
+      tryRewrite(cond, w).getOrElse(f)
+    // the analyzer's ExtractWindowExpressions leaves a pure column-
+    // reordering Project over the Window node — rewrite through it
+    case f @ Filter(cond, p @ Project(projList, w: Window))
+        if projList.forall(_.isInstanceOf[Attribute]) =>
+      tryRewrite(cond, w).map(r => Project(projList, r)).getOrElse(f)
+  }
+
+  private def limitOf(cond: Expression, rn: Attribute): Option[Int] = {
+    def isRn(e: Expression): Boolean = e match {
+      case a: Attribute => a.exprId == rn.exprId
+      case Cast(a: Attribute, _, _, _) => a.exprId == rn.exprId
+      case _ => false
+    }
+    cond match {
+      case LessThanOrEqual(e, IntegerLiteral(k)) if isRn(e) => Some(k)
+      case LessThan(e, IntegerLiteral(k)) if isRn(e) => Some(k - 1)
+      case LessThanOrEqual(e, Literal(k: Long, _)) if isRn(e) &&
+        k <= Int.MaxValue => Some(k.toInt)
+      case LessThan(e, Literal(k: Long, _)) if isRn(e) &&
+        k <= Int.MaxValue => Some(k.toInt - 1)
+      case _ => None
+    }
+  }
+
+  private def tryRewrite(cond: Expression,
+      w: Window): Option[LogicalPlan] = {
+    w.windowExpressions match {
+      case Seq(alias @ Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(_, order, SpecifiedWindowFrame(RowFrame,
+            UnboundedPreceding, CurrentRow))), _))
+          if order.nonEmpty &&
+            w.partitionSpec.forall(_.isInstanceOf[Attribute]) &&
+            order.forall(_.child.deterministic) =>
+        limitOf(cond, alias.toAttribute) match {
+          case Some(k) if k > 0 && k <= MaxK =>
+            Some(build(w, order, alias, k))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  private def build(w: Window, order: Seq[SortOrder], rnAlias: Alias,
+      k: Int): LogicalPlan = {
+    // Spark's InferWindowGroupLimit may already sit below the Window:
+    // its per-partition sorted prune becomes pure overhead once the
+    // whole window is gone, so strip it when the spec matches
+    val child = w.child match {
+      case gl: WindowGroupLimit
+          if gl.partitionSpec == w.partitionSpec &&
+            gl.orderSpec == w.orderSpec => gl.child
+      case c => c
+    }
+    val sortKeys = order.map(_.child)
+    val payload = child.output
+    val agg = TopKRows(sortKeys ++ payload, sortKeys.length,
+      order.map(_.direction == Ascending),
+      order.map(_.nullOrdering == NullsFirst), k)
+    val arr = Alias(agg.toAggregateExpression(), "graft_topk")()
+    val partAttrs = w.partitionSpec.map(_.asInstanceOf[Attribute])
+    val aggregate = Aggregate(partAttrs, partAttrs :+ arr, child)
+    val elemType = agg.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    val posAttr = AttributeReference("graft_pos", IntegerType,
+      nullable = false)()
+    val colAttr = AttributeReference("graft_col", elemType,
+      nullable = false)()
+    // every aggregate output is consumed by the generator or rebuilt
+    // from the struct — drop them all from Generate's passthrough so
+    // the rebuilt original exprIds below can't collide
+    val gen = Generate(PosExplode(arr.toAttribute),
+      unrequiredChildIndex = aggregate.output.indices,
+      outer = false, qualifier = None,
+      generatorOutput = Seq(posAttr, colAttr), aggregate)
+    val rebuilt = payload.zipWithIndex.map { case (a, i) =>
+      Alias(GetStructField(colAttr, sortKeys.length + i, Some(a.name)),
+        a.name)(exprId = a.exprId, qualifier = a.qualifier)
+    }
+    val rn = Alias(Add(posAttr, Literal(1)), rnAlias.name)(
+      exprId = rnAlias.exprId, qualifier = rnAlias.qualifier)
+    Project(rebuilt :+ rn, gen)
+  }
+}

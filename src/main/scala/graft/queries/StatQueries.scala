@@ -1495,6 +1495,31 @@ object StatQueries {
             .as("coverage"),
           (col("n_covered") * 10 >= col("n_test") * 9).as("covered_ok"))
         .orderBy("event_type")
+    }),
+
+    // Grouped top-k THROUGH the optimizer rule: the query is written
+    // in the textbook window form (row_number over partition/order,
+    // filter rn <= 3) and plans/WindowTopKRewrite turns it into the
+    // bounded-heap TopKRows aggregate — no Window, no per-group sort,
+    // ≤ k rows per group per map task into the exchange (~2x the
+    // already-WindowGroupLimit'd window plan at sf0.1; tools/
+    // TopKProbe). The oracle replays the window form in DuckDB, so
+    // the gate proves the REWRITE's semantics, tie-break included
+    // (total order via the orderkey/linenumber tiebreaks).
+    "q262_topk_rewrite" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+      val q = li.select(col("l_suppkey"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("l_suppkey").orderBy(desc("l_extendedprice"),
+            col("l_orderkey"), col("l_linenumber"))))
+        .filter(col("rn") <= 3)
+      graft.plans.WindowTopKRewrite(q)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast(DoubleType).as("price"),
+          col("rn").cast(LongType).as("rn"))
+        .orderBy("l_suppkey", "rn")
     })
   )
 
@@ -2585,6 +2610,18 @@ object StatQueries {
         |  SUM(CASE WHEN t.cents <= qh.qhat_cents THEN 1 ELSE 0 END) * 10 >=
         |    COUNT(*) * 9 AS covered_ok
         |FROM test t JOIN qh ON t.event_type = qh.event_type
-        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+    // the WINDOW formulation — the rewrite must be undetectable here
+    "q262_topk_rewrite" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(l_extendedprice AS DOUBLE) AS price,
+        |  CAST(rn AS BIGINT) AS rn
+        |FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+        |      AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin
   )
 }
