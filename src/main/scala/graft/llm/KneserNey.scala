@@ -61,6 +61,19 @@ object KneserNey {
       .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
   }
 
+  /** Incremental maintenance: fold a delta corpus's bigram counts onto
+    * an existing count table and re-derive the probabilities. The
+    * count table IS the model state — counts are additive, and every
+    * marginal (start counts, continuation type counts, T) is a
+    * group-by of the merged table, so refreshing a 100 TB-corpus model
+    * with a day's delta touches |delta bigrams| + vocab-sized
+    * aggregates, never the raw history. The result is EXACTLY the
+    * from-scratch model (integer counts — no drift to accumulate),
+    * which is what the q263 oracle asserts. */
+  def mergeCounts(base: DataFrame, delta: DataFrame): DataFrame =
+    base.select("w1", "w2", "c").unionByName(delta.select("w1", "w2", "c"))
+      .groupBy("w1", "w2").agg(sum("c").as("c"))
+
   /** Attach the exact-rational KN probabilities to a (w1, w2, c)
     * bigram-count table. */
   def withProbabilities(bigrams: DataFrame): DataFrame = {

@@ -136,7 +136,10 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
       outer = false, qualifier = None,
       generatorOutput = Seq(posAttr, colAttr), aggregate)
     val rebuilt = payload.zipWithIndex.map { case (a, i) =>
-      Alias(GetStructField(colAttr, sortKeys.length + i, Some(a.name)),
+      // the name HINT must be the struct's real field name (c$i) —
+      // GeneratorNestedColumnAliasing re-resolves extractors by the
+      // hint, and a payload-column hint fails FIELD_NOT_FOUND
+      Alias(GetStructField(colAttr, sortKeys.length + i, Some(s"c$i")),
         a.name)(exprId = a.exprId, qualifier = a.qualifier)
     }
     val rn = Alias(Add(posAttr, Literal(1)), rnAlias.name)(

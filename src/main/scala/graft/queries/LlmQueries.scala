@@ -1335,6 +1335,26 @@ object LlmQueries {
         .limit(20)
     }),
 
+    // Incremental KN-model maintenance: the persisted state is the
+    // bigram COUNT table (additive integers); a delta corpus folds on
+    // with one equi-shuffle and the marginals re-derive from the
+    // merged vocab-sized table. Because everything is integer-exact,
+    // incremental == from-scratch BIT FOR BIT — the oracle computes
+    // the from-scratch model over the full corpus, so this gate fails
+    // if the fold ever drifts. Published: every bigram with c >= 3
+    // (deterministic, ~vocab-sized).
+    "q263_kn_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = graft.llm.KneserNey.bigramCounts(
+        docs.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"))
+      val delta = graft.llm.KneserNey.bigramCounts(
+        docs.filter(col("doc_id") % 2 =!= 0), col("doc_id"), col("text"))
+      graft.llm.KneserNey.withProbabilities(
+          graft.llm.KneserNey.mergeCounts(base, delta))
+        .filter(col("c") >= 3)
+        .orderBy("w1", "w2")
+    }),
+
     // Dataset card: the one-row-per-source release audit every corpus
     // ships with — volume (docs/tokens/chars), language spread, exact
     // duplicate mass (md5 content keys, the q70 definition), and the
@@ -2666,6 +2686,36 @@ object LlmQueries {
         |    AS DOUBLE) / (4 * st.cw1 * ty.t) AS p_kn
         |FROM bg JOIN st USING (w1) JOIN pr USING (w2), ty
         |ORDER BY bg.c DESC, bg.w1, bg.w2 LIMIT 20""".stripMargin,
+    // FROM-SCRATCH model over the full corpus: equality with the
+    // incrementally-folded Spark result is the invariant under test
+    "q263_kn_incremental" ->
+      """WITH tl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS l
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(l) AS w,
+        |    unnest(range(1, len(l) + 1)) AS pos
+        |  FROM tl),
+        |bg AS (
+        |  SELECT w1, w2, COUNT(*)::BIGINT AS c FROM (
+        |    SELECT doc_id, w AS w1,
+        |      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM toks)
+        |  WHERE w2 IS NOT NULL GROUP BY 1, 2),
+        |st AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1,
+        |  COUNT(*)::BIGINT AS n_follow FROM bg GROUP BY 1),
+        |pr AS (SELECT w2, COUNT(*)::BIGINT AS n_prec FROM bg GROUP BY 1),
+        |ty AS (SELECT COUNT(*)::BIGINT AS t FROM bg)
+        |SELECT bg.w1, bg.w2, bg.c, st.cw1, st.n_follow, pr.n_prec,
+        |  CAST((4 * bg.c - 3) * ty.t + 3 * st.n_follow * pr.n_prec
+        |    AS BIGINT) AS p_num,
+        |  CAST(4 * st.cw1 * ty.t AS BIGINT) AS p_den,
+        |  CAST((4 * bg.c - 3) * ty.t + 3 * st.n_follow * pr.n_prec
+        |    AS DOUBLE) / (4 * st.cw1 * ty.t) AS p_kn
+        |FROM bg JOIN st USING (w1) JOIN pr USING (w2), ty
+        |WHERE bg.c >= 3 ORDER BY bg.w1, bg.w2""".stripMargin,
     // same md5 content keys (q70), same lower-median rank pattern (q260)
     "q261_dataset_card" ->
       """WITH d AS (
