@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Ascending, Attribute, AttributeReference, Cast, Expression, GetStructField, IntegerLiteral, LessThan, LessThanOrEqual, Literal, NullsFirst, PosExplode, RowNumber, SortOrder, SpecifiedWindowFrame, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Ascending, Attribute, AttributeReference, Cast, EqualTo, Expression, GetStructField, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, Literal, NullsFirst, PosExplode, RowNumber, SortOrder, SpecifiedWindowFrame, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.{CurrentRow, RowFrame, UnboundedPreceding}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -81,6 +81,12 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
         k <= Int.MaxValue => Some(k.toInt)
       case LessThan(e, Literal(k: Long, _)) if isRn(e) &&
         k <= Int.MaxValue => Some(k.toInt - 1)
+      // rn = 1: the latest-row-per-key idiom (argmax) — top-1
+      case EqualTo(e, IntegerLiteral(1)) if isRn(e) => Some(1)
+      case EqualTo(IntegerLiteral(1), e) if isRn(e) => Some(1)
+      // flipped literal-first comparisons: k >= rn ⇔ rn <= k
+      case GreaterThanOrEqual(IntegerLiteral(k), e) if isRn(e) => Some(k)
+      case GreaterThan(IntegerLiteral(k), e) if isRn(e) => Some(k - 1)
       case _ => None
     }
   }

@@ -60,6 +60,22 @@ class WindowTopKRuleSpec extends SparkTestBase {
     assert(canon(r) == canon(q))
   }
 
+  test("rn = 1 (latest-row-per-key) and flipped-literal forms rewrite") {
+    val df = data(7, 300)
+    val latest = df.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(desc("v"), col("id"))))
+      .filter(col("rn") === 1)
+    val r1 = WindowTopKRewrite(latest)
+    assert(!r1.queryExecution.optimizedPlan.toString.contains("Window"))
+    assert(canon(r1) == canon(latest))
+    val flipped = df.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(desc("v"), col("id"))))
+      .filter(lit(2) >= col("rn"))
+    val r2 = WindowTopKRewrite(flipped)
+    assert(!r2.queryExecution.optimizedPlan.toString.contains("Window"))
+    assert(canon(r2) == canon(flipped))
+  }
+
   test("non-matching shapes are left untouched") {
     val df = data(5, 100)
     // rank() is not row_number: no rewrite
