@@ -48,6 +48,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same global rewrite as Verify: bench measures the plans the
+    // correctness gate proved
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.WindowTopKRewrite)
     // Warmup: touch every table and run one representative query so the
     // first timed query doesn't absorb JVM/codegen/scan-init costs.
     Seq("region", "nation", "customer", "supplier", "part", "orders",

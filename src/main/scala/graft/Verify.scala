@@ -19,6 +19,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The window-top-k rewrite runs GLOBALLY here: every window-top-k
+    // idiom in the query surface goes through the rule, and the DuckDB
+    // oracle replays the window form — so the full gate doubles as the
+    // rule's suite-wide semantic proof (every ORDER BY in the surface
+    // is total, so ties cannot diverge).
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.WindowTopKRewrite)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
