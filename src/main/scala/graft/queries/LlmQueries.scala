@@ -1355,6 +1355,39 @@ object LlmQueries {
         .orderBy("w1", "w2")
     }),
 
+    // Source-overlap matrix: exact pairwise shingle-set Jaccard
+    // between SOURCES — the corpus-level contamination audit ("which
+    // feeds are re-crawls of each other") that doc-level dedup can't
+    // see. Source gram-sets via one distinct on (source, gram-hash);
+    // intersections via a gram-keyed equi-join (volume = Σ_g df(g)²
+    // over the SOURCE-level df ≤ #sources — bounded, never all-docs);
+    // the missing-pair grid is rebuilt source² (tiny) with coalesce 0,
+    // the q238 lesson. Flag cross-multiplied at Jaccard > 5%.
+    "q264_source_overlap" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextDedup.shingles(col("text"), 3)).as("gs"))
+        .select(col("source"), TextDedup.portableHash(col("gs")).as("g"))
+        .distinct()
+      val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = grams.select(col("source").as("s1"), col("g"))
+        .join(grams.select(col("source").as("s2"), col("g")), Seq("g"))
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
+      val grid = sizes.select(col("source").as("s1"), col("n").as("n1"))
+        .crossJoin(sizes.select(col("source").as("s2"), col("n").as("n2")))
+        .filter(col("s1") < col("s2"))
+      grid.join(inter, Seq("s1", "s2"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .select(col("s1"), col("s2"), col("n1"), col("n2"), col("inter"),
+          (col("inter").cast(DoubleType) /
+            (col("n1") + col("n2") - col("inter")).cast(DoubleType))
+            .as("jaccard"),
+          (col("inter") * 20 > col("n1") + col("n2") - col("inter"))
+            .as("overlap_flag"))
+        .orderBy("s1", "s2")
+    }),
+
     // Dataset card: the one-row-per-source release audit every corpus
     // ships with — volume (docs/tokens/chars), language spread, exact
     // duplicate mass (md5 content keys, the q70 definition), and the
@@ -2716,6 +2749,37 @@ object LlmQueries {
         |    AS DOUBLE) / (4 * st.cw1 * ty.t) AS p_kn
         |FROM bg JOIN st USING (w1) JOIN pr USING (w2), ty
         |WHERE bg.c >= 3 ORDER BY bg.w1, bg.w2""".stripMargin,
+    // same w=3 shingles (short-doc whole-text fallback), same 60-bit
+    // md5 gram ids, same rebuilt grid
+    "q264_source_overlap" ->
+      """WITH tl AS (
+        |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |gs AS (
+        |  SELECT source, CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [array_to_string(toks, ' ')] END AS grams
+        |  FROM tl),
+        |gu AS (SELECT source, unnest(grams) AS gm FROM gs),
+        |g AS (SELECT DISTINCT source,
+        |    CAST(('0x' || substr(md5(gm), 1, 15)) AS BIGINT) AS g
+        |  FROM gu),
+        |sz AS (SELECT source, COUNT(*)::BIGINT AS n FROM g GROUP BY 1),
+        |it AS (
+        |  SELECT a.source AS s1, b.source AS s2, COUNT(*)::BIGINT AS inter
+        |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT a.source AS s1, a.n AS n1, b.source AS s2, b.n AS n2
+        |  FROM sz a JOIN sz b ON a.source < b.source)
+        |SELECT grid.s1, grid.s2, n1, n2,
+        |  COALESCE(it.inter, 0)::BIGINT AS inter,
+        |  CAST(COALESCE(it.inter, 0) AS DOUBLE)
+        |    / (n1 + n2 - COALESCE(it.inter, 0)) AS jaccard,
+        |  COALESCE(it.inter, 0) * 20 > n1 + n2 - COALESCE(it.inter, 0)
+        |    AS overlap_flag
+        |FROM grid LEFT JOIN it ON grid.s1 = it.s1 AND grid.s2 = it.s2
+        |ORDER BY 1, 2""".stripMargin,
     // same md5 content keys (q70), same lower-median rank pattern (q260)
     "q261_dataset_card" ->
       """WITH d AS (
