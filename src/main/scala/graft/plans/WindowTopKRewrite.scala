@@ -1,13 +1,13 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Ascending, Attribute, AttributeReference, Cast, EqualTo, Expression, GetStructField, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, Literal, NullsFirst, PosExplode, RowNumber, SortOrder, SpecifiedWindowFrame, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Ascending, Attribute, AttributeReference, Cast, DenseRank, EqualTo, Expression, GetStructField, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, Literal, NullsFirst, PosExplode, Rank, RowNumber, SortOrder, SpecifiedWindowFrame, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.{CurrentRow, RowFrame, UnboundedPreceding}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, IntegerType, StructType}
 
-import graft.operators.TopKRows
+import graft.operators.{RankTopKRows, TopKRows}
 
 /** Optimizer rule: rewrite the grouped-top-k window idiom
   *
@@ -91,18 +91,31 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  private sealed trait Mode
+  private case object ModeRowNumber extends Mode
+  private case object ModeRank extends Mode
+  private case object ModeDenseRank extends Mode
+
   private def tryRewrite(cond: Expression,
       w: Window): Option[LogicalPlan] = {
     w.windowExpressions match {
-      case Seq(alias @ Alias(WindowExpression(RowNumber(),
-          WindowSpecDefinition(_, order, SpecifiedWindowFrame(RowFrame,
+      // row_number carries a RowFrame; rank/dense_rank a RangeFrame —
+      // both run UNBOUNDED PRECEDING..CURRENT ROW
+      case Seq(alias @ Alias(WindowExpression(fn,
+          WindowSpecDefinition(_, order, SpecifiedWindowFrame(_,
             UnboundedPreceding, CurrentRow))), _))
           if order.nonEmpty &&
             w.partitionSpec.forall(_.isInstanceOf[Attribute]) &&
             order.forall(_.child.deterministic) =>
-        limitOf(cond, alias.toAttribute) match {
-          case Some(k) if k > 0 && k <= MaxK =>
-            Some(build(w, order, alias, k))
+        val mode = fn match {
+          case RowNumber() => Some(ModeRowNumber)
+          case _: Rank => Some(ModeRank)
+          case _: DenseRank => Some(ModeDenseRank)
+          case _ => None
+        }
+        (mode, limitOf(cond, alias.toAttribute)) match {
+          case (Some(m), Some(k)) if k > 0 && k <= MaxK =>
+            Some(build(w, order, alias, k, m))
           case _ => None
         }
       case _ => None
@@ -110,7 +123,7 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
   }
 
   private def build(w: Window, order: Seq[SortOrder], rnAlias: Alias,
-      k: Int): LogicalPlan = {
+      k: Int, mode: Mode): LogicalPlan = {
     // Spark's InferWindowGroupLimit may already sit below the Window:
     // its per-partition sorted prune becomes pure overhead once the
     // whole window is gone, so strip it when the spec matches
@@ -122,9 +135,20 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
     }
     val sortKeys = order.map(_.child)
     val payload = child.output
-    val agg = TopKRows(sortKeys ++ payload, sortKeys.length,
-      order.map(_.direction == Ascending),
-      order.map(_.nullOrdering == NullsFirst), k)
+    val asc = order.map(_.direction == Ascending)
+    val nf = order.map(_.nullOrdering == NullsFirst)
+    val agg = mode match {
+      case ModeRowNumber =>
+        TopKRows(sortKeys ++ payload, sortKeys.length, asc, nf, k)
+      case ModeRank =>
+        RankTopKRows(sortKeys ++ payload, sortKeys.length, asc, nf, k,
+          dense = false)
+      case ModeDenseRank =>
+        RankTopKRows(sortKeys ++ payload, sortKeys.length, asc, nf, k,
+          dense = true)
+    }
+    // RankTopKRows structs lead with the computed rank field
+    val fieldBase = if (mode == ModeRowNumber) 0 else 1
     val arr = Alias(agg.toAggregateExpression(), "graft_topk")()
     val partAttrs = w.partitionSpec.map(_.asInstanceOf[Attribute])
     val aggregate = Aggregate(partAttrs, partAttrs :+ arr, child)
@@ -145,11 +169,19 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
       // the name HINT must be the struct's real field name (c$i) —
       // GeneratorNestedColumnAliasing re-resolves extractors by the
       // hint, and a payload-column hint fails FIELD_NOT_FOUND
-      Alias(GetStructField(colAttr, sortKeys.length + i, Some(s"c$i")),
-        a.name)(exprId = a.exprId, qualifier = a.qualifier)
+      Alias(GetStructField(colAttr, fieldBase + sortKeys.length + i,
+        Some(s"c$i")), a.name)(exprId = a.exprId, qualifier = a.qualifier)
     }
-    val rn = Alias(Add(posAttr, Literal(1)), rnAlias.name)(
-      exprId = rnAlias.exprId, qualifier = rnAlias.qualifier)
+    // row_number comes back as explode position + 1; rank/dense_rank
+    // were computed inside the aggregate (field 0 of the struct)
+    val rn = mode match {
+      case ModeRowNumber =>
+        Alias(Add(posAttr, Literal(1)), rnAlias.name)(
+          exprId = rnAlias.exprId, qualifier = rnAlias.qualifier)
+      case _ =>
+        Alias(GetStructField(colAttr, 0, Some("rk")), rnAlias.name)(
+          exprId = rnAlias.exprId, qualifier = rnAlias.qualifier)
+    }
     Project(rebuilt :+ rn, gen)
   }
 }

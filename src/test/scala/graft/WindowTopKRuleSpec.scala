@@ -76,10 +76,31 @@ class WindowTopKRuleSpec extends SparkTestBase {
     assert(canon(r2) == canon(flipped))
   }
 
+  test("rank() and dense_rank() rewrite tie-aware (boundary ties kept)") {
+    // v = i/4 over a small domain → heavy ties, including at the
+    // boundary; rank<=k may keep MORE than k rows per group
+    for (seed <- Seq(8, 9); k <- Seq(1, 3)) {
+      val df = data(seed, 400)
+      val qr = df.withColumn("rn", rank().over(
+          Window.partitionBy("g").orderBy(desc("v"))))
+        .filter(col("rn") <= k)
+      val rr = WindowTopKRewrite(qr)
+      assert(!rr.queryExecution.optimizedPlan.toString.contains("Window"))
+      assert(rr.queryExecution.optimizedPlan.toString.contains("rank_topk_rows"))
+      assert(canon(rr) == canon(qr), s"rank seed=$seed k=$k")
+      val qd = df.withColumn("rn", dense_rank().over(
+          Window.partitionBy("g").orderBy(desc("v"))))
+        .filter(col("rn") <= k)
+      val rd = WindowTopKRewrite(qd)
+      assert(!rd.queryExecution.optimizedPlan.toString.contains("Window"))
+      assert(canon(rd) == canon(qd), s"dense seed=$seed k=$k")
+    }
+  }
+
   test("non-matching shapes are left untouched") {
     val df = data(5, 100)
-    // rank() is not row_number: no rewrite
-    val q1 = df.withColumn("rn", rank().over(
+    // ntile is not a supported ranking function: no rewrite
+    val q1 = df.withColumn("rn", ntile(4).over(
         Window.partitionBy("g").orderBy("v")))
       .filter(col("rn") <= 3)
     assert(WindowTopKRewrite(q1).queryExecution.optimizedPlan
