@@ -85,8 +85,8 @@ object Graft {
   val streams = graft.streaming.StreamOps
 
   // ---- plan-level ----
-  /** Window-top-k → bounded-heap aggregate rewrite; also usable
-    * one-shot: `WindowTopKRewrite(df)`. */
+  /** Window-top-k → bounded-buffer aggregate rewrite (row_number,
+    * rank, dense_rank); also usable one-shot: `WindowTopKRewrite(df)`. */
   val windowTopK = graft.plans.WindowTopKRewrite
 
   // ---- native expressions (Column forms) ----

@@ -549,6 +549,42 @@ object InfraQueries {
         .orderBy("user_id")
     }),
 
+    // Bitemporal as-of: VALID time (when a fact held in the world) ×
+    // TRANSACTION time (when we recorded it) — the two-axis form of
+    // time travel that SCD2 (q127/q198, transaction-time only) can't
+    // answer: "as of what we knew on T_tx, what was valid on T_v?"
+    // Versions built deterministically from orders (v2 = a correction
+    // recorded 10 days later for every 4th order, longer validity,
+    // +5 price). Visibility = latest tx ≤ T_tx per key (the latest-row
+    // idiom — goes through the WindowTopKRewrite in this harness),
+    // then the valid-interval filter. Scale: one key-partition
+    // window over 2|orders| version rows, no joins.
+    "q265_bitemporal_asof" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderdate").cast(DateType).as("vf"),
+        col("o_totalprice").as("price0"),
+        col("o_orderstatus").as("status0"))
+      val v1 = o.select(col("k"), lit(1L).as("version"),
+        col("vf").as("tx"), col("vf"), date_add(col("vf"), 30).as("vt"),
+        col("price0").as("price"), col("status0").as("status"))
+      val v2 = o.filter(col("k") % 4 === 0)
+        .select(col("k"), lit(2L).as("version"),
+          date_add(col("vf"), 10).as("tx"), col("vf"),
+          date_add(col("vf"), 45).as("vt"),
+          (col("price0") + 5.0).as("price"), lit("corrected").as("status"))
+      val asOfTx = lit("1996-06-01").cast(DateType)
+      val tv = lit("1996-06-10").cast(DateType)
+      v1.unionByName(v2).filter(col("tx") <= asOfTx)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("k")
+            .orderBy(desc("tx"), desc("version"))))
+        .filter(col("rn") === 1)
+        .filter(col("vf") <= tv && tv < col("vt"))
+        .select(col("k"), col("version"), col("vf"), col("vt"),
+          col("price"), col("status"))
+        .orderBy("k")
+    }),
+
     // Triangle counting by degree-oriented wedge join over the supplier
     // co-purchase graph (suppliers sharing an order, 1-in-7 order
     // sample to keep the projection sparse). Orientation makes the
@@ -1237,6 +1273,29 @@ object InfraQueries {
         |  COUNT(DISTINCT e.user_id)::BIGINT AS n_users
         |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q265_bitemporal_asof" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS vf,
+        |    o_totalprice AS price0, o_orderstatus AS status0
+        |  FROM orders),
+        |v AS (
+        |  SELECT k, 1 AS version, vf AS tx, vf,
+        |    CAST(vf + INTERVAL 30 DAY AS DATE) AS vt,
+        |    price0 AS price, status0 AS status
+        |  FROM o
+        |  UNION ALL
+        |  SELECT k, 2, CAST(vf + INTERVAL 10 DAY AS DATE), vf,
+        |    CAST(vf + INTERVAL 45 DAY AS DATE), price0 + 5.0, 'corrected'
+        |  FROM o WHERE k % 4 = 0),
+        |vis AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY k ORDER BY tx DESC, version DESC) AS rn
+        |    FROM v WHERE tx <= DATE '1996-06-01') WHERE rn = 1)
+        |SELECT k, CAST(version AS BIGINT) AS version, vf, vt, price, status
+        |FROM vis
+        |WHERE vf <= DATE '1996-06-10' AND DATE '1996-06-10' < vt
+        |ORDER BY k""".stripMargin,
     "q258_stream_left_outer" ->
       """WITH a AS (
         |  SELECT event_id AS a_id, user_id, ts AS a_ts
