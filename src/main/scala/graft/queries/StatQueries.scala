@@ -1520,6 +1520,51 @@ object StatQueries {
           col("l_extendedprice").cast(DoubleType).as("price"),
           col("rn").cast(LongType).as("rn"))
         .orderBy("l_suppkey", "rn")
+    }),
+
+    // CUPED variance reduction (Deng et al. 2013) — the experimentation
+    // platform's standard pre-period adjustment: per-user pre (days
+    // 1-15) and post (16+) dollar sums, pooled θ = cov(X,Y)/var(X),
+    // per-arm adjusted mean Ȳ_a − θ(X̄_a − X̄). All sums are integer
+    // dollars (n·Σxy ≤ ~3e15, safely in BIGINT AND below 2^53, so
+    // even the double conversions are exact); θ and the adjusted means
+    // are fixed chains of single IEEE ops over those exact integers —
+    // bit-identical on any engine, no epsilon anywhere. One user-level
+    // shuffle + one 1-row broadcast; arms are a second pass over the
+    // 1500-row user table.
+    "q266_cuped" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        (dayofmonth(col("ts")) <= 15).as("pre"),
+        floor(col("value")).cast(LongType).as("d"))
+      val u = e.groupBy("user_id").agg(
+        sum(when(col("pre"), col("d")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("d")).otherwise(0L)).as("y"))
+        .withColumn("arm", col("user_id") % 2)
+      val g = u.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      val arm = u.groupBy("arm").agg(count(lit(1)).as("na"),
+        sum("x").as("sxa"), sum("y").as("sya"))
+      val nm = col("n") * col("sxy") - col("sx") * col("sy")
+      val dn = col("n") * col("sxx") - col("sx") * col("sx")
+      val dy = col("n") * col("syy") - col("sy") * col("sy")
+      val theta = nm.cast(DoubleType) / dn.cast(DoubleType)
+      arm.crossJoin(broadcast(g))
+        .select(col("arm"), col("na"), col("sxa"), col("sya"),
+          nm.as("num"), dn.as("den_x"),
+          theta.as("theta"),
+          (nm.cast(DoubleType) * nm.cast(DoubleType) /
+            (dn.cast(DoubleType) * dy.cast(DoubleType))).as("var_reduction"),
+          (col("sya").cast(DoubleType) / col("na").cast(DoubleType))
+            .as("mean_y"),
+          ((col("sya").cast(DoubleType) / col("na").cast(DoubleType)) -
+            theta *
+              ((col("sxa").cast(DoubleType) / col("na").cast(DoubleType)) -
+                (col("sx").cast(DoubleType) / col("n").cast(DoubleType))))
+            .as("adj_mean"),
+          (nm > 0).as("corr_pos"))
+        .orderBy("arm")
     })
   )
 
@@ -2622,6 +2667,47 @@ object StatQueries {
         |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
         |      AS rn
         |  FROM lineitem)
-        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+    // same integer-dollar sums; every double is the same fixed chain
+    // of single IEEE ops over exact (< 2^53) integers
+    "q266_cuped" ->
+      """WITH e AS (
+        |  SELECT user_id, day(ts) <= 15 AS pre,
+        |    CAST(FLOOR(value) AS BIGINT) AS d
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN pre THEN d ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN NOT pre THEN d ELSE 0 END) AS BIGINT) AS y,
+        |    user_id % 2 AS arm
+        |  FROM e GROUP BY 1),
+        |g AS (
+        |  SELECT COUNT(*)::BIGINT AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM u),
+        |a AS (
+        |  SELECT arm, COUNT(*)::BIGINT AS na,
+        |    CAST(SUM(x) AS BIGINT) AS sxa, CAST(SUM(y) AS BIGINT) AS sya
+        |  FROM u GROUP BY 1)
+        |SELECT a.arm, a.na, a.sxa, a.sya,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |      * CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |      * CAST(n * syy - sy * sy AS DOUBLE)) AS var_reduction,
+        |  CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) AS mean_y,
+        |  (CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)) -
+        |    (CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |    ((CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)) -
+        |     (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS adj_mean,
+        |  n * sxy - sx * sy > 0 AS corr_pos
+        |FROM a, g ORDER BY a.arm""".stripMargin
   )
 }

@@ -641,6 +641,46 @@ object WindowQueries {
       daily
         .withColumn("cum_users", sum("new_users").over(w))
         .orderBy("event_type", "day")
+    }),
+
+    // Time-decay attribution (the half-life-weighted member of the
+    // family: q134 last-touch, q207 linear): a click/view touching a
+    // same-user purchase in the prior 28 days earns weight
+    // 2^(20 − Δweeks) — halving per week, EXACT powers of two as
+    // integers (a float pow() would be the classic cross-engine seam),
+    // so the per-kind weighted mass is an exact BIGINT and the share
+    // one division. User-keyed equi-join, touch window bounded.
+    "q267_timedecay_attribution" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val convs = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"),
+          col("ts").as("cts"))
+      val touches = e.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type").as("touch_kind"),
+          col("ts").as("tts"))
+      val pairs = convs.join(touches, Seq("user_id"))
+        .filter(col("tts") <= col("cts") &&
+          col("tts") > col("cts") - expr("INTERVAL 28 DAYS"))
+        .withColumn("cts_us",
+          graft.functions.BqShims.epochMicros(col("cts")))
+        .withColumn("tts_us",
+          graft.functions.BqShims.epochMicros(col("tts")))
+        .withColumn("wk", expr(
+          "CAST((cts_us - tts_us) div 604800000000 AS INT)"))
+        .withColumn("weight",
+          element_at(array(lit(1048576L), lit(524288L), lit(262144L),
+            lit(131072L)), col("wk") + 1))
+      val byKind = pairs.groupBy("touch_kind")
+        .agg(count(lit(1)).as("n_touches"),
+          count_distinct(col("conv_id")).as("n_convs"),
+          sum("weight").as("weighted_mass"))
+      val tot = byKind.agg(sum("weighted_mass").as("total_mass"))
+      byKind.crossJoin(broadcast(tot))
+        .select(col("touch_kind"), col("n_touches"), col("n_convs"),
+          col("weighted_mass"),
+          (col("weighted_mass").cast(DoubleType) /
+            col("total_mass").cast(DoubleType)).as("share"))
+        .orderBy("touch_kind")
     })
   )
 
@@ -1128,6 +1168,32 @@ object WindowQueries {
         |  CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_users
-        |FROM daily ORDER BY event_type, day""".stripMargin
+        |FROM daily ORDER BY event_type, day""".stripMargin,
+    // same exact power-of-two week weights, same epoch-microsecond
+    // week bucketing
+    "q267_timedecay_attribution" ->
+      """WITH convs AS (
+        |  SELECT user_id, event_id AS conv_id, ts AS cts
+        |  FROM events WHERE event_type = 'purchase'),
+        |touches AS (
+        |  SELECT user_id, event_type AS touch_kind, ts AS tts
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |pairs AS (
+        |  SELECT c.conv_id, t.touch_kind,
+        |    (epoch_us(c.cts) - epoch_us(t.tts)) // 604800000000 AS wk
+        |  FROM convs c JOIN touches t ON c.user_id = t.user_id
+        |  WHERE t.tts <= c.cts AND t.tts > c.cts - INTERVAL 28 DAY),
+        |byk AS (
+        |  SELECT touch_kind, COUNT(*)::BIGINT AS n_touches,
+        |    COUNT(DISTINCT conv_id)::BIGINT AS n_convs,
+        |    CAST(SUM(([1048576, 524288, 262144, 131072])[wk + 1])
+        |      AS BIGINT) AS weighted_mass
+        |  FROM pairs GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(weighted_mass) AS BIGINT) AS total_mass
+        |  FROM byk)
+        |SELECT touch_kind, n_touches, n_convs, weighted_mass,
+        |  CAST(weighted_mass AS DOUBLE) / CAST(total_mass AS DOUBLE)
+        |    AS share
+        |FROM byk, tot ORDER BY touch_kind""".stripMargin
   )
 }
