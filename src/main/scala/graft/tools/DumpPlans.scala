@@ -68,7 +68,11 @@ object DumpPlans {
       "q220_item_similarity" -> "within-order pair explode; degree equi-joins; no cartesian",
       "q254_jw_linkage" -> "blocked (brand,size) equi-join; codegen'd exact-integer JW inside the join project",
       "q256_matryoshka_recall" -> "broadcast query vectors; zip_with/aggregate integer dots in codegen; window only over scored pairs",
-      "q259_kn_bigram" -> "per-doc lead window; ONE (w1,w2) shuffle; vocab-sized marginal joins + 1-row type-count broadcast")
+      "q259_kn_bigram" -> "per-doc lead window; ONE (w1,w2) shuffle; vocab-sized marginal joins + 1-row type-count broadcast",
+      "q262_topk_rewrite" -> "window-top-k REWRITTEN: no Window node, topk_rows ObjectHashAggregate + posexplode",
+      "q265_bitemporal_asof" -> "2|orders| version rows, one key-partition top-1 (rewritten), valid filter",
+      "q266_cuped" -> "one user-level shuffle + 1-row stats broadcast; arms reuse the user table",
+      "q267_timedecay_attribution" -> "user-keyed equi-join, bounded touch window, exact pow2 weights")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.tools.DumpPlans` at sf0.01; regenerate with\n")
