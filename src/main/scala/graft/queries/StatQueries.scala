@@ -1006,6 +1006,27 @@ object StatQueries {
         .orderBy("level")
     }),
 
+    // l-diversity — k-anonymity's (q202) companion audit: a class can
+    // be k-large yet leak the sensitive attribute when every member
+    // shares it. Per quasi-identifier class (nation, 2000-wide balance
+    // band): distinct sensitive values l = COUNT(DISTINCT segment);
+    // nation-level rollup flags classes below l=3 and the row mass at
+    // risk. Two group-bys, all integers — scales as the class count.
+    "q268_l_diversity" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nation"),
+        floor(col("c_acctbal") / 2000).cast(LongType).as("band"),
+        col("c_mktsegment").as("seg"))
+      val cls = c.groupBy("nation", "band")
+        .agg(count(lit(1)).as("n"), count_distinct(col("seg")).as("l"))
+      cls.groupBy("nation").agg(
+          count(lit(1)).as("n_classes"),
+          min("l").as("min_l"),
+          count_if(col("l") < 3).as("classes_below"),
+          sum(when(col("l") < 3, col("n")).otherwise(0L)).as("rows_at_risk"))
+        .withColumn("diverse_ok", col("classes_below") === 0)
+        .orderBy("nation")
+    }),
+
     // A/B significance gate, integer-exact: a 2×2 contingency table
     // per event_type (variant = user parity, success = value above
     // threshold) and the chi-square decision at α=0.05 tested WITHOUT
@@ -2668,6 +2689,25 @@ object StatQueries {
         |      AS rn
         |  FROM lineitem)
         |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+    // same QI classes as the Spark side; pure integer rollup
+    "q268_l_diversity" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nation,
+        |    CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS band,
+        |    c_mktsegment AS seg
+        |  FROM customer),
+        |cls AS (
+        |  SELECT nation, band, COUNT(*)::BIGINT AS n,
+        |    COUNT(DISTINCT seg)::BIGINT AS l
+        |  FROM c GROUP BY 1, 2)
+        |SELECT nation, COUNT(*)::BIGINT AS n_classes,
+        |  CAST(MIN(l) AS BIGINT) AS min_l,
+        |  CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS classes_below,
+        |  CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) = 0 AS diverse_ok
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
     // same integer-dollar sums; every double is the same fixed chain
     // of single IEEE ops over exact (< 2^53) integers
     "q266_cuped" ->
