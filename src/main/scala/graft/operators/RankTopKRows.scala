@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Buffer: rows grouped by sort key in key order + total row count. */
-private[operators] final class RankBuf(
+private[graft] final class RankBuf(
     val groups: java.util.TreeMap[InternalRow, mutable.ArrayBuffer[InternalRow]]) {
   var total: Long = 0L
 }
