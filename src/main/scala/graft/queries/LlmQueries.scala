@@ -699,6 +699,26 @@ object LlmQueries {
         .orderBy("shard", "bin")
     }),
 
+    // Packing-efficiency audit over q59's concat packing: per shard,
+    // bins used vs the ceil(tokens/512) lower bound and the fill rate
+    // — the number that decides whether a packing strategy is wasting
+    // paid-for sequence capacity at training time. Integer rollup of
+    // the packed table; one division for the published rate.
+    "q269_packing_audit" -> ((s, dir) => {
+      SeqPack.pack(t(s, dir, "documents"),
+          TextStats.tokenCount(col("text")), seqLen = 512, nShards = 8)
+        .groupBy("shard").agg(
+          count_distinct(col("bin")).as("n_bins"),
+          sum("n_tok").as("tokens"),
+          count(lit(1)).as("n_docs"))
+        .withColumn("capacity", col("n_bins") * 512)
+        .withColumn("lb_bins", expr("CAST((tokens + 511) div 512 AS BIGINT)"))
+        .withColumn("overhead_bins", col("n_bins") - col("lb_bins"))
+        .withColumn("fill_rate", col("tokens").cast(DoubleType) /
+          col("capacity").cast(DoubleType))
+        .orderBy("shard")
+    }),
+
     // SemDeDup-style semantic dedup: deterministic sign-cell partition +
     // exact-cosine prune within cells; keeper = min vec_id per
     // neighborhood. Fully oracle-checked (the cell id and the decimal
@@ -2295,6 +2315,33 @@ object LlmQueries {
         |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM p GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    // same md5 shard + offset-bin construction as q59, rolled up
+    "q269_packing_audit" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |        + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 8 AS INTEGER) AS shard,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |p AS (
+        |  SELECT shard, doc_id, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM s),
+        |b AS (
+        |  SELECT shard, CAST(FLOOR(off / 512) AS BIGINT) AS bin, n_tok
+        |  FROM p),
+        |r AS (
+        |  SELECT shard, COUNT(DISTINCT bin)::BIGINT AS n_bins,
+        |    CAST(SUM(n_tok) AS BIGINT) AS tokens,
+        |    COUNT(*)::BIGINT AS n_docs
+        |  FROM b GROUP BY 1)
+        |SELECT shard, n_bins, tokens, n_docs,
+        |  CAST(n_bins * 512 AS BIGINT) AS capacity,
+        |  CAST((tokens + 511) // 512 AS BIGINT) AS lb_bins,
+        |  CAST(n_bins - (tokens + 511) // 512 AS BIGINT) AS overhead_bins,
+        |  CAST(tokens AS DOUBLE) / (n_bins * 512) AS fill_rate
+        |FROM r ORDER BY shard""".stripMargin,
     "q57_repetition" ->
       """WITH g AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
