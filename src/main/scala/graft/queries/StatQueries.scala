@@ -1543,6 +1543,58 @@ object StatQueries {
         .orderBy("l_suppkey", "rn")
     }),
 
+    // Kaplan-Meier survival of "time to repeat purchase" per market
+    // segment — right-censored at the corpus horizon, the estimator a
+    // retention team actually uses (naive repeat-rate ignores that
+    // recent cohorts haven't had TIME to repeat). Event times and
+    // at-risk counts are exact integers (events d_t, n_t = cum count
+    // of obs >= t from a per-cohort DESC window); S(h) at the 30/90/
+    // 180/365-day horizons is the ordered fold Π(1 − d_t/n_t) over
+    // t <= h — each factor one IEEE division, the fold in ascending-t
+    // order on both engines, so the doubles match bit-for-bit without
+    // any epsilon. Same-day second orders count as censored (the
+    // min(date > first) convention, mirrored in the oracle). One
+    // customer-level shuffle + per-cohort windows; cohorts are few.
+    "q270_km_survival" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders").select(col("o_custkey").as("ck"),
+        to_date(col("o_orderdate")).as("d"))
+      val first = o.groupBy("ck").agg(min("d").as("d1"))
+      val second = o.join(first, "ck").filter(col("d") > col("d1"))
+        .groupBy("ck").agg(min("d").as("d2"))
+      val maxd = o.agg(max("d").as("maxd"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("ck"), col("c_mktsegment").as("cohort"))
+      val obs = first.join(second, Seq("ck"), "left")
+        .join(cust, "ck").crossJoin(broadcast(maxd))
+        .select(col("cohort"),
+          when(col("d2").isNotNull, datediff(col("d2"), col("d1")))
+            .otherwise(datediff(col("maxd"), col("d1")))
+            .cast(LongType).as("obs"),
+          col("d2").isNotNull.as("event"))
+      val dist = obs.groupBy("cohort", "obs")
+        .agg(count(lit(1)).as("c"),
+          sum(when(col("event"), 1L).otherwise(0L)).as("d"))
+      val wGe = Window.partitionBy("cohort").orderBy(desc("obs"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val riskAt = dist.withColumn("n_risk", sum("c").over(wGe))
+        .filter(col("d") > 0)
+        .select(col("cohort"), col("obs").as("t"), col("d"), col("n_risk"))
+        .withColumn("f", (col("n_risk") - col("d")).cast(DoubleType) /
+          col("n_risk").cast(DoubleType))
+      def survAt(h: Int) = aggregate(
+        filter(col("tf"), x => x.getField("t") <= h),
+        lit(1.0), (acc, x) => acc * x.getField("f"))
+      riskAt.groupBy("cohort")
+        .agg(count(lit(1)).as("n_event_times"),
+          sum("d").as("n_events"),
+          array_sort(collect_list(struct(col("t"), col("f")))).as("tf"))
+        .select(col("cohort"), col("n_event_times"), col("n_events"),
+          survAt(30).as("surv_30"), survAt(90).as("surv_90"),
+          survAt(180).as("surv_180"), survAt(365).as("surv_365"))
+        .orderBy("cohort")
+    }),
+
     // CUPED variance reduction (Deng et al. 2013) — the experimentation
     // platform's standard pre-period adjustment: per-user pre (days
     // 1-15) and post (16+) dollar sums, pooled θ = cov(X,Y)/var(X),
@@ -2689,6 +2741,59 @@ object StatQueries {
         |      AS rn
         |  FROM lineitem)
         |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+    // same censoring convention, same integer risk sets, same
+    // ascending-t fold (list_reduce is a left fold; 1.0 prepended so
+    // an empty horizon folds to 1.0 exactly like Spark's init)
+    "q270_km_survival" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d
+        |  FROM orders),
+        |f1 AS (SELECT ck, MIN(d) AS d1 FROM o GROUP BY 1),
+        |s2 AS (
+        |  SELECT o.ck, MIN(o.d) AS d2
+        |  FROM o JOIN f1 ON o.ck = f1.ck AND o.d > f1.d1 GROUP BY 1),
+        |mx AS (SELECT MAX(d) AS maxd FROM o),
+        |obs AS (
+        |  SELECT c.c_mktsegment AS cohort,
+        |    CAST(CASE WHEN s2.d2 IS NOT NULL
+        |      THEN date_diff('day', f1.d1, s2.d2)
+        |      ELSE date_diff('day', f1.d1, mx.maxd) END AS BIGINT) AS obs,
+        |    s2.d2 IS NOT NULL AS event
+        |  FROM f1 LEFT JOIN s2 ON f1.ck = s2.ck
+        |  JOIN customer c ON c.c_custkey = f1.ck, mx),
+        |dist AS (
+        |  SELECT cohort, obs, COUNT(*)::BIGINT AS c,
+        |    CAST(SUM(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM obs GROUP BY 1, 2),
+        |risk AS (
+        |  SELECT cohort, obs AS t, d,
+        |    CAST(SUM(c) OVER (PARTITION BY cohort ORDER BY obs DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_risk
+        |  FROM dist),
+        |fct AS (
+        |  SELECT cohort, t, d, n_risk,
+        |    CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
+        |  FROM risk WHERE d > 0),
+        |coll AS (
+        |  SELECT cohort, COUNT(*)::BIGINT AS n_event_times,
+        |    CAST(SUM(d) AS BIGINT) AS n_events,
+        |    list(struct_pack(t := t, f := f) ORDER BY t) AS tf
+        |  FROM fct GROUP BY 1)
+        |SELECT cohort, n_event_times, n_events,
+        |  list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |    list_transform(list_filter(tf, x -> x.t <= 30), x -> x.f)),
+        |    (a, b) -> a * b) AS surv_30,
+        |  list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |    list_transform(list_filter(tf, x -> x.t <= 90), x -> x.f)),
+        |    (a, b) -> a * b) AS surv_90,
+        |  list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |    list_transform(list_filter(tf, x -> x.t <= 180), x -> x.f)),
+        |    (a, b) -> a * b) AS surv_180,
+        |  list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |    list_transform(list_filter(tf, x -> x.t <= 365), x -> x.f)),
+        |    (a, b) -> a * b) AS surv_365
+        |FROM coll ORDER BY cohort""".stripMargin,
     // same QI classes as the Spark side; pure integer rollup
     "q268_l_diversity" ->
       """WITH c AS (
