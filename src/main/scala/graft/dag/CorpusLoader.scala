@@ -634,16 +634,29 @@ object CorpusLoader {
     (CorpusResult(objects, outcomes.toSeq), execs.toSeq)
   }
 
-  /** Replace temp view `q` with its own collected rows (bounded by
-    * `capRows`); returns the row count. The fixture-mode materialization
-    * step shared by [[executeAll]] and the fused [[deployAndExecute]]. */
+  /** Replace temp view `q` with an EXECUTOR-RESIDENT materialization of
+    * its own rows (bounded by `capRows`); returns the row count. The
+    * fixture-mode step shared by [[executeAll]] and the fused
+    * [[deployAndExecute]].
+    *
+    * `localCheckpoint(eager)` computes the view once and pins its rows
+    * in executor block storage (memory-and-disk), truncating the
+    * lineage so every downstream view re-reads the materialized rows
+    * instead of re-executing the DAG prefix — the same job the old
+    * `limit.collect() + createDataFrame` round-trip did, but without
+    * funnelling every view's rows through the driver (the engine's one
+    * driver-side DAG bottleneck through r12; at a 100× corpus the
+    * collect path serializes the whole intermediate state on one
+    * process, while checkpoint blocks stay distributed). The cap stays
+    * a hard contract: limit(cap+1) bounds the materialized size even
+    * for a runaway view, and the count check still rejects overflow. */
   private def materializeFixture(spark: SparkSession, q: String, capRows: Int): Long = {
     val df = spark.table(q)
-    val rows = df.limit(capRows + 1).collect()
-    require(rows.length <= capRows, s"result exceeded $capRows rows")
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      .createOrReplaceTempView(q)
-    rows.length.toLong
+    val matd = df.limit(capRows + 1).localCheckpoint(true)
+    val n = matd.count()
+    require(n <= capRows, s"result exceeded $capRows rows")
+    matd.createOrReplaceTempView(q)
+    n
   }
 
   /** Recursively nullable-widened type (array containsNull, struct field

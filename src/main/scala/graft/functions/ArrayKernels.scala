@@ -120,6 +120,69 @@ case class Dist2Arr(left: Expression, right: Expression) extends ArrayKernel {
   override def prettyName: String = "dist2_arr"
 }
 
+/** qdot_arr(a, b): EXACT integer dot product of quantized arrays —
+  * Σ floor(aᵢ·2²⁰)·floor(bᵢ·2²⁰) as a long. The quantizer is floor of
+  * an exact double (v·2²⁰ is a pure exponent shift, never rounded), so
+  * every engine computes the same integers and the same sum — unlike a
+  * double→DECIMAL(30,15) cast, where Spark rounds the double's
+  * shortest decimal repr while DuckDB rounds its exact binary
+  * expansion (the seam that red-flagged q185 in r11). Integer addition
+  * is associative, so the value is also independent of row/partition
+  * order — the portability contract the ANN family's oracle gates
+  * need, at the cost of one tight codegen loop per pair instead of a
+  * per-element decimal add.
+  *
+  * Range: |floor(v·2²⁰)| < 2²⁰·max|v|; the sum of dim products stays
+  * well inside long for max|v| ≤ 2¹¹ and dim ≤ 2²² — far beyond any
+  * embedding this engine sees (unit-scale float32, dim ≤ 4096).
+  * Same unchecked same-length/no-null hot-path contract as the double
+  * kernels. */
+case class QDotArr(left: Expression, right: Expression) extends ArrayKernel {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override protected def combine(x: Double, y: Double): Double =
+    throw new IllegalStateException("QDotArr folds in long, not double")
+  override protected def combineCode(x: String, y: String): String =
+    throw new IllegalStateException("QDotArr folds in long, not double")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = elemIsFloat(left)
+    val rf = elemIsFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += math.floor(get(x, lf, i) * 1048576.0).toLong *
+        math.floor(get(y, rf, i) * 1048576.0).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val la = if (elemIsFloat(left)) s"(double) $a.getFloat" else s"$a.getDouble"
+      val rb = if (elemIsFloat(right)) s"(double) $b.getFloat" else s"$b.getDouble"
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $sum = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += (long) java.lang.Math.floor($la($i) * 1048576.0)
+         |    * (long) java.lang.Math.floor($rb($i) * 1048576.0);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QDotArr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "qdot_arr"
+}
+
 object ArrayKernels {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graft.ColumnShim
@@ -133,11 +196,17 @@ object ArrayKernels {
     ColumnShim.column(Dist2Arr(
       ColumnShim.expression(a), ColumnShim.expression(b)))
 
-  /** Register as SQL-callable `dot_arr(a, b)` / `dist2_arr(a, b)`. */
+  def qdotArr(a: Column, b: Column): Column =
+    ColumnShim.column(QDotArr(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Register as SQL-callable `dot_arr` / `dist2_arr` / `qdot_arr`. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_arr", exprs => DotArr(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dist2_arr", exprs => Dist2Arr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "qdot_arr", exprs => QDotArr(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -18,31 +18,40 @@ import org.apache.spark.sql.types._
   *    cosine re-ranks within buckets. Candidate generation is linear and
   *    the bucket join is an equi-join — the 100 TB path; no crossJoin.
   *
-  * Exact-cosine arithmetic: float products are computed in double (exact)
-  * and accumulated in decimal, so results are independent of row/partition
-  * order — required for the oracle hash-compare and for stable top-k
-  * cutoffs at scale.
+  * Exact-cosine arithmetic: each vector is quantized to floor(v·2²⁰)
+  * longs and dotted in exact integer arithmetic ([[dotExact]], the
+  * native [[graft.functions.QDotArr]] kernel) — order-independent
+  * (integer addition is associative) AND engine-independent (floor of
+  * an exact double shift computes the same integer on Spark and
+  * DuckDB), so results survive any partitioning and the oracle
+  * hash-compare. This retired the earlier DECIMAL(30,15) accumulator,
+  * whose double→decimal cast rounded differently across engines (the
+  * q185 r11 red): the floor(v·2^k) integer scheme proven by
+  * [[Pooling]]/q256 is now the ONLY exact-dot path in the library.
   */
 object Ann {
 
-  private val dec = DecimalType(30, 15)
+  /** EXACT integer dot product of two float-array columns:
+    * Σ floor(aᵢ·2²⁰)·floor(bᵢ·2²⁰), as a long. The 2⁻²⁰ quantization
+    * is ~10⁻⁵ of float32's own relative precision; the scale factor
+    * cancels in cosine ratios. */
+  def dotExact(a: Column, b: Column): Column =
+    graft.functions.ArrayKernels.qdotArr(a, b)
 
-  /** Fast (order-dependent, ±ulp) double dot product — use as a
-    * prefilter with a margin, never for final values. */
+  /** Squared L2 norm in the same quantized-integer scheme (long). */
+  def norm2Exact(a: Column): Column = dotExact(a, a)
+
+  /** Quantization scale for exact-integer MEANS (Lloyd centroids):
+    * 2⁴⁰, exact in double; matches [[Pooling]]'s accumulator. */
+  private[llm] val Q40 = math.pow(2, 40)
+
+  /** Fast (order-dependent, ±ulp) double dot product — the HOF
+    * reference the codegen'd [[graft.functions.DotArr]] kernel is
+    * bit-identity-tested against; prefilter use only. */
   def dotDouble(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
-
-  /** Exact order-independent dot product of two float-array columns. */
-  def dotDecimal(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(java.math.BigDecimal.ZERO).cast(dec),
-      (acc, x) => (acc + x.cast(dec)).cast(dec))
-
-  /** Squared L2 norm, same exact-decimal scheme. */
-  def norm2Decimal(a: Column): Column = dotDecimal(a, a)
 
   /** Materialize a SMALL frame (centroids/codebooks — bounded by
     * construction, never data-sized) as a local relation: multi-consumer
@@ -53,7 +62,8 @@ object Ann {
     df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
-  /** Cosine similarity from precomputed decimal dot + norms. */
+  /** Cosine similarity from precomputed exact-integer dot + norms
+    * (the 2⁴⁰ quantization scale cancels in the ratio). */
   def cosineFrom(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast(DoubleType) / (sqrt(n2a.cast(DoubleType)) * sqrt(n2b.cast(DoubleType)))
 
@@ -61,11 +71,11 @@ object Ann {
     * (id, embedding)). Queries must be small/broadcastable. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      norm2Decimal(col("embedding")).as("cn2"))
+      norm2Exact(col("embedding")).as("cn2"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-      norm2Decimal(col("embedding")).as("qn2"))
+      norm2Exact(col("embedding")).as("qn2"))
     val scored = c.join(broadcast(q), col("cid") =!= col("qid"))
-      .withColumn("dot", dotDecimal(col("qe"), col("ce")))
+      .withColumn("dot", dotExact(col("qe"), col("ce")))
       .withColumn("cosine", cosineFrom(col("dot"), col("qn2"), col("cn2")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
@@ -77,7 +87,7 @@ object Ann {
     * vector, the k nearest candidates with a DIFFERENT label — the
     * "looks similar, means different" pairs a contrastive/embedding
     * fine-tune wants (in-batch negatives are mostly easy; these are
-    * the informative ones). Same decimal-exact cosine and tie order as
+    * the informative ones). Same exact-integer cosine and tie order as
     * [[bruteForceTopK]], plus the label-mismatch join predicate.
     *
     * Scale: the query set broadcasts (bounded by contract, like the
@@ -85,12 +95,12 @@ object Ann {
     * bucket probes instead and this exact form is their recall oracle. */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("cid"), col("label").as("clabel"),
-      col("embedding").as("ce"), norm2Decimal(col("embedding")).as("cn2"))
+      col("embedding").as("ce"), norm2Exact(col("embedding")).as("cn2"))
     val q = queries.select(col("vec_id").as("qid"), col("label").as("qlabel"),
-      col("embedding").as("qe"), norm2Decimal(col("embedding")).as("qn2"))
+      col("embedding").as("qe"), norm2Exact(col("embedding")).as("qn2"))
     val scored = c.join(broadcast(q),
       col("cid") =!= col("qid") && col("clabel") =!= col("qlabel"))
-      .withColumn("dot", dotDecimal(col("qe"), col("ce")))
+      .withColumn("dot", dotExact(col("qe"), col("ce")))
       .withColumn("cosine", cosineFrom(col("dot"), col("qn2"), col("cn2")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
@@ -158,14 +168,17 @@ object Ann {
 
   /** Nearest `n` centroid cells per row. The side's squared norm is the
     * PRECOMPUTED `n2Col` (computing it inside this broadcast join would
-    * redo the decimal array fold once per centroid). Cell assignment is
+    * redo the exact-dot array fold once per centroid). Cell assignment is
     * an approximate routing decision, so double arithmetic is enough. */
   private[llm] def nearestCells(side: DataFrame, idCol: String, embCol: String,
       n2Col: String, n: Int, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy(col("cell_cos").desc, col("cell"))
     side.crossJoin(broadcast(centroids))
+      // n2Col is the quantized norm² (×2⁴⁰) while the centroid dot is
+      // unscaled — the exact 2²⁰ factor restores true-cosine units (a
+      // per-row constant either way, so ranking is unaffected)
       .withColumn("cell_cos",
-        graft.functions.ArrayKernels.dotArr(col(embCol), col("centroid")) /
+        graft.functions.ArrayKernels.dotArr(col(embCol), col("centroid")) * lit(1048576.0) /
           (sqrt(col(n2Col).cast(DoubleType)) * sqrt(col("centn2"))))
       .withColumn("cell_rank", row_number().over(w))
       .filter(col("cell_rank") <= n)
@@ -180,11 +193,17 @@ object Ann {
     assigned
       .select(col("cell"), posexplode(col("ce")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
-      // decimal mean: double-sum order varies with partitioning, and a
-      // ~1e-16 centroid wobble can flip a near-tied cell assignment —
-      // decimal accumulation makes the whole IVF build bit-deterministic
+      // exact-integer mean (the Pooling scheme): double-sum order varies
+      // with partitioning, and a ~1e-16 centroid wobble can flip a
+      // near-tied cell assignment — summing floor(v·2⁴⁰) integers in
+      // DECIMAL(38,0) (unbounded cell sizes at corpus scale would
+      // overflow a long sum) makes the whole IVF build bit-deterministic
       // (required for the pinned-recall oracle gate)
-      .agg(avg(col("v").cast(DoubleType).cast(dec)).cast(DoubleType).as("m"))
+      .agg(sum(floor(col("v").cast(DoubleType) * lit(Q40))
+          .cast(DecimalType(38, 0))).as("s"), count(lit(1)).as("n"))
+      .select(col("cell"), col("pos"),
+        (col("s").cast(DoubleType) /
+          (col("n").cast(DoubleType) * lit(Q40))).as("m"))
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         e => e.getField("m")).as("centroid"))
@@ -196,8 +215,9 @@ object Ann {
     * vectors and refined with `kmeansIters` Lloyd steps; the corpus is
     * assigned once to its nearest cell, each query probes its `nProbe`
     * nearest cells, and candidates are re-ranked two-phase (double
-    * prefilter keeps top k+8 per query — ≫ the ~1e-12 double/decimal
-    * drift — then exact decimal on survivors, the q81 scheme).
+    * prefilter keeps top k+8 per query — covering the ≤ ~1e-4
+    * double-vs-quantized cosine drift — then the exact integer dot on
+    * survivors, the q81 scheme).
     *
     * Scale: centroid build is bounded work (broadcast assignments, one
     * elementwise-mean shuffle per iteration); probing turns all-pairs
@@ -222,31 +242,34 @@ object Ann {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 1): DataFrame = {
     val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      norm2Decimal(col("embedding")).as("cn2"))
+      norm2Exact(col("embedding")).as("cn2"))
     val centroids = cellCentroids(c, corpus, nCells, kmeansIters)
     val assigned = nearestCells(c, "cid", "ce", "cn2", 1, centroids)
     val probed = nearestCells(
       queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        norm2Decimal(col("embedding")).as("qn2")), "qid", "qe", "qn2", nProbe, centroids)
+        norm2Exact(col("embedding")).as("qn2")), "qid", "qe", "qn2", nProbe, centroids)
     ivfRerank(assigned, probed, k)
   }
 
   /** In-cell candidate re-rank shared by [[ivfTopK]] and
     * [[ivfTopKFromIndex]]: fast double-dot prune to k+8, then exact
-    * decimal cosine for the final ordering. */
+    * integer cosine for the final ordering. */
   private def ivfRerank(assigned: DataFrame, probed: DataFrame, k: Int): DataFrame = {
     val joined = assigned.join(probed, Seq("cell"))
       .filter(col("cid") =!= col("qid"))
       // native codegen'd dot (bit-identical summation to dotDouble) —
-      // the HOF chain allocates an intermediate array per candidate row
+      // the HOF chain allocates an intermediate array per candidate row.
+      // Both norms are quantized (×2⁴⁰ each) while the double dot is
+      // unscaled; the exact 2⁴⁰ factor keeps cos_fast in true-cosine
+      // units (rank-equivalent either way).
       .withColumn("cos_fast",
-        graft.functions.ArrayKernels.dotArr(col("qe"), col("ce")) /
+        graft.functions.ArrayKernels.dotArr(col("qe"), col("ce")) * Q40 /
           (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
     val wFast = Window.partitionBy("qid").orderBy(col("cos_fast").desc, col("cid"))
     val pruned = joined.withColumn("fast_rank", row_number().over(wFast))
       .filter(col("fast_rank") <= k + 8)
     val scored = pruned
-      .withColumn("dot", dotDecimal(col("qe"), col("ce")))
+      .withColumn("dot", dotExact(col("qe"), col("ce")))
       .withColumn("cosine", cosineFrom(col("dot"), col("qn2"), col("cn2")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
@@ -262,7 +285,7 @@ object Ann {
   def writeIvfIndex(corpus: DataFrame, nCells: Int, kmeansIters: Int,
       path: String): Unit = {
     val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      norm2Decimal(col("embedding")).as("cn2"))
+      norm2Exact(col("embedding")).as("cn2"))
     val centroids = cellCentroids(c, corpus, nCells, kmeansIters)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     nearestCells(c, "cid", "ce", "cn2", 1, centroids)
@@ -280,7 +303,7 @@ object Ann {
     val centroids = pin(spark.read.parquet(s"$path/centroids"))
     val probed = nearestCells(
       queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        norm2Decimal(col("embedding")).as("qn2")), "qid", "qe", "qn2", nProbe, centroids)
+        norm2Exact(col("embedding")).as("qn2")), "qid", "qe", "qn2", nProbe, centroids)
     // bounded collect: at most |queries| * nProbe cell ids
     val touched = probed.select("cell").distinct().collect()
       .map(_.get(0).toString.toLong)
@@ -321,12 +344,12 @@ object Ann {
         struct(lit(t).as("t"), lshSignature(emb, nBits, t * nBits).as("sig"))
       }: _*)
     val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      norm2Decimal(col("embedding")).as("cn2"),
+      norm2Exact(col("embedding")).as("cn2"),
       explode(sigs(col("embedding"))).as("ts"))
       .select(col("cid"), col("ce"), col("cn2"),
         concat_ws(":", col("ts.t"), col("ts.sig")).as("bucket"))
     val qBase = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-      norm2Decimal(col("embedding")).as("qn2"),
+      norm2Exact(col("embedding")).as("qn2"),
       explode(sigs(col("embedding"))).as("ts"))
       .select(col("qid"), col("qe"), col("qn2"),
         col("ts.t").as("t"), col("ts.sig").as("sig"))
@@ -345,19 +368,20 @@ object Ann {
       .dropDuplicates("qid", "cid")
     // two-phase re-rank (same shape as ivfTopK): a cheap double-precision
     // cosine prunes the candidate set to k+8 per query, and only the
-    // survivors pay the decimal-exact dot — at scale the candidate volume
+    // survivors pay the exact integer dot — at scale the candidate volume
     // is (nBits+1)·nTables·occupancy per query, so keeping the exact
     // arithmetic off that path is what makes the re-rank affordable
     val wFast = Window.partitionBy("qid").orderBy(col("cos_fast").desc, col("cid"))
     val pruned = cand
-      // native codegen'd dot, bit-identical to dotDouble (see ivfTopK)
+      // native codegen'd dot, bit-identical to dotDouble (see ivfTopK);
+      // same exact 2⁴⁰ rescale to true-cosine units as ivfRerank
       .withColumn("cos_fast",
-        graft.functions.ArrayKernels.dotArr(col("qe"), col("ce")) /
+        graft.functions.ArrayKernels.dotArr(col("qe"), col("ce")) * Q40 /
           (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
       .withColumn("fast_rank", row_number().over(wFast))
       .filter(col("fast_rank") <= k + 8)
     val scored = pruned
-      .withColumn("dot", dotDecimal(col("qe"), col("ce")))
+      .withColumn("dot", dotExact(col("qe"), col("ce")))
       .withColumn("cosine", cosineFrom(col("dot"), col("qn2"), col("cn2")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import Ann.{cosineFrom, dotDecimal, norm2Decimal}
+import Ann.{cosineFrom, dotExact, norm2Exact, Q40}
 
 /** Product-quantization ANN: each corpus vector is compressed to `m`
   * small codes (one per embedding subspace), queries score candidates
@@ -29,8 +29,6 @@ import Ann.{cosineFrom, dotDecimal, norm2Decimal}
   * holds a subspace, cell, or candidate set in driver memory.
   */
 object Pq {
-
-  private val dec = DecimalType(30, 15)
 
   // native codegen'd kernel (bit-identical to the HOF fold it replaced):
   // k-means assignment evaluates this ksub times per (row, subspace, iter)
@@ -67,9 +65,13 @@ object Pq {
           min_by(col("sv"), struct(col("d"), col("code"))).as("sv"))
       assigned
         .select(col("j"), col("code"), posexplode(col("sv")))
-        // decimal mean — order-independent (see Ann.lloydStep)
+        // exact-integer mean — order-independent (see Ann.lloydStep)
         .groupBy(col("j"), col("code"), col("pos"))
-        .agg(avg(col("col").cast(dec)).cast(DoubleType).as("mu"))
+        .agg(sum(floor(col("col") * lit(Q40)).cast(DecimalType(38, 0))).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("j"), col("code"), col("pos"),
+          (col("s").cast(DoubleType) /
+            (col("n").cast(DoubleType) * lit(Q40))).as("mu"))
         .groupBy(col("j"), col("code"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
           e => e.getField("mu")).as("cvec"))
@@ -101,8 +103,8 @@ object Pq {
     val lut = subspaces(queries, dim, m, "qid")
       .join(broadcast(books), "j")
       .select(col("qid"), col("j"), col("code"),
-        graft.functions.ArrayKernels.dotArr(col("sv"), col("cvec")).as("pdot"),
-        graft.functions.ArrayKernels.dotArr(col("cvec"), col("cvec")).as("cpart"))
+        graft.functions.ArrayKernels.qdotArr(col("sv"), col("cvec")).as("pdot"),
+        graft.functions.ArrayKernels.qdotArr(col("cvec"), col("cvec")).as("cpart"))
     // ADC: approximate dot = sum of LUT entries selected by the codes;
     // ranking proxy is cosine against the RECONSTRUCTED vector (norm² =
     // Σ centroid-part norms), so high-norm corpus vectors don't crowd
@@ -110,10 +112,11 @@ object Pq {
     val approx = codes.join(broadcast(lut), Seq("j", "code"))
       .filter(col("cid") =!= col("qid"))
       .groupBy(col("qid"), col("cid"))
-      // decimal sums: the m partial dots must accumulate order-independently
-      // or a near-tied ADC rank can flip run-to-run (see Ann.lloydStep)
-      .agg((sum(col("pdot").cast(dec)).cast(DoubleType) /
-        sqrt(greatest(sum(col("cpart").cast(dec)).cast(DoubleType), lit(1e-12)))).as("adot"))
+      // long sums of exact-integer partial dots: the m terms accumulate
+      // order-independently (integer addition), so a near-tied ADC rank
+      // can never flip run-to-run (see Ann scaladoc)
+      .agg((sum(col("pdot")).cast(DoubleType) /
+        sqrt(greatest(sum(col("cpart")), lit(1L)).cast(DoubleType))).as("adot"))
     val wApprox = Window.partitionBy("qid").orderBy(col("adot").desc, col("cid"))
     val candidates = approx.withColumn("arank", row_number().over(wApprox))
       .filter(col("arank") <= refine * k)
@@ -121,16 +124,16 @@ object Pq {
     exactRerank(candidates, corpus, queries, k)
   }
 
-  /** Exact decimal re-rank of (qid, cid) survivors only — the q81
+  /** Exact integer-dot re-rank of (qid, cid) survivors only — the q81
     * two-phase trick; touches `refine·k` rows per query. */
   private def exactRerank(candidates: DataFrame, corpus: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      norm2Decimal(col("embedding")).as("cn2"))
+      norm2Exact(col("embedding")).as("cn2"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-      norm2Decimal(col("embedding")).as("qn2"))
+      norm2Exact(col("embedding")).as("qn2"))
     val scored = candidates.join(c, "cid").join(broadcast(q), "qid")
-      .withColumn("dot", dotDecimal(col("qe"), col("ce")))
+      .withColumn("dot", dotExact(col("qe"), col("ce")))
       .withColumn("cosine", cosineFrom(col("dot"), col("qn2"), col("cn2")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
@@ -147,7 +150,7 @@ object Pq {
     * float embedding — at dim=64/m=8 and nProbe/nCells=1/2 that is a
     * ~32× drop in scanned bytes before the exact re-rank, which still
     * touches only `refine·k` full vectors per query. Same deterministic
-    * builds (decimal Lloyd means, pinned centroids/codebooks) as the
+    * builds (exact-integer Lloyd means, pinned centroids/codebooks) as the
     * component operators, so the whole path is bit-reproducible and a
     * pinned-recall oracle can gate it.
     *
@@ -162,9 +165,9 @@ object Pq {
       lloydIters: Int = 1, kmeansIters: Int = 1, refine: Int = 4): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      norm2Decimal(col("embedding")).as("cn2"))
+      norm2Exact(col("embedding")).as("cn2"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-      norm2Decimal(col("embedding")).as("qn2"))
+      norm2Exact(col("embedding")).as("qn2"))
     // coarse routing: corpus→1 cell, query→nProbe cells
     val centroids = Ann.cellCentroids(c, corpus, nCells, kmeansIters)
     val assigned = Ann.nearestCells(c, "cid", "ce", "cn2", 1, centroids)
@@ -179,15 +182,15 @@ object Pq {
     val lut = subspaces(queries, dim, m, "qid")
       .join(broadcast(books), "j")
       .select(col("qid"), col("j"), col("code"),
-        graft.functions.ArrayKernels.dotArr(col("sv"), col("cvec")).as("pdot"),
-        graft.functions.ArrayKernels.dotArr(col("cvec"), col("cvec")).as("cpart"))
+        graft.functions.ArrayKernels.qdotArr(col("sv"), col("cvec")).as("pdot"),
+        graft.functions.ArrayKernels.qdotArr(col("cvec"), col("cvec")).as("cpart"))
     // ADC over probed cells only: the cell equi-join IS the IVF prune
     val approx = codes.join(probed, "cell")
       .join(broadcast(lut), Seq("qid", "j", "code"))
       .filter(col("cid") =!= col("qid"))
       .groupBy(col("qid"), col("cid"))
-      .agg((sum(col("pdot").cast(dec)).cast(DoubleType) /
-        sqrt(greatest(sum(col("cpart").cast(dec)).cast(DoubleType), lit(1e-12)))).as("adot"))
+      .agg((sum(col("pdot")).cast(DoubleType) /
+        sqrt(greatest(sum(col("cpart")), lit(1L)).cast(DoubleType))).as("adot"))
     val wApprox = Window.partitionBy("qid").orderBy(col("adot").desc, col("cid"))
     val candidates = approx.withColumn("arank", row_number().over(wApprox))
       .filter(col("arank") <= refine * k)

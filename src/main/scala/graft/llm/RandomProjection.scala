@@ -13,15 +13,21 @@ import org.apache.spark.sql.types._
   * formula — the matrix needs no storage at all.
   *
   * Numeric portability: each projected coordinate is
-  * Σ_i v_i·s(i,j) / √d, accumulated in DECIMAL(30,15) (the q74/q81
-  * exact-cosine idiom) so the sum is order-independent under any
-  * partitioning, then one IEEE divide by √d.
+  * Σ_i v_i·s(i,j) / √d, accumulated as floor(v·2²⁰)·s longs (the
+  * Ann/Pooling exact-integer idiom — the former DECIMAL(30,15)
+  * accumulator carried a cross-engine double→decimal rounding seam),
+  * so the sum is exact, order-independent under any partitioning, and
+  * bit-identical on every engine; one IEEE divide by 2²⁰·√d at the
+  * end. Long range: the sum is bounded by dim·2²⁰·max|v| — overflow
+  * needs dim beyond 2⁴² at unit-scale inputs.
   *
   * Scale shape: explode(vec) × broadcast(sign rows) × sum — one
   * narrow join against a ≤ dim·d row literal matrix, one partial-agg
   * shuffle by (vec, j). Linear in corpus size.
   */
 object RandomProjection {
+
+  private val Q20 = 1048576.0 // 2^20, exact in double
 
   /** Project `embedding` arrays to `d` dims. Returns (idCol, j, p) —
     * one row per output coordinate, j in [0, d). */
@@ -40,14 +46,13 @@ object RandomProjection {
       .select(col(idCol), (col("pos") + 1).as("i"), col("col").as("v"))
     el.join(broadcast(signs), "i")
       .groupBy(col(idCol), col("j"))
-      .agg(sum((col("v").cast(DoubleType) * col("s"))
-        .cast(DecimalType(30, 15))).as("acc"))
+      .agg(sum(floor(col("v").cast(DoubleType) * lit(Q20)).cast(LongType)
+        * col("s")).as("acc"))
       .select(col(idCol), col("j"),
-        // round at 6dp (the q63 idiom): the exact decimal accumulation is
-        // order-independent, but the double->decimal cast of each term
-        // can differ from DuckDB's in the 15th digit — rounding makes
-        // the published coordinate identical on both engines
-        round(col("acc").cast(DoubleType) / lit(math.sqrt(d.toDouble)), 6)
+        // round at 6dp (the q63 idiom): the integer accumulation is
+        // exact on both engines; rounding pins the published coordinate
+        // to a comparator-stable width
+        round(col("acc").cast(DoubleType) / lit(Q20 * math.sqrt(d.toDouble)), 6)
           .as("p"))
   }
 }

@@ -58,18 +58,21 @@ object SemDedup {
     * `kept = 1` iff no same-cell neighbor with a smaller vec_id has
     * cosine >= tau. Two-phase arithmetic: every within-cell pair is
     * pruned by the codegen'd double kernel ([[ArrayKernels.dotArr]])
-    * at `tau - 1e-6`, and only survivors pay the exact-decimal
-    * dot/norm (shared with the ANN paths) that makes the tau boundary
-    * bit-reproducible. A double dot over unit-scale dim≤1024 floats is
-    * accurate to ~1e-12 relative, so the 1e-6 margin cannot drop a
-    * pair whose exact cosine reaches tau — results are bit-identical
-    * to the single-phase decimal version (spec-asserted), while the
-    * hot O(pairs) loop stays in whole-stage codegen. */
+    * at `tau - 1e-3`, and only survivors pay the exact-integer
+    * dot/norm (floor(v·2²⁰) quantized longs, shared with the ANN
+    * paths) that makes the tau boundary bit-reproducible across
+    * engines AND partitionings. The double prefilter tracks the TRUE
+    * cosine to ~1e-12; the quantized cosine differs from the true one
+    * by at most ~dim·2⁻²⁰/(|a||b|) ≈ 1e-4 at dim 64, so the 1e-3
+    * margin cannot drop a pair whose exact quantized cosine reaches
+    * tau — results are bit-identical to the single-phase integer
+    * version (spec-asserted), while the hot O(pairs) loop stays in
+    * whole-stage codegen. */
   def dedup(embeddings: DataFrame, tau: Double, signBits: Int = 8): DataFrame = {
     val base = embeddings.select(
       col("vec_id"), col("embedding"),
       signCell(col("embedding"), signBits).as("cell"),
-      Ann.norm2Decimal(col("embedding")).as("n2"),
+      Ann.norm2Exact(col("embedding")).as("n2"),
       sqrt(graft.functions.ArrayKernels.dotArr(col("embedding"), col("embedding")))
         .as("nd"))
     val a = base.select(col("cell"), col("vec_id").as("aid"),
@@ -81,9 +84,9 @@ object SemDedup {
     val prior = a.join(b, Seq("cell"))
       .filter(col("aid") < col("bid"))
       .filter(graft.functions.ArrayKernels.dotArr(col("ae"), col("be")) >=
-        (col("nda") * col("ndb")) * lit(tau - 1e-6))
+        (col("nda") * col("ndb")) * lit(tau - 1e-3))
       .withColumn("cosine",
-        Ann.cosineFrom(Ann.dotDecimal(col("ae"), col("be")), col("an2"), col("bn2")))
+        Ann.cosineFrom(Ann.dotExact(col("ae"), col("be")), col("an2"), col("bn2")))
       .filter(col("cosine") >= tau)
       .groupBy(col("bid").as("vec_id"))
       .agg(max(col("cosine")).as("max_prior_cos"))

@@ -364,8 +364,8 @@ object LlmQueries {
         .orderBy(col("n").desc, col("sig"))
     }),
 
-    // ANN baseline: exact cosine top-3 for queries vec_id < 5, decimal
-    // dot products → engine-identical ranking.
+    // ANN baseline: exact cosine top-3 for queries vec_id < 5, exact
+    // integer dot products → engine-identical ranking.
     "q74_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
@@ -434,7 +434,7 @@ object LlmQueries {
 
     // IVF-PQ composition (the canonical 100 TB ANN layout): coarse
     // cells prune the scan to nProbe/nCells of the corpus, PQ codes
-    // bound the bytes per scanned vector, exact decimal re-rank of
+    // bound the bytes per scanned vector, exact integer re-rank of
     // survivors — reported as a pinned recall@3 gate like q75/q82/q86.
     "q116_ann_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -447,27 +447,32 @@ object LlmQueries {
 
     // Embedding-cosine near-dup dedup: label-blocked exact cosine pairs
     // (the brief's "embedding-cosine near-dup" method; blocking plays the
-    // LSH-bucket role — q75 is the unblocked approximate path). Decimal
-    // dot products → engine-identical values.
+    // LSH-bucket role — q75 is the unblocked approximate path). Exact
+    // integer dot products (floor(v·2^20) longs) → engine-identical
+    // values.
     "q81_embedding_neardup" -> ((s, dir) => {
       graft.functions.DotProductF32.register(s)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding"),
-          Ann.norm2Decimal(col("embedding")).as("n2"))
+          Ann.norm2Exact(col("embedding")).as("n2"))
       val a = e.select(col("vec_id").as("va"), col("label"),
         col("embedding").as("ea"), col("n2").as("na"))
       val b = e.select(col("vec_id").as("vb"), col("label"),
         col("embedding").as("eb"), col("n2").as("nb"))
       a.join(b, Seq("label")).filter(col("va") < col("vb"))
         // two-phase: the native codegen'd dot (bit-identical to the HOF
-        // double fold) prunes ~99% of pairs with a 1e-6 margin (≫ the
-        // ~1e-12 double-vs-decimal drift, so no exact-filter survivor is
-        // lost); exact decimal only on survivors
+        // double fold) prunes ~99% of pairs with a 1e-3 margin (covering
+        // the ≤ ~1e-4 double-vs-quantized cosine drift, so no
+        // exact-filter survivor is lost); the exact integer dot only on
+        // survivors
+        // na/nb are the quantized norm² longs (scaled by 2^40); the float
+        // dot is unscaled, so restore true-cosine units with one exact
+        // 2^40 factor before thresholding
         .withColumn("cos_fast",
-          expr("dot_f32(ea, eb)") /
+          expr("dot_f32(ea, eb)") * lit(math.pow(2, 40)) /
             (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
-        .filter(col("cos_fast") >= 0.3 - 1e-6)
-        .withColumn("dot", Ann.dotDecimal(col("ea"), col("eb")))
+        .filter(col("cos_fast") >= 0.3 - 1e-3)
+        .withColumn("dot", Ann.dotExact(col("ea"), col("eb")))
         .withColumn("cosine", Ann.cosineFrom(col("dot"), col("na"), col("nb")))
         .filter(col("cosine") >= 0.3)
         .select(col("va").as("vec_a"), col("vb").as("vec_b"),
@@ -745,8 +750,9 @@ object LlmQueries {
     // Johnson–Lindenstrauss ±1 random projection (Achlioptas form) —
     // 64-dim embeddings down to 8 dims through an md5-DERIVED sign
     // matrix: no RNG, no stored matrix, identical on every engine.
-    // DECIMAL-accumulated sums (the exact-cosine idiom) keep each
-    // coordinate order-independent; one divide by √d at the end.
+    // floor(v·2^20)·s integer sums (the exact-cosine idiom) keep each
+    // coordinate exact and order-independent; one divide by 2^20·√d at
+    // the end.
     "q160_random_projection" -> ((s, dir) => {
       graft.llm.RandomProjection.project(
           t(s, dir, "embeddings").filter(col("vec_id") < 200),
@@ -1528,7 +1534,8 @@ object LlmQueries {
     * the dense half of the q138 hybrid oracle. */
   private def annBruteSql(ids: Seq[Int], k: Int): String =
     s"""WITH norms AS (
-       |  SELECT vec_id, SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS n2
+       |  SELECT vec_id, SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT)
+       |      * CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS n2
        |  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY vec_id),
        |el AS (
        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
@@ -1536,7 +1543,8 @@ object LlmQueries {
        |  FROM embeddings q JOIN embeddings c
        |    ON q.vec_id IN (${ids.mkString(", ")}) AND c.vec_id != q.vec_id),
        |dots AS (
-       |  SELECT qid, cid, SUM(CAST(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE) AS DECIMAL(30,15))) AS dot
+       |  SELECT qid, cid, SUM(CAST(FLOOR(CAST(qv AS DOUBLE) * 1048576) AS BIGINT)
+       |      * CAST(FLOOR(CAST(cv AS DOUBLE) * 1048576) AS BIGINT)) AS dot
        |  FROM el GROUP BY qid, cid),
        |scored AS (
        |  SELECT d.qid, d.cid,
@@ -1596,14 +1604,16 @@ object LlmQueries {
 
   private def annRecallOracle(qFilter: String, k: Int, nHits: Int): String =
     s"""WITH norms AS (
-       |  SELECT vec_id, SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS n2
+       |  SELECT vec_id, SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT)
+       |      * CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS n2
        |  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY vec_id),
        |el AS (
        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
        |    unnest(q.embedding) AS qv, unnest(c.embedding) AS cv
        |  FROM embeddings q JOIN embeddings c ON $qFilter AND c.vec_id != q.vec_id),
        |dots AS (
-       |  SELECT qid, cid, SUM(CAST(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE) AS DECIMAL(30,15))) AS dot
+       |  SELECT qid, cid, SUM(CAST(FLOOR(CAST(qv AS DOUBLE) * 1048576) AS BIGINT)
+       |      * CAST(FLOOR(CAST(cv AS DOUBLE) * 1048576) AS BIGINT)) AS dot
        |  FROM el GROUP BY qid, cid),
        |scored AS (
        |  SELECT d.qid, d.cid,
@@ -1819,8 +1829,8 @@ object LlmQueries {
         |  FROM generate_series(1, 64) gi(i)
         |  CROSS JOIN generate_series(0, 7) gj(j))
         |SELECT vec_id, j,
-        |  round(CAST(SUM(CAST(CAST(v AS DOUBLE) * s AS DECIMAL(30, 15)))
-        |    AS DOUBLE) / sqrt(8.0), 6) AS p
+        |  round(CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT)
+        |      * s) AS DOUBLE) / (1048576 * sqrt(8.0)), 6) AS p
         |FROM el JOIN signs USING (i)
         |GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
     "q158_negative_pairs" ->
@@ -2113,14 +2123,16 @@ object LlmQueries {
         |FROM sig GROUP BY sig ORDER BY n DESC, sig""".stripMargin,
     "q74_ann_bruteforce" ->
       """WITH norms AS (
-        |  SELECT vec_id, SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS n2
+        |  SELECT vec_id, SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT)
+       |      * CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS n2
         |  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY vec_id),
         |el AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
         |    unnest(q.embedding) AS qv, unnest(c.embedding) AS cv
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id != q.vec_id),
         |dots AS (
-        |  SELECT qid, cid, SUM(CAST(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE) AS DECIMAL(30,15))) AS dot
+        |  SELECT qid, cid, SUM(CAST(FLOOR(CAST(qv AS DOUBLE) * 1048576) AS BIGINT)
+       |      * CAST(FLOOR(CAST(cv AS DOUBLE) * 1048576) AS BIGINT)) AS dot
         |  FROM el GROUP BY qid, cid),
         |scored AS (
         |  SELECT d.qid, d.cid,
@@ -2134,7 +2146,8 @@ object LlmQueries {
         |  FROM scored) WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "q81_embedding_neardup" ->
       """WITH norms AS (
-        |  SELECT vec_id, SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS n2
+        |  SELECT vec_id, SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT)
+       |      * CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS n2
         |  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY vec_id),
         |el AS (
         |  SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
@@ -2143,7 +2156,8 @@ object LlmQueries {
         |    ON a.label = b.label AND a.vec_id < b.vec_id),
         |dots AS (
         |  SELECT va, vb, label,
-        |    SUM(CAST(CAST(av AS DOUBLE) * CAST(bv AS DOUBLE) AS DECIMAL(30,15))) AS dot
+        |    SUM(CAST(FLOOR(CAST(av AS DOUBLE) * 1048576) AS BIGINT)
+        |      * CAST(FLOOR(CAST(bv AS DOUBLE) * 1048576) AS BIGINT)) AS dot
         |  FROM el GROUP BY va, vb, label),
         |scored AS (
         |  SELECT d.va, d.vb, d.label,
@@ -2393,14 +2407,16 @@ object LlmQueries {
         |       + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END AS BIGINT) AS cell
         |  FROM embeddings),
         |norms AS (
-        |  SELECT vec_id, SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS n2
+        |  SELECT vec_id, SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT)
+       |      * CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS n2
         |  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY vec_id),
         |el AS (
         |  SELECT a.vec_id AS aid, b.vec_id AS bid,
         |    unnest(a.embedding) AS av, unnest(b.embedding) AS bv
         |  FROM base a JOIN base b ON a.cell = b.cell AND a.vec_id < b.vec_id),
         |dots AS (
-        |  SELECT aid, bid, SUM(CAST(CAST(av AS DOUBLE) * CAST(bv AS DOUBLE) AS DECIMAL(30,15))) AS dot
+        |  SELECT aid, bid, SUM(CAST(FLOOR(CAST(av AS DOUBLE) * 1048576) AS BIGINT)
+        |      * CAST(FLOOR(CAST(bv AS DOUBLE) * 1048576) AS BIGINT)) AS dot
         |  FROM el GROUP BY aid, bid),
         |scored AS (
         |  SELECT d.bid, CAST(d.dot AS DOUBLE)
@@ -2425,14 +2441,16 @@ object LlmQueries {
         |      i -> CASE WHEN embedding[CAST(i + 1 AS INT)] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS cell
         |  FROM embeddings),
         |norms AS (
-        |  SELECT vec_id, SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS n2
+        |  SELECT vec_id, SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT)
+       |      * CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS n2
         |  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY vec_id),
         |el AS (
         |  SELECT a.vec_id AS aid, b.vec_id AS bid,
         |    unnest(a.embedding) AS av, unnest(b.embedding) AS bv
         |  FROM base a JOIN base b ON a.cell = b.cell AND a.vec_id < b.vec_id),
         |dots AS (
-        |  SELECT aid, bid, SUM(CAST(CAST(av AS DOUBLE) * CAST(bv AS DOUBLE) AS DECIMAL(30,15))) AS dot
+        |  SELECT aid, bid, SUM(CAST(FLOOR(CAST(av AS DOUBLE) * 1048576) AS BIGINT)
+        |      * CAST(FLOOR(CAST(bv AS DOUBLE) * 1048576) AS BIGINT)) AS dot
         |  FROM el GROUP BY aid, bid),
         |scored AS (
         |  SELECT d.bid, CAST(d.dot AS DOUBLE)
@@ -2550,13 +2568,13 @@ object LlmQueries {
         |    AS coverage_ok
         |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // same decimal dot accumulation + IEEE cosine as the q74 oracle,
-    // plus the label-mismatch predicate
+    // same exact-integer dot accumulation + IEEE cosine as the q74
+    // oracle, plus the label-mismatch predicate
     "q209_hard_negatives" ->
       """WITH norms AS (
         |  SELECT vec_id,
-        |    SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
-        |      AS DECIMAL(30,15))) AS n2
+        |    SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT)
+        |      * CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS n2
         |  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
         |  GROUP BY vec_id),
         |el AS (
@@ -2568,8 +2586,8 @@ object LlmQueries {
         |      AND c.label != q.label),
         |dots AS (
         |  SELECT qid, qlabel, cid, clabel,
-        |    SUM(CAST(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE)
-        |      AS DECIMAL(30,15))) AS dot
+        |    SUM(CAST(FLOOR(CAST(qv AS DOUBLE) * 1048576) AS BIGINT)
+        |      * CAST(FLOOR(CAST(cv AS DOUBLE) * 1048576) AS BIGINT)) AS dot
         |  FROM el GROUP BY 1, 2, 3, 4),
         |scored AS (
         |  SELECT d.qid, d.qlabel, d.cid, d.clabel,

@@ -49,14 +49,14 @@ class PrepSemDedupSpec extends SparkTestBase {
     // reference: the pre-r10 single-phase decimal-only pipeline
     val b2 = df.select(col("vec_id"), col("embedding"),
       SemDedup.signCell(col("embedding"), 4).as("cell"),
-      Ann.norm2Decimal(col("embedding")).as("n2"))
+      Ann.norm2Exact(col("embedding")).as("n2"))
     val a = b2.select(col("cell"), col("vec_id").as("aid"),
       col("embedding").as("ae"), col("n2").as("an2"))
     val b = b2.select(col("cell"), col("vec_id").as("bid"),
       col("embedding").as("be"), col("n2").as("bn2"))
     val prior = a.join(b, Seq("cell")).filter(col("aid") < col("bid"))
       .withColumn("cosine",
-        Ann.cosineFrom(Ann.dotDecimal(col("ae"), col("be")), col("an2"), col("bn2")))
+        Ann.cosineFrom(Ann.dotExact(col("ae"), col("be")), col("an2"), col("bn2")))
       .filter(col("cosine") >= 0.95)
       .groupBy(col("bid").as("vec_id")).agg(max(col("cosine")).as("max_prior_cos"))
     val ref = b2.join(prior, Seq("vec_id"), "left")
