@@ -85,12 +85,23 @@ object ContainmentJoin {
       .agg(min("ub").as("ub"))
       .filter(col("ub") * den >= col("sza") * num)
       .select("a", "b")
-    cands
+    val result = cands
       .join(sets.select(col("id").as("a"), col("sset").as("sa")), Seq("a"))
       .join(sets.select(col("id").as("b"), col("sset").as("sb")), Seq("b"))
       .select(col("a"), col("b"),
         size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
         size(col("sa")).cast("long").as("size_a"))
       .filter(col("inter") * den >= col("size_a") * num)
+      // localCheckpoint: materialize the (small) surviving-pair set
+      // executor-side so the two cached frames can be RELEASED here —
+      // returning a lazy plan over them would leak cached partitions
+      // into the session until LRU eviction (one leak per pairs()
+      // call in a long-lived service). The checkpointed result stays
+      // valid after the unpersists; downstream consumers re-read its
+      // blocks, not the lineage.
+      .localCheckpoint(true)
+    sets.unpersist()
+    ranked.unpersist()
+    result
   }
 }

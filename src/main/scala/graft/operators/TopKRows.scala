@@ -94,7 +94,12 @@ case class TopKRows(
   override def serialize(buf: mutable.PriorityQueue[InternalRow]): Array[Byte] = {
     val rows = buf.toArray.map {
       case u: UnsafeRow => u
-      case r => fromSchema(r)
+      // .copy(): fromSchema reuses one projection buffer — without it,
+      // multiple fallback rows would alias the last row's bytes
+      // (unreachable today: the buffer only holds UnsafeRow copies from
+      // update/deserialize — but latent corruption, and RankTopKRows
+      // copies)
+      case r => fromSchema(r).copy()
     }
     val total = 4 + rows.map(4 + _.getSizeInBytes).sum
     val bb = java.nio.ByteBuffer.allocate(total)

@@ -33,7 +33,11 @@ import graft.operators.{RankTopKRows, TopKRows}
   * repo tiebreaks on a unique key; so does the oracle).
   *
   * Scope guards (rewrite only when provably safe):
-  *   - single window expression, plain row_number, default frame;
+  *   - the filtered expression is a plain row_number/rank/dense_rank
+  *     with the default running frame; any OTHER window expressions in
+  *     the node (multi-expression QUALIFY shape) must be deterministic
+  *     — they are split into their own Window computed BELOW the
+  *     aggregate, over all rows, exactly as QUALIFY semantics demand;
   *   - filter is exactly `rn <= IntLiteral` / `rn < IntLiteral`
   *     (optionally under a Cast);
   *   - partition keys are plain attributes, order keys deterministic;
@@ -96,43 +100,83 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
   private case object ModeRank extends Mode
   private case object ModeDenseRank extends Mode
 
+  private def modeOf(fn: Expression): Option[Mode] = fn match {
+    case RowNumber() => Some(ModeRowNumber)
+    case _: Rank => Some(ModeRank)
+    case _: DenseRank => Some(ModeDenseRank)
+    case _ => None
+  }
+
   private def tryRewrite(cond: Expression,
       w: Window): Option[LogicalPlan] = {
-    w.windowExpressions match {
-      // row_number carries a RowFrame; rank/dense_rank a RangeFrame —
-      // both run UNBOUNDED PRECEDING..CURRENT ROW
-      case Seq(alias @ Alias(WindowExpression(fn,
+    if (!w.partitionSpec.forall(_.isInstanceOf[Attribute])) return None
+    // Find THE window expression the filter bounds: rank-like function,
+    // default running frame (row_number carries a RowFrame; rank/
+    // dense_rank a RangeFrame — both UNBOUNDED PRECEDING..CURRENT ROW),
+    // deterministic total order, filter shape `fn <= k`. Any OTHER
+    // window expressions in the node (the common QUALIFY shape:
+    // `SELECT *, lag(..) OVER w, sum(..) OVER w .. QUALIFY
+    // row_number() OVER w <= k`) are split into their own Window node
+    // UNDER the top-k aggregate — valid because expressions within one
+    // Window node are computed independently over the same child rows,
+    // so stacking preserves each one's input, and the rank filter then
+    // prunes rows after they are computed, exactly as QUALIFY does.
+    val matched = w.windowExpressions.collectFirst {
+      case alias @ Alias(WindowExpression(fn,
           WindowSpecDefinition(_, order, SpecifiedWindowFrame(_,
-            UnboundedPreceding, CurrentRow))), _))
-          if order.nonEmpty &&
-            w.partitionSpec.forall(_.isInstanceOf[Attribute]) &&
-            order.forall(_.child.deterministic) =>
-        val mode = fn match {
-          case RowNumber() => Some(ModeRowNumber)
-          case _: Rank => Some(ModeRank)
-          case _: DenseRank => Some(ModeDenseRank)
-          case _ => None
-        }
-        (mode, limitOf(cond, alias.toAttribute)) match {
-          case (Some(m), Some(k)) if k > 0 && k <= MaxK =>
-            Some(build(w, order, alias, k, m))
-          case _ => None
-        }
-      case _ => None
+            UnboundedPreceding, CurrentRow))), _)
+          if order.nonEmpty && order.forall(_.child.deterministic) &&
+            modeOf(fn).isDefined &&
+            limitOf(cond, alias.toAttribute).isDefined =>
+        (alias, modeOf(fn).get, order, limitOf(cond, alias.toAttribute).get)
+    }
+    matched.flatMap { case (alias, mode, order, k) =>
+      val others = w.windowExpressions.filterNot(_ eq alias)
+      if (k > 0 && k <= MaxK && others.forall(_.deterministic))
+        Some(build(w, order, alias, k, mode, others))
+      else None
     }
   }
 
+  /** dense_rank ≤ rank ≤ row_number pointwise; a WindowGroupLimit
+    * keeping glFn ≤ glLimit retains every row with modeFn ≤ k iff the
+    * gl's function is ≤ the mode's in that chain AND glLimit ≥ k. */
+  private def rankStrength(fn: Expression): Option[Int] = fn match {
+    case _: DenseRank => Some(0)
+    case _: Rank => Some(1)
+    case RowNumber() => Some(2)
+    case _ => None
+  }
+
   private def build(w: Window, order: Seq[SortOrder], rnAlias: Alias,
-      k: Int, mode: Mode): LogicalPlan = {
+      k: Int, mode: Mode, others: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]): LogicalPlan = {
+    val modeStrength = mode match {
+      case ModeDenseRank => 0
+      case ModeRank => 1
+      case ModeRowNumber => 2
+    }
     // Spark's InferWindowGroupLimit may already sit below the Window:
     // its per-partition sorted prune becomes pure overhead once the
-    // whole window is gone, so strip it when the spec matches
-    val child = w.child match {
+    // whole window is gone, so strip it — but ONLY when it provably
+    // keeps a superset of our top-k rows (same spec, limit ≥ k, and a
+    // rank function no stronger than ours in the dense≤rank≤row_number
+    // chain); a gl with a smaller limit or stronger function would
+    // make the rewrite emit rows the original plan pruned.
+    val child0 = w.child match {
       case gl: WindowGroupLimit
           if gl.partitionSpec == w.partitionSpec &&
-            gl.orderSpec == w.orderSpec => gl.child
+            gl.orderSpec == w.orderSpec && gl.limit >= k &&
+            rankStrength(gl.rankLikeFunction).exists(_ <= modeStrength) =>
+        gl.child
       case c => c
     }
+    // Non-rank window expressions sharing the node get their own
+    // Window UNDER the aggregate: computed over all rows (QUALIFY
+    // semantics), one exchange serves both (the aggregate's
+    // hash-partitioning requirement is already satisfied).
+    val child =
+      if (others.isEmpty) child0
+      else Window(others, w.partitionSpec, w.orderSpec, child0)
     val sortKeys = order.map(_.child)
     val payload = child.output
     val asc = order.map(_.direction == Ascending)
@@ -182,6 +226,11 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
         Alias(GetStructField(colAttr, 0, Some("rk")), rnAlias.name)(
           exprId = rnAlias.exprId, qualifier = rnAlias.qualifier)
     }
-    Project(rebuilt :+ rn, gen)
+    // Emit columns in the ORIGINAL Filter output order (w.output may
+    // interleave the rank among other window expressions), so parents
+    // that bind positionally — the query's top-level output — see the
+    // exact schema the window plan produced.
+    val byId = (rebuilt :+ rn).map(a => a.exprId -> a).toMap
+    Project(w.output.map(a => byId(a.exprId)), gen)
   }
 }

@@ -18,6 +18,9 @@ object DumpPlans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // same session-injected rule as Verify/Bench (and therefore the
+    // corpus path, which runs spark.sql in that session)
+    spark.experimental.extraOptimizations = Seq(graft.plans.WindowTopKRewrite)
     val picks = Seq(
       "q01_pricing_summary" -> "scan pushdown + pruning + partial agg",
       "q07_join_inner" -> "shuffle join on keys",
@@ -90,6 +93,37 @@ object DumpPlans {
       val trimmed = plan.linesIterator.take(80).mkString("\n")
       sb.append(s"\n## $name — $why\n\n```\n$trimmed\n```\n")
     }
+    // Corpus-path proof (r12 ask #4): the reference's QUALIFY
+    // ROW_NUMBER dedup idiom (graphics_dashboard.sql:165-169),
+    // Dialect-translated exactly as CorpusLoader would and planned
+    // under the SESSION-injected rule (not the one-shot apply) — the
+    // dump must show topk_rows with no Window node. Second shape: the
+    // multi-window-expression QUALIFY (other window functions share
+    // the node with the filtered rank) — the rank becomes the
+    // aggregate, the others keep their own Window below it.
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id AS client_id", "ts AS submission_timestamp",
+        "event_type AS v")
+      .createOrReplaceTempView("corpus_pings")
+    val dedupe = spark.sql(graft.dag.Dialect.translate(
+      """SELECT * FROM corpus_pings
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY client_id ORDER BY submission_timestamp DESC, v) = 1""".stripMargin))
+    sb.append(s"\n## corpus QUALIFY dedup (Dialect-translated, session-injected rule)" +
+      s" — graphics_dashboard.sql:165-169 shape: topk_rows, no Window\n\n```\n" +
+      dedupe.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+        .linesIterator.take(60).mkString("\n") + "\n```\n")
+    val multi = spark.sql(graft.dag.Dialect.translate(
+      """SELECT client_id, v,
+        |  COUNT(*) OVER (PARTITION BY client_id ORDER BY submission_timestamp DESC, v) AS seen,
+        |  LAG(v) OVER (PARTITION BY client_id ORDER BY submission_timestamp DESC, v) AS prev_v
+        |FROM corpus_pings
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY client_id ORDER BY submission_timestamp DESC, v) <= 2""".stripMargin))
+    sb.append(s"\n## multi-window-expression QUALIFY — rank rewritten to topk_rows," +
+      s" other window exprs keep one Window below the aggregate\n\n```\n" +
+      multi.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+        .linesIterator.take(60).mkString("\n") + "\n```\n")
     java.nio.file.Files.writeString(java.nio.file.Path.of("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${sb.length} chars)")
     spark.stop()

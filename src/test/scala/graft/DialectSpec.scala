@@ -87,6 +87,30 @@ class DialectSpec extends SparkTestBase {
     assert(got == Seq((1, "b"), (2, "c")))
   }
 
+  test("translated QUALIFY goes through WindowTopKRewrite (corpus-path proof)") {
+    // The corpus path (CorpusLoader/Dialect → spark.sql) runs under the
+    // same session-injected optimizer rule as Verify/Bench; prove the
+    // translated QUALIFY ROW_NUMBER dedup idiom (graphics_dashboard
+    // .sql:165-169, the reference's canonical W1 shape) actually FIRES
+    // the rewrite: Dialect wraps QUALIFY as `(.., pred AS __q) WHERE
+    // __q`, the optimizer inlines __q back into a rank comparison, and
+    // the rule must still see through that shape.
+    Seq((1, "2024-01-01 10:00:00", "a"), (1, "2024-01-02 10:00:00", "b"),
+      (2, "2024-01-01 00:00:00", "c"))
+      .toDF("client_id", "submission_timestamp", "v")
+      .createOrReplaceTempView("q_pings")
+    val translated = Dialect.translate(
+      """SELECT * FROM q_pings
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY client_id ORDER BY submission_timestamp DESC, v) = 1""".stripMargin)
+    val rewritten = graft.plans.WindowTopKRewrite(spark.sql(translated))
+    val plan = rewritten.queryExecution.optimizedPlan.toString
+    assert(plan.contains("topk_rows"), s"rule did not fire on translated QUALIFY:\n$plan")
+    assert(!plan.contains("Window"), s"window survived on translated QUALIFY:\n$plan")
+    val got = rewritten.select("client_id", "v")
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1, "b"), (2, "c")))
+  }
+
   test("real view translates and runs through ViewDag (user_reports_dedupe/view.sql:1-6)") {
     // fixture per FIXTURES.md A5 (duplicate uuids, min reported_at wins)
     Seq(("u1", "2024-01-02 00:00:00", "second"), ("u1", "2024-01-01 00:00:00", "first"),

@@ -117,6 +117,36 @@ class WindowTopKRuleSpec extends SparkTestBase {
     assert(q2.collect().length == WindowTopKRewrite(q2).collect().length)
   }
 
+  test("multi-window-expression QUALIFY shape: rank splits out, others keep QUALIFY semantics") {
+    // SELECT *, sum(v) OVER w, lag(v) OVER w, row_number() OVER w AS rn
+    // ... WHERE rn <= k — the rank is rewritten to the aggregate; the
+    // other window expressions move to their OWN Window node computed
+    // over ALL rows (QUALIFY applies after every window), so their
+    // values must equal the unrewritten plan's on surviving rows.
+    for (seed <- Seq(11, 12); k <- Seq(1, 2)) {
+      val df = data(seed, 400)
+      val w = Window.partitionBy("g").orderBy(desc("v"), col("id"))
+      def shaped(d: DataFrame) = d
+        .withColumn("run_sum", sum(coalesce(col("v"), lit(0.0))).over(w))
+        .withColumn("prev_v", lag("v", 1).over(w))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+      val q = shaped(df)
+      val r = WindowTopKRewrite(q)
+      val plan = r.queryExecution.optimizedPlan.toString
+      // the rank window is gone (aggregate in its place) but exactly
+      // one Window node remains for the non-rank expressions
+      assert(plan.contains("topk_rows"), s"no topk_rows:\n$plan")
+      assert("(?s)windowspecdefinition".r.findAllIn(plan.toLowerCase).size >= 1)
+      assert(!plan.contains("row_number"), s"row_number survived:\n$plan")
+      def c(d: DataFrame) = d.select("g", "v", "id", "run_sum", "prev_v", "rn")
+        .collect().map(_.toString).toSet
+      assert(c(r) == c(q), s"seed=$seed k=$k mismatch")
+      // column ORDER is preserved exactly (the rank may interleave)
+      assert(r.schema.fieldNames.toSeq == q.schema.fieldNames.toSeq)
+    }
+  }
+
   test("downstream operators see identical resolution (join on rewritten frame)") {
     val df = data(6, 200)
     val top = WindowTopKRewrite(windowTopK(df, 2, desc0 = true))
