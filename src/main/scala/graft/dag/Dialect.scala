@@ -38,9 +38,24 @@ object Dialect {
   def translate(sql: String): String = {
     var s = sql
 
-    // r"…" raw strings → escaped '…' literals — FIRST, so their content
-    // (regex metachars, parens, brackets) can't confuse later passes.
+    // MASK comments, then (post-raw-string pass) string literals, as
+    // inert \uE000<n>\uE001 placeholders for the whole pipeline, and
+    // restore them at the end. Every pass below — regex token renames
+    // included — then provably cannot rewrite inside a literal or a
+    // comment (DialectPropertySpec's fuzz caught `'AS INT64'` →
+    // `'AS BIGINT'` DATA corruption and comment-context confusing the
+    // array-literal prev-char heuristic before this existed). Passes
+    // that must read a literal's CONTENT (strftime formats) unmask
+    // their own argument via `um`.
+    val saved = mutable.ArrayBuffer[String]()
+    s = maskOpaque(s, saved, strings = false) // comments first …
+
+    // r"…" raw strings → escaped '…' literals — BEFORE string masking,
+    // so their content (regex metachars, parens, brackets) becomes an
+    // ordinary literal the string mask then hides.
     s = rewriteRawStrings(s)
+    s = maskOpaque(s, saved, strings = true) // … then all literals
+    def um(t: String): String = unmask(t, saved)
 
     // […] array literals → array(…) (expression position only; `a[i]`
     // indexing and bracket text inside strings/comments untouched)
@@ -171,10 +186,10 @@ object Dialect {
     // [SAFE.]PARSE_DATE(fmt, x) → [try_]to_date(x, sparkFmt) — SAFE.
     // variant first, else the bare PARSE_DATE rule matches its tail
     s = rewriteCall(s, "SAFE.PARSE_DATE") { args =>
-      s"try_to_date(${args(1)}, ${strftimeToSpark(args(0).trim)})"
+      s"try_to_date(${args(1)}, ${strftimeToSpark(um(args(0).trim))})"
     }
     s = rewriteCall(s, "PARSE_DATE") { args =>
-      s"to_date(${args(1)}, ${strftimeToSpark(args(0).trim)})"
+      s"to_date(${args(1)}, ${strftimeToSpark(um(args(0).trim))})"
     }
 
     // ARRAY_AGG([DISTINCT] x [IGNORE NULLS]) → collect_set/collect_list
@@ -222,17 +237,23 @@ object Dialect {
     // trailing empties, matching BigQuery.
     s = splitLiteralPattern.replaceAllIn(s, m => {
       val expr = m.group(1)
-      val delim = regexEscapeForSqlLiteral(m.group(2))
+      // the delimiter arrives as a masked literal — unmask to read it
+      // (either quote style; BigQuery allows both)
+      val lit = um(m.group(2))
+      val delim = regexEscapeForSqlLiteral(
+        if (lit.length >= 2 && (lit.head == '\'' || lit.head == '"') &&
+          lit.last == lit.head) lit.substring(1, lit.length - 1)
+        else lit)
       java.util.regex.Matcher.quoteReplacement(s"split($expr, '$delim', -1)")
     })
 
     // SPLIT(x) single-arg → split(x, ',') (BigQuery defaults the
     // delimiter to comma; Spark requires it)
     s = s.replaceAll("(?i)\\bSPLIT\\s*\\(\\s*([^,()]+(?:\\([^()]*\\))?[^,()]*)\\s*\\)",
-      "split($1, ',')")
+      "split($1, ',', -1)")
 
     // BigQuery tolerates a trailing comma before FROM; Spark doesn't
-    s = s.replaceAll("(?i),(\\s*)FROM\\b", "$1FROM")
+    s = s.replaceAll("(?i),((?:\\s|\\uE000\\d+\\uE001)*)FROM\\b", "$1FROM")
 
     // BigQuery GROUP BY binds SELECT aliases before base columns; Spark
     // resolves base columns first (and errors on ambiguity) — rewrite
@@ -242,7 +263,41 @@ object Dialect {
     // trailing QUALIFY <pred> → wrap: SELECT * FROM (sel, pred AS __q) WHERE __q
     s = rewriteQualify(s)
 
-    s
+    unmask(s, saved)
+  }
+
+  /** Replace comments (and, when `strings`, string literals) with inert
+    * `\uE000<n>\uE001` placeholders; contents land in `saved` for
+    * [[unmask]]. Placeholder chars are control characters no SQL corpus
+    * contains, contain no letters/digits/quotes/brackets, and therefore
+    * cannot match any token pass or confuse any scanner. */
+  private def maskOpaque(sql: String, saved: mutable.ArrayBuffer[String],
+      strings: Boolean): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      val isStr = c == '"' || c == '\''
+      val j = skipOpaque(sql, i)
+      if (j > i && (strings || !isStr)) {
+        out.append('\uE000').append(saved.length).append('\uE001')
+        saved += sql.substring(i, j)
+        i = j
+      } else if (j > i) { // string literal kept in the comment-only pass
+        out.append(sql.substring(i, j)); i = j
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  private def unmask(sql: String, saved: collection.Seq[String]): String = {
+    val p = java.util.regex.Pattern.compile("\uE000(\\d+)\uE001")
+    val m = p.matcher(sql)
+    val sb = new StringBuffer
+    while (m.find()) m.appendReplacement(sb,
+      java.util.regex.Matcher.quoteReplacement(saved(m.group(1).toInt)))
+    m.appendTail(sb)
+    sb.toString
   }
 
   // ---- scanner passes --------------------------------------------------
@@ -322,7 +377,12 @@ object Dialect {
         var e = m.start
         while (e > 0 && sql.charAt(e - 1).isWhitespace) e -= 1
         var b = e
-        if (b > 0 && (sql.charAt(b - 1) == '"' || sql.charAt(b - 1) == '\'')) {
+        if (b > 0 && sql.charAt(b - 1) == '') {
+          // masked string literal: walk back to its  opener
+          b -= 1
+          while (b > 0 && sql.charAt(b - 1) != '') b -= 1
+          b -= 1
+        } else if (b > 0 && (sql.charAt(b - 1) == '"' || sql.charAt(b - 1) == '\'')) {
           val q = sql.charAt(b - 1)
           b -= 2
           while (b > 0 && sql.charAt(b - 1) != q) b -= 1
@@ -899,7 +959,7 @@ object Dialect {
   }
 
   private val splitLiteralPattern =
-    """(?i)\bSPLIT\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*'([^']*)'\s*\)""".r
+    """(?i)\bSPLIT\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*(\uE000\d+\uE001)\s*\)""".r
 
   /** Escape a literal delimiter so it survives both Spark's SQL string
     * parser (backslash-escaped) and Java-regex interpretation in
@@ -912,21 +972,47 @@ object Dialect {
     }
 
   /** Index of a top-level (paren-depth-0) keyword, case-insensitive. */
+  /** Keyword-boundary identifier char: letters, digits, underscore —
+    * `__qualify` must NOT re-match the QUALIFY keyword (the idempotence
+    * bug DialectPropertySpec caught: a second translate re-wrapped its
+    * own `WHERE __qualify`). */
+  private def isIdentChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  /** If position `i` starts a string literal or comment, the index just
+    * past it; else `i`. The top-level scanners below use this so a
+    * keyword INSIDE a literal (`s != 'QUALIFY'`) or a comment can never
+    * be taken for a clause boundary — the bug DialectPropertySpec's
+    * fuzz caught on first run. */
+  private def skipOpaque(s: String, i: Int): Int = {
+    val c = s.charAt(i)
+    if (c == '"' || c == '\'') endOfString(s, i)
+    else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') endOfLine(s, i)
+    else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+      val e = s.indexOf("*/", i + 2)
+      if (e < 0) s.length else e + 2
+    } else i
+  }
+
   private def indexOfTopLevel(s: String, kw: String): Int = {
     var depth = 0
     var i = 0
     val upper = s.toUpperCase
     while (i < s.length) {
-      s.charAt(i) match {
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case _ =>
-          if (depth == 0 && upper.startsWith(kw, i) &&
-            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
-            (i + kw.length >= s.length || !Character.isLetterOrDigit(s.charAt(i + kw.length))))
-            return i
+      val j = skipOpaque(s, i)
+      if (j > i) { i = j }
+      else {
+        s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+            if (depth == 0 && upper.startsWith(kw, i) &&
+              (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+              (i + kw.length >= s.length || !isIdentChar(s.charAt(i + kw.length))))
+              return i
+        }
+        i += 1
       }
-      i += 1
     }
     -1
   }
@@ -937,16 +1023,20 @@ object Dialect {
     var i = 0
     val upper = s.toUpperCase
     while (i < s.length) {
-      s.charAt(i) match {
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case _ =>
-          if (depth == 0 && upper.startsWith(kw, i) &&
-            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
-            !Character.isLetterOrDigit(s.charAt(math.min(i + kw.length, s.length - 1))))
-            found = i
+      val j = skipOpaque(s, i)
+      if (j > i) { i = j }
+      else {
+        s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+            if (depth == 0 && upper.startsWith(kw, i) &&
+              (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+              !isIdentChar(s.charAt(math.min(i + kw.length, s.length - 1))))
+              found = i
+        }
+        i += 1
       }
-      i += 1
     }
     found
   }
@@ -963,19 +1053,23 @@ object Dialect {
     var i = 0
     val upper = s.toUpperCase
     while (i < s.length) {
-      s.charAt(i) match {
-        case '(' => depth += 1
-        case ')' if depth == 0 => return (s.substring(0, i), s.substring(i))
-        case ')' => depth -= 1
-        case ',' if depth == 0 => return (s.substring(0, i), s.substring(i))
-        case _ =>
-          if (depth == 0 && (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
-            clauseEnders.exists { kw =>
-              upper.startsWith(kw, i) &&
-                (i + kw.length >= s.length || !Character.isLetterOrDigit(s.charAt(i + kw.length)))
-            }) return (s.substring(0, i), s.substring(i))
+      val j = skipOpaque(s, i)
+      if (j > i) { i = j }
+      else {
+        s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' if depth == 0 => return (s.substring(0, i), s.substring(i))
+          case ')' => depth -= 1
+          case ',' if depth == 0 => return (s.substring(0, i), s.substring(i))
+          case _ =>
+            if (depth == 0 && (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+              clauseEnders.exists { kw =>
+                upper.startsWith(kw, i) &&
+                  (i + kw.length >= s.length || !isIdentChar(s.charAt(i + kw.length)))
+              }) return (s.substring(0, i), s.substring(i))
+        }
+        i += 1
       }
-      i += 1
     }
     (s, "")
   }

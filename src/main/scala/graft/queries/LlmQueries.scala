@@ -962,6 +962,91 @@ object LlmQueries {
         .orderBy("shard")
     }),
 
+    // Pipeline CARD (r12 ask #7): the LLM-prep flagships fused as ONE
+    // plan over the corpus — eval holdout → exact dedup → 3-gram
+    // decontamination → quality gate → md5-rank mixture sample →
+    // 512-token shard packing → partitioned export — publishing the
+    // funnel counts + packing/shard stats. Every stage is a cumulative
+    // survival FLAG on one frame (not a chain of filters), so the whole
+    // funnel is: one broadcast gram join, three window passes (dedup
+    // key, per-source sample rank, per-shard token offset — each a
+    // single hash exchange), and ONE final aggregate. q89 audits a
+    // smaller per-row funnel; this composes the cross-row operators
+    // (dedup/decon/sample/pack) end-to-end under one oracle.
+    "q271_pipeline_card" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val isEval = col("doc_id") % 7 === 0
+      // contamination mask vs the eval holdout's 3-grams (q84 semantics)
+      val contam = Decontaminate.report(docs.filter(!isEval),
+          docs.filter(isEval), n = 3, flagRatio = 0.1)
+        .select(col("doc_id"), col("contaminated"))
+      val wK = Window.partitionBy("k").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wSrc = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wShard = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val flagged = docs
+        .withColumn("is_eval", isEval)
+        .withColumn("k", md5(lower(col("text"))))
+        .join(contam, Seq("doc_id"), "left")
+        // exact dedup among corpus docs: first non-eval row per content key
+        .withColumn("cum_k", sum(when(!col("is_eval"), 1).otherwise(0)).over(wK))
+        .withColumn("s1", !col("is_eval") && col("cum_k") === 1)
+        .withColumn("s2", col("s1") && coalesce(col("contaminated"), lit(0)) === 0)
+        .withColumn("s3",
+          col("s2") && TextStats.qualityScore(col("text"), stopwords) >= 0.7)
+        // sample rank counts SURVIVORS only (rank over the s3 subset,
+        // computed without re-partitioning the frame)
+        .withColumn("pick_rank", sum(when(col("s3"), 1).otherwise(0)).over(wSrc))
+        .withColumn("quota", coalesce(element_at(
+          typedLit(Map("src0" -> 12, "src1" -> 5, "src2" -> 18,
+            "src3" -> 3, "src5" -> 25)), col("source")), lit(0)))
+        .withColumn("s4", col("s3") && col("pick_rank") <= col("quota"))
+        .withColumn("n_tok", TextStats.tokenCount(col("text")).cast("long"))
+        .withColumn("shard", SeqPack.shardOf(col("doc_id"), 8))
+        // greedy concat packing offset over the sampled stream (q59 form)
+        .withColumn("off", sum(when(col("s4"), col("n_tok")).otherwise(0L)).over(wShard))
+        .withColumn("bin", floor(coalesce(col("off"), lit(0L)) / 512))
+      // export the sampled set sharded (side effect + read-back proof,
+      // the q88 pattern: shared dir per sf, overwrite keeps it correct)
+      val path = shardDirs.computeIfAbsent(s"$dir#card",
+        _ => java.nio.file.Files.createTempDirectory("graft_card").toString)
+      flagged.filter(col("s4"))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("bin"), col("shard"))
+        .repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+      val exported = s.read.parquet(path).count()
+      val agg = flagged.agg(
+        count(lit(1)).as("n_raw"),
+        count(when(!col("is_eval"), 1)).as("n_corpus"),
+        count(when(col("s1"), 1)).as("n_dedup"),
+        count(when(col("s2"), 1)).as("n_decon"),
+        count(when(col("s3"), 1)).as("n_quality"),
+        count(when(col("s4"), 1)).as("n_sampled"),
+        countDistinct(when(col("s4"), col("shard") * 100000L + col("bin"))).as("n_bins"),
+        countDistinct(when(col("s4"), col("shard"))).as("n_shards"),
+        sum(when(col("s4"), col("n_tok")).otherwise(0L)).as("n_tokens"))
+      def stage(i: Int, name: String, c: org.apache.spark.sql.Column) =
+        struct(lit(i).as("stage_idx"), lit(name).as("stage"),
+          c.cast("long").as("n"))
+      agg.select(explode(array(
+          stage(0, "raw", col("n_raw")),
+          stage(1, "eval_holdout", col("n_corpus")),
+          stage(2, "exact_dedup", col("n_dedup")),
+          stage(3, "decontaminated", col("n_decon")),
+          stage(4, "quality", col("n_quality")),
+          stage(5, "sampled", col("n_sampled")),
+          stage(6, "packed_bins", col("n_bins")),
+          stage(7, "shards", col("n_shards")),
+          stage(8, "tokens_packed", col("n_tokens")),
+          stage(9, "exported_rows", lit(exported)))).as("st"))
+        .select(col("st.stage_idx"), col("st.stage"), col("st.n"))
+        .orderBy("stage_idx")
+    }),
+
     // Data-prep pipeline funnel: length -> language -> quality ->
     // exact-dedup cascade with per-stage survivor counts, computed as
     // cumulative survival flags + one aggregation — a genuine single
@@ -2492,6 +2577,83 @@ object LlmQueries {
         |UNION ALL SELECT 2, 'lang_en', (SELECT COUNT(*) FROM s2)
         |UNION ALL SELECT 3, 'quality', (SELECT COUNT(*) FROM s3)
         |UNION ALL SELECT 4, 'exact_dedup', (SELECT COUNT(*) FROM s4)
+        |ORDER BY stage_idx""".stripMargin,
+    "q271_pipeline_card" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text,
+        |    doc_id % 7 = 0 AS is_eval,
+        |    md5(lower(text)) AS k,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok,
+        |    CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |        + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 8 AS INTEGER) AS shard
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        for i in generate_series(1, len(toks)-2)])
+        |    ELSE [array_to_string(toks, ' ')] END AS gs
+        |  FROM toks),
+        |eval_grams AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 7 = 0),
+        |overlap AS (
+        |  SELECT x.doc_id AS did, COUNT(DISTINCT x.g) AS n_overlap
+        |  FROM (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 7 != 0) x
+        |  JOIN eval_grams e ON e.g = x.g GROUP BY x.doc_id),
+        |contam AS (
+        |  SELECT c.doc_id,
+        |    CAST(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / len(c.gs) >= 0.1 AS INT) AS contaminated
+        |  FROM (SELECT doc_id, gs FROM grams WHERE doc_id % 7 != 0) c
+        |  LEFT JOIN overlap o ON o.did = c.doc_id),
+        |f1 AS (
+        |  SELECT b.*, COALESCE(ct.contaminated, 0) AS contaminated,
+        |    SUM(CASE WHEN NOT is_eval THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY k ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_k,
+        |    (CASE WHEN len(string_split_regex(text, '\s+')) BETWEEN 10 AND 1000 THEN 0.5 ELSE 0.0 END +
+        |     CASE WHEN CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |       t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+        |       / len(string_split_regex(lower(text), '\s+')) > 0.01 THEN 0.3 ELSE 0.0 END +
+        |     CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |       / length(text) < 0.2 THEN 0.2 ELSE 0.0 END) AS qual
+        |  FROM base b LEFT JOIN contam ct USING (doc_id)),
+        |f2 AS (SELECT *, (NOT is_eval) AND cum_k = 1 AS s1 FROM f1),
+        |f3 AS (SELECT *, s1 AND contaminated = 0 AS s2 FROM f2),
+        |f4 AS (SELECT *, s2 AND qual >= 0.7 AS s3 FROM f3),
+        |f5 AS (
+        |  SELECT *, SUM(CASE WHEN s3 THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |       ROWS UNBOUNDED PRECEDING) AS pick_rank,
+        |    CASE source WHEN 'src0' THEN 12 WHEN 'src1' THEN 5 WHEN 'src2' THEN 18
+        |      WHEN 'src3' THEN 3 WHEN 'src5' THEN 25 ELSE 0 END AS quota
+        |  FROM f4),
+        |f6 AS (SELECT *, s3 AND pick_rank <= quota AS s4 FROM f5),
+        |f7 AS (
+        |  SELECT *, SUM(CASE WHEN s4 THEN n_tok ELSE 0 END) OVER
+        |      (PARTITION BY shard ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off
+        |  FROM f6),
+        |f8 AS (SELECT *, CAST(FLOOR(COALESCE(off, 0) / 512) AS BIGINT) AS bin FROM f7),
+        |summary AS (
+        |  SELECT COUNT(*)::BIGINT AS n_raw,
+        |    COUNT(CASE WHEN NOT is_eval THEN 1 END)::BIGINT AS n_corpus,
+        |    COUNT(CASE WHEN s1 THEN 1 END)::BIGINT AS n_dedup,
+        |    COUNT(CASE WHEN s2 THEN 1 END)::BIGINT AS n_decon,
+        |    COUNT(CASE WHEN s3 THEN 1 END)::BIGINT AS n_quality,
+        |    COUNT(CASE WHEN s4 THEN 1 END)::BIGINT AS n_sampled,
+        |    COUNT(DISTINCT CASE WHEN s4 THEN shard * 100000 + bin END)::BIGINT AS n_bins,
+        |    COUNT(DISTINCT CASE WHEN s4 THEN shard END)::BIGINT AS n_shards,
+        |    CAST(SUM(CASE WHEN s4 THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens
+        |  FROM f8)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INTEGER) AS stage_idx, 'raw' AS stage, n_raw AS n FROM summary
+        |  UNION ALL SELECT 1, 'eval_holdout', n_corpus FROM summary
+        |  UNION ALL SELECT 2, 'exact_dedup', n_dedup FROM summary
+        |  UNION ALL SELECT 3, 'decontaminated', n_decon FROM summary
+        |  UNION ALL SELECT 4, 'quality', n_quality FROM summary
+        |  UNION ALL SELECT 5, 'sampled', n_sampled FROM summary
+        |  UNION ALL SELECT 6, 'packed_bins', n_bins FROM summary
+        |  UNION ALL SELECT 7, 'shards', n_shards FROM summary
+        |  UNION ALL SELECT 8, 'tokens_packed', n_tokens FROM summary
+        |  UNION ALL SELECT 9, 'exported_rows', n_sampled FROM summary)
         |ORDER BY stage_idx""".stripMargin,
     // same md5 shard key, same scaled integer TVD per shard
     "q238_shard_balance" ->

@@ -75,7 +75,8 @@ object DumpPlans {
       "q262_topk_rewrite" -> "window-top-k REWRITTEN: no Window node, topk_rows ObjectHashAggregate + posexplode",
       "q265_bitemporal_asof" -> "2|orders| version rows, one key-partition top-1 (rewritten), valid filter",
       "q266_cuped" -> "one user-level shuffle + 1-row stats broadcast; arms reuse the user table",
-      "q267_timedecay_attribution" -> "user-keyed equi-join, bounded touch window, exact pow2 weights")
+      "q267_timedecay_attribution" -> "user-keyed equi-join, bounded touch window, exact pow2 weights",
+      "q271_pipeline_card" -> "FUSED prep pipeline (dedup+decon+quality+sample+pack): one broadcast gram join, three windows each on its own single hash exchange, one final aggregate — no stage re-reads the corpus")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.tools.DumpPlans` at sf0.01; regenerate with\n")
@@ -124,6 +125,16 @@ object DumpPlans {
       multi.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
         .linesIterator.take(60).mkString("\n") + "\n```\n")
+    // Adversarial-skew evidence (r12 ask #5): one key holding ~50% of
+    // events; the two documented mechanisms actually engaging — AQE
+    // splitting the skewed sort-merge partitions, and SkewSalt's 8-way
+    // fan-out. Timings live in PERF_NOTES ("skew sweep"); this dump
+    // pins the PLAN shapes.
+    val (aqe, salt) = SkewProbe.planEvidence(spark, sfDir)
+    sb.append("\n## skew: plain shuffle join on the hot key — AQE skew split engaged\n\n" +
+      s"```\n$aqe\n```\n")
+    sb.append("\n## skew: SkewSalt 8-way salted join — dim exploded x8, equi-join on (key, salt)\n\n" +
+      s"```\n$salt\n```\n")
     java.nio.file.Files.writeString(java.nio.file.Path.of("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${sb.length} chars)")
     spark.stop()

@@ -45,7 +45,7 @@ class DialectSpec extends SparkTestBase {
       .contains("NOT array_contains(arr, x)"))
     // single-arg SPLIT gets BigQuery's default comma delimiter
     assert(Dialect.translate("SELECT SPLIT(platforms)")
-      .contains("split(platforms, ',')"))
+      .contains("split(platforms, ',', -1)"))
     // two-arg SPLIT: literal delimiter regex-escaped (BigQuery splits
     // on the literal; Spark's split takes a regex)
     assert(Dialect.translate("SELECT SPLIT(x, '.')")
