@@ -71,11 +71,17 @@ object Main {
     var staging = false
     var list = false
     var i = 0
+    // a valued flag in last position is a usage error, not an
+    // ArrayIndexOutOfBoundsException
+    def valueOf(flag: String): String = {
+      if (i + 1 >= args.length) sys.error(s"missing value for $flag")
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "--data-dir" => dataDir = args(i + 1); i += 2
-        case "--out" => outDir = args(i + 1); i += 2
-        case "--jobs" => jobs = args(i + 1).split(",").toSeq.filter(_.nonEmpty); i += 2
+        case f @ "--data-dir" => dataDir = valueOf(f); i += 2
+        case f @ "--out" => outDir = valueOf(f); i += 2
+        case f @ "--jobs" => jobs = valueOf(f).split(",").toSeq.filter(_.nonEmpty); i += 2
         case "--write" => write = true; i += 1
         case "--no-write" => write = false; i += 1
         case "--staging" => staging = true; i += 1

@@ -266,6 +266,15 @@ object Dialect {
     unmask(s, saved)
   }
 
+  /** Placeholder delimiters for masked opaque regions. Kept as explicit
+    * unicode escapes (NEVER raw private-use-area characters in source \u2014
+    * they render invisible in editors/diffs and silently break on edit;
+    * r13 advisor finding) and shared by every site that reads or writes
+    * a mask: [[maskOpaque]], [[unmask]], and the literal walk-back in
+    * the array-membership rewrite. */
+  private final val MaskOpen = '\uE000'
+  private final val MaskClose = '\uE001'
+
   /** Replace comments (and, when `strings`, string literals) with inert
     * `\uE000<n>\uE001` placeholders; contents land in `saved` for
     * [[unmask]]. Placeholder chars are control characters no SQL corpus
@@ -280,7 +289,7 @@ object Dialect {
       val isStr = c == '"' || c == '\''
       val j = skipOpaque(sql, i)
       if (j > i && (strings || !isStr)) {
-        out.append('\uE000').append(saved.length).append('\uE001')
+        out.append(MaskOpen).append(saved.length).append(MaskClose)
         saved += sql.substring(i, j)
         i = j
       } else if (j > i) { // string literal kept in the comment-only pass
@@ -291,7 +300,7 @@ object Dialect {
   }
 
   private def unmask(sql: String, saved: collection.Seq[String]): String = {
-    val p = java.util.regex.Pattern.compile("\uE000(\\d+)\uE001")
+    val p = java.util.regex.Pattern.compile(s"$MaskOpen(\\d+)$MaskClose")
     val m = p.matcher(sql)
     val sb = new StringBuffer
     while (m.find()) m.appendReplacement(sb,
@@ -377,10 +386,10 @@ object Dialect {
         var e = m.start
         while (e > 0 && sql.charAt(e - 1).isWhitespace) e -= 1
         var b = e
-        if (b > 0 && sql.charAt(b - 1) == '') {
-          // masked string literal: walk back to its  opener
+        if (b > 0 && sql.charAt(b - 1) == MaskClose) {
+          // masked string literal: walk back to its MaskOpen opener
           b -= 1
-          while (b > 0 && sql.charAt(b - 1) != '') b -= 1
+          while (b > 0 && sql.charAt(b - 1) != MaskOpen) b -= 1
           b -= 1
         } else if (b > 0 && (sql.charAt(b - 1) == '"' || sql.charAt(b - 1) == '\'')) {
           val q = sql.charAt(b - 1)

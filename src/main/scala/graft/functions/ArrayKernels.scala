@@ -132,9 +132,17 @@ case class Dist2Arr(left: Expression, right: Expression) extends ArrayKernel {
   * need, at the cost of one tight codegen loop per pair instead of a
   * per-element decimal add.
   *
-  * Range: |floor(v·2²⁰)| < 2²⁰·max|v|; the sum of dim products stays
-  * well inside long for max|v| ≤ 2¹¹ and dim ≤ 2²² — far beyond any
-  * embedding this engine sees (unit-scale float32, dim ≤ 4096).
+  * Range: |floor(v·2²⁰)| < 2²⁰·max|v|, so each product is below
+  * 2⁴⁰·max|v|² and the sum of dim products stays inside long whenever
+  * dim·max|v|² < 2²² — ample for any embedding this engine sees
+  * (unit-scale float32, dim ≤ 4096: sum < 2⁵²), but NOT checked on
+  * the hot path. Out-of-contract inputs (|v| ≫ 1 at high dim) would
+  * silently wrap and corrupt rankings (r13 advisor finding), so a
+  * checked mode exists: `-Dgraft.qdot.checked=true` switches the fold
+  * to Math.multiplyExact/addExact, which throws ArithmeticException on
+  * the first wrap — the branch is a codegen-time constant, so the
+  * default path is unchanged. Run ingest validation (or any suite) once
+  * with the flag when onboarding a new embedding source.
   * Same unchecked same-length/no-null hot-path contract as the double
   * kernels. */
 case class QDotArr(left: Expression, right: Expression) extends ArrayKernel {
@@ -152,10 +160,19 @@ case class QDotArr(left: Expression, right: Expression) extends ArrayKernel {
     val n = math.min(x.numElements(), y.numElements())
     var s = 0L
     var i = 0
-    while (i < n) {
-      s += math.floor(get(x, lf, i) * 1048576.0).toLong *
-        math.floor(get(y, rf, i) * 1048576.0).toLong
-      i += 1
+    if (QDotArr.checked) {
+      while (i < n) {
+        s = Math.addExact(s, Math.multiplyExact(
+          math.floor(get(x, lf, i) * 1048576.0).toLong,
+          math.floor(get(y, rf, i) * 1048576.0).toLong))
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        s += math.floor(get(x, lf, i) * 1048576.0).toLong *
+          math.floor(get(y, rf, i) * 1048576.0).toLong
+        i += 1
+      }
     }
     s
   }
@@ -167,12 +184,21 @@ case class QDotArr(left: Expression, right: Expression) extends ArrayKernel {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
+      // checked mode resolves at CODEGEN time: the fast path compiles
+      // with no extra branch or call in the loop body.
+      val fold =
+        if (QDotArr.checked)
+          s"""$sum = java.lang.Math.addExact($sum, java.lang.Math.multiplyExact(
+             |    (long) java.lang.Math.floor($la($i) * 1048576.0),
+             |    (long) java.lang.Math.floor($rb($i) * 1048576.0)));""".stripMargin
+        else
+          s"""$sum += (long) java.lang.Math.floor($la($i) * 1048576.0)
+             |    * (long) java.lang.Math.floor($rb($i) * 1048576.0);""".stripMargin
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $sum = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += (long) java.lang.Math.floor($la($i) * 1048576.0)
-         |    * (long) java.lang.Math.floor($rb($i) * 1048576.0);
+         |  $fold
          |}
          |${ev.value} = $sum;
        """.stripMargin
@@ -181,6 +207,14 @@ case class QDotArr(left: Expression, right: Expression) extends ArrayKernel {
       newLeft: Expression, newRight: Expression): QDotArr =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "qdot_arr"
+}
+
+object QDotArr {
+  /** `-Dgraft.qdot.checked=true` → overflow-checked fold (see class
+    * doc). Read once per JVM; both interpreted and codegen paths obey
+    * it. A var (not val) only so tests can exercise both modes. */
+  @volatile private[graft] var checked: Boolean =
+    java.lang.Boolean.getBoolean("graft.qdot.checked")
 }
 
 object ArrayKernels {

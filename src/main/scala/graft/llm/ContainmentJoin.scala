@@ -29,9 +29,26 @@ object ContainmentJoin {
 
   /** Ordered pairs (a, b, inter, size_a) with inter·den ≥ size_a·num
     * (containment ≥ num/den), over distinct `shingleW`-shingle sets of
-    * `textCol`. */
+    * `textCol`.
+    *
+    * LAZY: returns the plan; nothing executes until the caller's first
+    * action. The two internal `cache()` frames (shingle sets, rarity
+    * ranks) stay registered with the session until LRU eviction — that
+    * is the right trade for the query/bench path, where the plan runs
+    * once and the session ends (r13 learned this the hard way: an
+    * eager `localCheckpoint(true)` here, added for cache hygiene, ran
+    * a full extra materialization job inside the query path and
+    * quadrupled the measured cost of q184, and its truncated lineage
+    * was non-recomputable on executor loss). Long-lived services that
+    * call this repeatedly should use [[pairsReleasing]] instead. */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleW: Int, num: Int, den: Int): DataFrame = {
+      shingleW: Int, num: Int, den: Int): DataFrame =
+    pairsImpl(docs, idCol, textCol, shingleW, num, den)._1
+
+  /** [[pairs]] plus the internal cache handles, for callers that
+    * manage cache lifetime themselves. */
+  private def pairsImpl(docs: DataFrame, idCol: String, textCol: String,
+      shingleW: Int, num: Int, den: Int): (DataFrame, Seq[DataFrame]) = {
     // shingles become portable 60-bit md5 ids BEFORE any shuffle: the
     // join/intersect key is a long, not a ~35-byte string (identical
     // ids on both engines, so the oracle replays exactly).
@@ -92,16 +109,28 @@ object ContainmentJoin {
         size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
         size(col("sa")).cast("long").as("size_a"))
       .filter(col("inter") * den >= col("size_a") * num)
-      // localCheckpoint: materialize the (small) surviving-pair set
-      // executor-side so the two cached frames can be RELEASED here —
-      // returning a lazy plan over them would leak cached partitions
-      // into the session until LRU eviction (one leak per pairs()
-      // call in a long-lived service). The checkpointed result stays
-      // valid after the unpersists; downstream consumers re-read its
-      // blocks, not the lineage.
-      .localCheckpoint(true)
-    sets.unpersist()
-    ranked.unpersist()
-    result
+    (result, Seq(sets, ranked))
+  }
+
+  /** [[pairs]] for long-lived sessions: materializes the (small)
+    * surviving-pair set so the two internal cached frames can be
+    * released before returning — no cached partitions leak into the
+    * session per call. Mechanism: persist the survivor set (lineage
+    * INTACT — on executor loss the blocks recompute from the plan,
+    * unlike a truncated localCheckpoint), force it with a count, then
+    * unpersist the inputs. The caller owns the returned frame's
+    * lifetime and should `unpersist()` it when done. Eager: runs one
+    * job at call time — use [[pairs]] on query/bench paths. */
+  def pairsReleasing(docs: DataFrame, idCol: String, textCol: String,
+      shingleW: Int, num: Int, den: Int): DataFrame = {
+    val (plan, caches) = pairsImpl(docs, idCol, textCol, shingleW, num, den)
+    val p = plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    // the survivor blocks are in; the big intermediates can go. p's
+    // lineage still reaches the raw input, so a lost block recomputes
+    // (slower, through the then-uncached intermediates) instead of
+    // failing the job.
+    caches.foreach(_.unpersist())
+    p
   }
 }

@@ -58,16 +58,25 @@ object SemDedup {
     * `kept = 1` iff no same-cell neighbor with a smaller vec_id has
     * cosine >= tau. Two-phase arithmetic: every within-cell pair is
     * pruned by the codegen'd double kernel ([[ArrayKernels.dotArr]])
-    * at `tau - 1e-3`, and only survivors pay the exact-integer
+    * at `tau - margin`, and only survivors pay the exact-integer
     * dot/norm (floor(v·2²⁰) quantized longs, shared with the ANN
     * paths) that makes the tau boundary bit-reproducible across
     * engines AND partitionings. The double prefilter tracks the TRUE
-    * cosine to ~1e-12; the quantized cosine differs from the true one
-    * by at most ~dim·2⁻²⁰/(|a||b|) ≈ 1e-4 at dim 64, so the 1e-3
-    * margin cannot drop a pair whose exact quantized cosine reaches
-    * tau — results are bit-identical to the single-phase integer
-    * version (spec-asserted), while the hot O(pairs) loop stays in
-    * whole-stage codegen. */
+    * cosine to ~1e-12, so completeness needs the margin to dominate
+    * the quantized-vs-true cosine drift. That drift is NORM-DEPENDENT:
+    * first-order, |cos_q − cos| ≤ 2·2⁻²⁰·√dim·(1/|a| + 1/|b|) + O(ε²)
+    * (per-element floor error ≤ 1 on a 2²⁰ grid, accumulated over the
+    * dot and both norms), so a fixed 1e-3 margin silently loses pairs
+    * once norms shrink below ~0.5 at dim 64 (r13 advisor finding).
+    * The margin is therefore computed PER PAIR from dim and the two
+    * double norms — 2·2⁻²⁰·dim·(1/|a| + 1/|b|), a further √dim-factor
+    * conservative over the bound — instead of assuming a unit-norm
+    * contract; small-norm vectors just widen their own prefilter
+    * (zero-norm degenerates to pass-through, still correct). Survivors
+    * are re-checked exactly, so the margin affects pruning cost only,
+    * never results — bit-identical to the single-phase integer version
+    * (spec-asserted), while the hot O(pairs) loop stays in whole-stage
+    * codegen. */
   def dedup(embeddings: DataFrame, tau: Double, signBits: Int = 8): DataFrame = {
     val base = embeddings.select(
       col("vec_id"), col("embedding"),
@@ -81,10 +90,12 @@ object SemDedup {
       col("embedding").as("be"), col("n2").as("bn2"), col("nd").as("ndb"))
     // bucket-local pairs only: the join key is the cell, so the shuffle
     // is one hash-partition of each side and no all-pairs blowup exists
+    val margin = lit(2.0 * math.pow(2, -20)) * size(col("ae")).cast("double") *
+      (lit(1.0) / col("nda") + lit(1.0) / col("ndb"))
     val prior = a.join(b, Seq("cell"))
       .filter(col("aid") < col("bid"))
       .filter(graft.functions.ArrayKernels.dotArr(col("ae"), col("be")) >=
-        (col("nda") * col("ndb")) * lit(tau - 1e-3))
+        (col("nda") * col("ndb")) * (lit(tau) - margin))
       .withColumn("cosine",
         Ann.cosineFrom(Ann.dotExact(col("ae"), col("be")), col("an2"), col("bn2")))
       .filter(col("cosine") >= tau)

@@ -461,17 +461,25 @@ object LlmQueries {
         col("embedding").as("eb"), col("n2").as("nb"))
       a.join(b, Seq("label")).filter(col("va") < col("vb"))
         // two-phase: the native codegen'd dot (bit-identical to the HOF
-        // double fold) prunes ~99% of pairs with a 1e-3 margin (covering
-        // the ≤ ~1e-4 double-vs-quantized cosine drift, so no
-        // exact-filter survivor is lost); the exact integer dot only on
-        // survivors
+        // double fold) prunes ~99% of pairs; the exact integer dot only
+        // on survivors. The prune margin is PER PAIR — the
+        // double-vs-quantized cosine drift is norm-dependent
+        // (≤ ~2⁻²⁰·√dim·(1/|a|+1/|b|) first-order), so a fixed 1e-3
+        // would silently drop boundary pairs on small-norm embeddings
+        // (r13 advisor finding; same derivation as SemDedup.dedup) —
+        // dim (not √dim) keeps it a strict upper bound.
         // na/nb are the quantized norm² longs (scaled by 2^40); the float
         // dot is unscaled, so restore true-cosine units with one exact
         // 2^40 factor before thresholding
+        .withColumn("nda",
+          sqrt(col("na").cast(DoubleType)) / lit(math.pow(2, 20)))
+        .withColumn("ndb",
+          sqrt(col("nb").cast(DoubleType)) / lit(math.pow(2, 20)))
         .withColumn("cos_fast",
-          expr("dot_f32(ea, eb)") * lit(math.pow(2, 40)) /
-            (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
-        .filter(col("cos_fast") >= 0.3 - 1e-3)
+          expr("dot_f32(ea, eb)") / (col("nda") * col("ndb")))
+        .filter(col("cos_fast") >= lit(0.3) -
+          lit(2.0 * math.pow(2, -20)) * size(col("ea")).cast(DoubleType) *
+            (lit(1.0) / col("nda") + lit(1.0) / col("ndb")))
         .withColumn("dot", Ann.dotExact(col("ea"), col("eb")))
         .withColumn("cosine", Ann.cosineFrom(col("dot"), col("na"), col("nb")))
         .filter(col("cosine") >= 0.3)
@@ -963,7 +971,7 @@ object LlmQueries {
     }),
 
     // Pipeline CARD (r12 ask #7): the LLM-prep flagships fused as ONE
-    // plan over the corpus — eval holdout → exact dedup → 3-gram
+    // plan over the corpus — eval holdout → exact dedup → 8-gram
     // decontamination → quality gate → md5-rank mixture sample →
     // 512-token shard packing → partitioned export — publishing the
     // funnel counts + packing/shard stats. Every stage is a cumulative
@@ -977,9 +985,18 @@ object LlmQueries {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
       val isEval = col("doc_id") % 7 === 0
-      // contamination mask vs the eval holdout's 3-grams (q84 semantics)
+      // contamination mask vs the eval holdout's 8-grams (q84 plan
+      // shape, but an 8-token window: r13 shipped this gate at n=3 and
+      // it SATURATED at sf0.1 — short grams lose discriminating power
+      // as a bounded-vocabulary eval set grows (4285/4285 docs ≥10%
+      // 3-gram-contaminated at sf0.1, vs ~77% at sf0.01), emptying the
+      // funnel. 8-token windows are the Lee-2021/DupSpans scale: the
+      // measured survivor curve is non-degenerate and near-flat across
+      // sf0.001/0.01/0.1 (contaminated: 7/428, 9/428, 57/4285 —
+      // PERF_NOTES r14 gate sweep), which is the invariant a
+      // decontamination gate must hold as the holdout scales 100×.
       val contam = Decontaminate.report(docs.filter(!isEval),
-          docs.filter(isEval), n = 3, flagRatio = 0.1)
+          docs.filter(isEval), n = 8, flagRatio = 0.1)
         .select(col("doc_id"), col("contaminated"))
       val wK = Window.partitionBy("k").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1001,9 +1018,18 @@ object LlmQueries {
         // sample rank counts SURVIVORS only (rank over the s3 subset,
         // computed without re-partitioning the frame)
         .withColumn("pick_rank", sum(when(col("s3"), 1).otherwise(0)).over(wSrc))
+        // mixture quotas cover EVERY source (r13 verdict: the 5-entry
+        // map silently zeroed 15 sources — an sf0.01 fixture artifact,
+        // not a mixture decision). Unknown sources still coalesce to 0,
+        // but now that path means "not in the recipe", not "forgot".
         .withColumn("quota", coalesce(element_at(
-          typedLit(Map("src0" -> 12, "src1" -> 5, "src2" -> 18,
-            "src3" -> 3, "src5" -> 25)), col("source")), lit(0)))
+          typedLit(Map(
+            "src0" -> 12, "src1" -> 5, "src2" -> 18, "src3" -> 3,
+            "src4" -> 9, "src5" -> 25, "src6" -> 7, "src7" -> 14,
+            "src8" -> 4, "src9" -> 21, "src10" -> 6, "src11" -> 11,
+            "src12" -> 16, "src13" -> 2, "src14" -> 8, "src15" -> 19,
+            "src16" -> 5, "src17" -> 13, "src18" -> 10, "src19" -> 22)),
+          col("source")), lit(0)))
         .withColumn("s4", col("s3") && col("pick_rank") <= col("quota"))
         .withColumn("n_tok", TextStats.tokenCount(col("text")).cast("long"))
         .withColumn("shard", SeqPack.shardOf(col("doc_id"), 8))
@@ -1014,11 +1040,17 @@ object LlmQueries {
       // the q88 pattern: shared dir per sf, overwrite keeps it correct)
       val path = shardDirs.computeIfAbsent(s"$dir#card",
         _ => java.nio.file.Files.createTempDirectory("graft_card").toString)
-      flagged.filter(col("s4"))
+      val exportDf = flagged.filter(col("s4"))
         .select(col("doc_id"), col("source"), col("n_tok"), col("bin"), col("shard"))
-        .repartition(col("shard"))
+      exportDf.repartition(col("shard"))
         .write.mode("overwrite").partitionBy("shard").parquet(path)
-      val exported = s.read.parquet(path).count()
+      // read-back with the writer's schema, NOT inference: an empty
+      // funnel writes only _SUCCESS, and schema inference on a
+      // part-file-less dir throws UNABLE_TO_INFER_SCHEMA (r13's sf0.1
+      // crash). With the schema given, zero survivors is what it
+      // should be — a zero-row answer. Empty-result robustness is
+      // table stakes for any export stage at scale.
+      val exported = s.read.schema(exportDf.schema).parquet(path).count()
       val agg = flagged.agg(
         count(lit(1)).as("n_raw"),
         count(when(!col("is_eval"), 1)).as("n_corpus"),
@@ -2589,9 +2621,9 @@ object LlmQueries {
         |  FROM documents),
         |toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |grams AS (
-        |  SELECT doc_id, CASE WHEN len(toks) >= 3
-        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ')
-        |                        for i in generate_series(1, len(toks)-2)])
+        |  SELECT doc_id, CASE WHEN len(toks) >= 8
+        |    THEN list_distinct([array_to_string(toks[i:i+7], ' ')
+        |                        for i in generate_series(1, len(toks)-7)])
         |    ELSE [array_to_string(toks, ' ')] END AS gs
         |  FROM toks),
         |eval_grams AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 7 = 0),
@@ -2623,7 +2655,12 @@ object LlmQueries {
         |      (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
         |       ROWS UNBOUNDED PRECEDING) AS pick_rank,
         |    CASE source WHEN 'src0' THEN 12 WHEN 'src1' THEN 5 WHEN 'src2' THEN 18
-        |      WHEN 'src3' THEN 3 WHEN 'src5' THEN 25 ELSE 0 END AS quota
+        |      WHEN 'src3' THEN 3 WHEN 'src4' THEN 9 WHEN 'src5' THEN 25
+        |      WHEN 'src6' THEN 7 WHEN 'src7' THEN 14 WHEN 'src8' THEN 4
+        |      WHEN 'src9' THEN 21 WHEN 'src10' THEN 6 WHEN 'src11' THEN 11
+        |      WHEN 'src12' THEN 16 WHEN 'src13' THEN 2 WHEN 'src14' THEN 8
+        |      WHEN 'src15' THEN 19 WHEN 'src16' THEN 5 WHEN 'src17' THEN 13
+        |      WHEN 'src18' THEN 10 WHEN 'src19' THEN 22 ELSE 0 END AS quota
         |  FROM f4),
         |f6 AS (SELECT *, s3 AND pick_rank <= quota AS s4 FROM f5),
         |f7 AS (

@@ -61,6 +61,32 @@ class ArrayKernelsSpec extends SparkTestBase {
     }
   }
 
+  test("qdot_arr checked mode fails loudly on out-of-contract inputs") {
+    import spark.implicits._
+    import graft.functions.QDotArr
+    // |v| = 2^25 at dim 4: each quantized element is 2^45, each product
+    // 2^90 — far outside long. The default (unchecked) fold wraps
+    // silently; checked mode must throw instead of mis-ranking.
+    val big = Seq((Array.fill(4)(math.pow(2, 25)), Array.fill(4)(math.pow(2, 25))))
+      .toDF("a", "b")
+    val inContract = Seq((Array.fill(4)(0.5), Array.fill(4)(0.25))).toDF("a", "b")
+    def qdot(df: org.apache.spark.sql.DataFrame) =
+      df.select(ArrayKernels.qdotArr(col("a"), col("b"))).collect()
+    assert(QDotArr.checked === false, "checked mode must default off (hot path)")
+    qdot(big) // unchecked: wraps, no throw — the documented trade
+    QDotArr.checked = true
+    try {
+      val e = intercept[Exception](qdot(big))
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(_.isInstanceOf[ArithmeticException]),
+        s"expected ArithmeticException, got $e")
+      // in-contract inputs are unaffected by checked mode
+      assert(qdot(inContract).head.getLong(0) ===
+        4L * (1L << 19) * (1L << 18))
+    } finally QDotArr.checked = false
+  }
+
   test("SQL registration exposes dot_arr/dist2_arr") {
     ArrayKernels.register(spark)
     import spark.implicits._
