@@ -17,6 +17,18 @@ import org.apache.spark.sql.types._
   * broadcast, the same plan degrades gracefully to a shuffle equi-join
   * keyed on xxhash64(gram) — the gram strings themselves never need to
   * shuffle.
+  *
+  * GATE CALIBRATION (r13→r14 lesson): `n` controls discriminating
+  * power, and short grams LOSE it as the eval set grows — on a
+  * bounded-vocabulary corpus, 3-gram contamination saturated from
+  * ~77% of docs at one eval-set size to 100% at 10× that size,
+  * silently emptying a downstream filter-funnel. Use this report at
+  * small `n` only as a DIAGNOSTIC (the ratio distribution is the
+  * output); any pipeline that FILTERS on `contaminated` should use
+  * n ≈ 8–13 token windows (the Lee-2021 dedup scale; survivor counts
+  * then stay near-flat under 100× eval growth — measured curves in
+  * PERF_NOTES r14) or derive `flagRatio` from the observed eval-gram
+  * density rather than a fixed constant.
   */
 object Decontaminate {
 
