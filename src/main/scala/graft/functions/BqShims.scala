@@ -79,6 +79,29 @@ object BqShims {
   /** JSON_VALUE(j, '$.path') */
   def jsonValue(j: Column, path: String): Column = get_json_object(j, path)
 
+  /** JSON string column → Spark 4 `VariantType`, the PARSE-ONCE typed
+    * form of a JSON column (SURVEY §1's own mapping). `jsonValue`
+    * re-parses the string on every access — correct, but at 100× a
+    * repeated-access JSON column pays one full parse per expression.
+    * Parse to a variant once, then every [[variantValue]] /
+    * [[variantGet]] is a cheap binary-encoded path lookup, no
+    * re-parse. Malformed JSON → null (try semantics, matching
+    * `get_json_object`'s null-on-garbage). The legacy string path
+    * stays the DuckDB-oracle-checked one; VariantSpec pins the twin
+    * queries equal row-for-row and the single-parse plan shape. */
+  def jsonVariant(j: Column): Column = try_parse_json(j)
+
+  /** JSON_VALUE twin over a parsed variant: string-typed extraction
+    * with get_json_object's null-on-missing semantics. */
+  def variantValue(v: Column, path: String): Column =
+    try_variant_get(v, path, "string")
+
+  /** Typed extraction over a parsed variant (e.g. "bigint", "double",
+    * "boolean") — replaces the `jsonValue(...).try_cast(t)` idiom with
+    * a direct typed read of the binary encoding. */
+  def variantGet(v: Column, path: String, dataType: String): Column =
+    try_variant_get(v, path, dataType)
+
   /** CONTAINS_SUBSTR(haystack, needle) — case-insensitive in BigQuery. */
   def containsSubstr(h: Column, needle: String): Column =
     lower(h).contains(lit(needle.toLowerCase))

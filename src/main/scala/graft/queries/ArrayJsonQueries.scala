@@ -96,6 +96,59 @@ object ArrayJsonQueries {
         .orderBy("event_type")
     }),
 
+    // q45's VARIANT twin (r13 verdict ask #6): the SAME JSON column
+    // parsed ONCE to Spark 4 VariantType, then accessed four times
+    // (typed bigint, string form, null-probe of a missing path, and a
+    // validity count) — with get_json_object each access would re-parse
+    // the string; here the plan carries ONE ParseJson per row and four
+    // binary path reads (plan proof in PLANS.md; equality + plan shape
+    // pinned by VariantSpec). The legacy q45 stays the canonical
+    // string path.
+    "q272_json_variant" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("v", BqShims.jsonVariant(col("props")))
+        .withColumn("k", BqShims.variantGet(col("v"), "$.k", "bigint"))
+        .withColumn("k_str", BqShims.variantValue(col("v"), "$.k"))
+        .withColumn("missing", BqShims.variantValue(col("v"), "$.absent"))
+        .groupBy("event_type")
+        .agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          count_if(col("k") > 50).as("n_big"),
+          count_if(col("k_str") === col("k").cast(StringType)).as("n_str_eq"),
+          count_if(col("missing").isNull).as("n_missing"))
+        .orderBy("event_type")
+    }),
+
+    // The flagship's user_story multi-access shape on a VARIANT: the
+    // q105 path reads the same JSON column ~8 times via
+    // get_json_object (impact, platform, diagnosis-team, configuration,
+    // …) — the exact repeated-parse pattern VariantType exists for.
+    // Same synthetic user_story JSON as q105, parsed once, four
+    // accesses (two present keys, one defaulted-missing, one split),
+    // aggregated per source. At 100×, this halves-or-better the CPU of
+    // every JSON-heavy job: one parse amortizes across all accesses.
+    "q273_variant_story" -> ((s, dir) => {
+      val story = concat(lit("""{"impact":""""),
+        element_at(array(lit("severe"), lit("low"), lit("blocked")),
+          pmod(col("doc_id"), lit(3)).cast(IntegerType) + 1),
+        lit("""","platform":""""),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("windows,android"))
+          .otherwise(lit("ios")),
+        lit(""""}"""))
+      t(s, dir, "documents")
+        .withColumn("v", BqShims.jsonVariant(story))
+        .select(col("doc_id"), col("source"),
+          BqShims.variantValue(col("v"), "$.impact").as("impact"),
+          size(split(BqShims.variantValue(col("v"), "$.platform"), ","))
+            .as("n_platforms"),
+          coalesce(BqShims.variantValue(col("v"), "$.configuration"),
+            lit("general")).as("configuration"))
+        .groupBy("source")
+        .agg(count_if(col("impact") === "blocked").as("n_blocked"),
+          sum(col("n_platforms")).cast(LongType).as("total_platforms"),
+          count_if(col("configuration") === "general").as("n_default_cfg"))
+        .orderBy("source")
+    }),
+
     // F7/X4 — date spine via sequence+explode, monthly order counts
     // (GENERATE_DATE_ARRAY, metrics.py:204), left join keeps empty months.
     "q46_date_spine" -> ((s, dir) => {
@@ -284,6 +337,40 @@ object ArrayJsonQueries {
         |FROM (SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the variant twin must agree with the STRING-parse oracle — that
+    // is the point: parse-once changes the plan, never the values
+    "q272_json_variant" ->
+      """SELECT event_type,
+        |  MIN(k) AS min_k, MAX(k) AS max_k, count_if(k > 50)::BIGINT AS n_big,
+        |  count_if(ks = CAST(k AS VARCHAR))::BIGINT AS n_str_eq,
+        |  count_if(json_extract_string(props, '$.absent') IS NULL)::BIGINT
+        |    AS n_missing
+        |FROM (SELECT event_type, props,
+        |        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |        json_extract_string(props, '$.k') AS ks
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q273_variant_story" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    '{"impact":"' || ['severe','low','blocked'][(doc_id % 3) + 1] ||
+        |    '","platform":"' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'windows,android' ELSE 'ios' END ||
+        |    '"}' AS us
+        |  FROM documents),
+        |x AS (
+        |  SELECT source,
+        |    json_extract_string(us, '$.impact') AS impact,
+        |    len(string_split(json_extract_string(us, '$.platform'), ','))
+        |      AS n_platforms,
+        |    COALESCE(json_extract_string(us, '$.configuration'), 'general')
+        |      AS configuration
+        |  FROM d)
+        |SELECT source,
+        |  count_if(impact = 'blocked')::BIGINT AS n_blocked,
+        |  CAST(SUM(n_platforms) AS BIGINT) AS total_platforms,
+        |  count_if(configuration = 'general')::BIGINT AS n_default_cfg
+        |FROM x GROUP BY source ORDER BY source""".stripMargin,
     "q46_date_spine" ->
       """SELECT CAST(m AS DATE) AS month, COALESCE(n, 0) AS n
         |FROM generate_series(DATE '1995-01-01', DATE '2001-08-01', INTERVAL 1 MONTH) s(m)
