@@ -61,6 +61,19 @@ object Routines {
     transform(chosen, e => trim(e))
   }
 
+  /** [[extractArray]] over an already-parsed variant (the string form
+    * parses the JSON twice — once per get_json_object — plus a
+    * from_json; here both the array and scalar probes are binary path
+    * reads of one parse). Same array-or-scalar-or-empty coercion. */
+  def extractArrayV(v: Column, path: String): Column = {
+    val arr = try_variant_get(v, path, "array<string>")
+    val scalar = try_variant_get(v, path, "string")
+    val chosen = when(arr.isNotNull, arr)
+      .when(scalar.isNotNull, array(scalar))
+      .otherwise(array().cast(ArrayType(StringType)))
+    transform(chosen, e => trim(e))
+  }
+
   /** WEBCOMPAT_BLOCKED_REASON(keywords, user_story)
     * (routines/WEBCOMPAT_BLOCKED_REASON/routine.sql:1-15). */
   def webcompatBlockedReason(keywords: Column): Column = {
@@ -102,14 +115,31 @@ object Routines {
     * fully codegen'd, zero joins, zero shuffles at any scale.
     */
   def scoreNoSiteRank(weights: Map[(String, String), java.math.BigDecimal])(
-      keywords: Column, userStory: Column): Column = {
+      keywords: Column, userStory: Column): Column =
+    scoreNoSiteRankImpl(weights)(keywords, p => get_json_object(userStory, p))
+
+  /** [[scoreNoSiteRank]] over an ALREADY-PARSED variant user_story
+    * (see [[BqShims.jsonVariant]]): the string form re-parses the JSON
+    * on each of its five accesses — and worse, callers embed those
+    * accesses inside a weight-dim cross join, multiplying the parses
+    * by the weight-row count. With the variant materialized as its own
+    * column before the join, each access is a binary path read.
+    * Value-identical to the string path (same null-on-missing /
+    * null-on-garbage semantics; q105 oracle + FunctionsSpec gate). */
+  def scoreNoSiteRankV(weights: Map[(String, String), java.math.BigDecimal])(
+      keywords: Column, userStoryVar: Column): Column =
+    scoreNoSiteRankImpl(weights)(keywords,
+      p => try_variant_get(userStoryVar, p, "string"))
+
+  private def scoreNoSiteRankImpl(
+      weights: Map[(String, String), java.math.BigDecimal])(
+      keywords: Column, jv: String => Column): Column = {
     def lookupCol(lookupType: String, value: Column): Column = {
       val fam = weights.collect { case ((t, v), s) if t == lookupType => (v, s) }
       fam.foldLeft(lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 9))) {
         case (acc, (v, s)) => when(value === v, lit(s).cast(DecimalType(38, 9))).otherwise(acc)
       }
     }
-    def jv(path: String) = get_json_object(userStory, path)
     def has(k: String) = array_contains(keywords, k)
     val impact = lookupCol("impact", jv("$.impact"))
     // platform is a csv list: sum of member weights

@@ -51,12 +51,16 @@ object Rescore {
       .agg(min("global_rank").as("global_rank"), min("core_rank").as("core_rank"),
         min("local_rank").as("local_rank"))
 
-    val score = (Routines.scoreNoSiteRank(weights)(col("keywords"), col("user_story")) *
+    // user_story parsed ONCE per row to a variant; the score expression
+    // reads it ~7 times (five weight families + the override array's
+    // two probes) as binary path lookups instead of 7 full re-parses
+    val score = (Routines.scoreNoSiteRankV(weights)(col("keywords"), col("__us")) *
       Routines.siteRankModifier(col("global_rank"), col("core_rank"), col("local_rank"),
-        Routines.extractArray(col("user_story"), "$.site-rank-override")))
+        Routines.extractArrayV(col("__us"), "$.site-rank-override")))
       .cast(DecimalType(38, 9))
 
     flat
+      .withColumn("__us", graft.functions.BqShims.jsonVariant(col("user_story")))
       .withColumn("webcompat_host", Routines.webcompatHost(col("url")))
       .join(broadcast(ranks), Seq("webcompat_host"), "left")
       .withColumn("score",

@@ -24,19 +24,28 @@ import graft.functions.Routines
   */
 object Webcompat {
 
-  private def jv(c: Column, path: String): Column = get_json_object(c, path)
+  /** user_story accessed through the ONE parsed variant column `__us`
+    * (r14: was get_json_object per access — site_reports reads the
+    * JSON 3×, scored_site_reports 6× with five of them inside the
+    * weight-dim cross join, i.e. re-parsed per weight row; the variant
+    * column is materialized once before the join and every read is a
+    * binary path lookup — see BqShims.jsonVariant / PLANS.md r14). */
+  private def uv(path: String): Column =
+    try_variant_get(col("__us"), path, "string")
+  private def withStoryVar(df: DataFrame): DataFrame =
+    df.withColumn("__us", graft.functions.BqShims.jsonVariant(col("user_story")))
   private def has(k: String): Column = array_contains(col("keywords"), k)
 
   /** site_reports (view.sql:1-40): filtered bug universe + platform
     * arrays + team attribution + blocked/metric-type flags. */
   def siteReports(bugs: DataFrame, componentOwners: DataFrame,
       breakageCoreBugs: DataFrame): DataFrame = {
-    val filtered = bugs.filter(
+    val filtered = withStoryVar(bugs.filter(
       (col("product") === "Web Compatibility" && col("component") === "Site Reports") ||
-        (col("product") =!= "Web Compatibility" && array_contains(col("keywords"), "webcompat:site-report")))
+        (col("product") =!= "Web Compatibility" && array_contains(col("keywords"), "webcompat:site-report"))))
 
     val platforms = transform(
-      split(lower(coalesce(jv(col("user_story"), "$.platform"), lit(""))), ","),
+      split(lower(coalesce(uv("$.platform"), lit(""))), ","),
       p => trim(p))
 
     val withBreakage = filtered.join(
@@ -51,7 +60,7 @@ object Webcompat {
         col("product") === componentOwners("bugzilla_product") &&
           col("component") === componentOwners("bugzilla_component"), "left")
       .withColumn("assigned_team",
-        trim(lower(coalesce(jv(col("user_story"), "$.diagnosis-team"),
+        trim(lower(coalesce(uv("$.diagnosis-team"),
           col("team"), lit("unknown")))))
       .withColumn("has_intervention", has("webcompat:sitepatch-applied"))
       .withColumn("blocked_reason", blockedReason)
@@ -68,8 +77,9 @@ object Webcompat {
         !has("webcompat:needs-diagnosis") &&
           (has("webcompat:platform-bug") || coalesce(col("__has_breakage"), lit(false))))
       .withColumn("metric_type_firefox_not_supported",
-        coalesce(jv(col("user_story"), "$.impact"), lit("")) === "blocked")
-      .drop("__has_breakage", "bugzilla_product", "bugzilla_component", "team", "manager")
+        coalesce(uv("$.impact"), lit("")) === "blocked")
+      .drop("__has_breakage", "bugzilla_product", "bugzilla_component",
+        "team", "manager", "__us")
   }
 
   /** scored_site_reports (view.sql:1-100): per-component scores via the
@@ -82,35 +92,38 @@ object Webcompat {
       col("lookup_type"), col("lookup_value"), col("score").cast(DecimalType(38, 9)).as("score"))
     def scoreIf(cond: Column): Column =
       sum(when(cond, col("score")).otherwise(lit(BigDecimal(0)).cast(DecimalType(38, 9))))
-    val scores = siteReports.crossJoin(broadcast(w))
+    // the variant column is materialized BEFORE the weight cross join:
+    // each fact row parses its user_story once, not once per weight row
+    val sr = withStoryVar(siteReports)
+    val scores = sr.crossJoin(broadcast(w))
       .groupBy("number")
       .agg(
         scoreIf(col("lookup_type") === "severity" &&
           col("lookup_value") === col("severity").cast(StringType)).as("severity_score"),
         scoreIf(col("lookup_type") === "impact" &&
-          col("lookup_value") === jv(col("user_story"), "$.impact")).as("impact_score"),
+          col("lookup_value") === uv("$.impact")).as("impact_score"),
         scoreIf(col("lookup_type") === "platform" &&
-          expr("array_contains(split(get_json_object(user_story, '$.platform'), ','), lookup_value)"))
+          array_contains(split(uv("$.platform"), ","), col("lookup_value")))
           .as("platform_score"),
         scoreIf(col("lookup_type") === "configuration" &&
-          col("lookup_value") === coalesce(jv(col("user_story"), "$.configuration"), lit("general")))
+          col("lookup_value") === coalesce(uv("$.configuration"), lit("general")))
           .as("configuration_score"),
         scoreIf(col("lookup_type") === "users_affected" &&
-          col("lookup_value") === coalesce(jv(col("user_story"), "$.affects"), lit("all")))
+          col("lookup_value") === coalesce(uv("$.affects"), lit("all")))
           .as("affects_score"),
         scoreIf(col("lookup_type") === "patch_applied" &&
           col("lookup_value") === when(array_contains(col("keywords"), "webcompat:sitepatch-applied"),
             when(array_contains(col("keywords"), "webcompat:platform-bug"), lit("platform-bug"))
               .otherwise(lit("site-bug"))).otherwise(lit("none"))).as("intervention_score"),
         scoreIf(col("lookup_type") === "branch" &&
-          col("lookup_value") === coalesce(jv(col("user_story"), "$.branch"), lit("release")))
+          col("lookup_value") === coalesce(uv("$.branch"), lit("release")))
           .as("branch_score"))
 
     // --- decorrelated F2: driver-collected weight map → pure expression
     val weightMap = w.collect().map { r =>
       (r.getString(0), r.getString(1)) -> r.getDecimal(2)
     }.toMap
-    val triageNoRank = Routines.scoreNoSiteRank(weightMap)(col("keywords"), col("user_story"))
+    val triageNoRank = Routines.scoreNoSiteRankV(weightMap)(col("keywords"), col("__us"))
 
     // --- rank modifier decorrelated as a broadcast join on host
     val hostRanks = hostMinRanks
@@ -122,15 +135,15 @@ object Webcompat {
     // computed_scores merged into the main pass (one fewer scan of the
     // fact table than the reference's separate CTE — the per-row F2
     // expression and the broadcast rank join don't need their own scan)
-    siteReports
+    sr
       .withColumn("webcompat_host", Routines.webcompatHost(col("url")))
       .join(broadcast(hostRanks), Seq("webcompat_host"), "left")
       .join(scores, Seq("number"))
       .withColumn("triage_score_no_rank", triageNoRank)
       .withColumn("site_rank_score",
         Routines.siteRankModifier(col("global_rank"), col("core_rank"), col("local_rank"),
-          Routines.extractArray(col("user_story"), "$.site-rank-override")))
-      .drop("global_rank", "core_rank", "local_rank")
+          Routines.extractArrayV(col("__us"), "$.site-rank-override")))
+      .drop("global_rank", "core_rank", "local_rank", "__us")
       .withColumn("triage_score",
         (col("triage_score_no_rank") * col("site_rank_score")).cast(DecimalType(38, 9)))
   }
