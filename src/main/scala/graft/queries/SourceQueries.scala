@@ -612,6 +612,24 @@ object SourceQueries {
         .orderBy("segment")
     }),
 
+    // F8+++ — Prophet's TREND CHANGEPOINT element (DELTAS §2's last
+    // structural gap next to prophet_forecast.py): continuous
+    // piecewise-linear trend, ≤25 rank-spaced candidate changepoints
+    // over the first 80% of each segment's series, least-SSE selection
+    // — fit entirely relationally (candidate join + one sufficient-
+    // stats groupBy + closed-form 3×3 Cramer as column arithmetic +
+    // top-1 window), O(25·n) rows, no per-segment driver loop. Exact
+    // integer/decimal sums → one double conversion → fixed-order IEEE
+    // solve, replayed term-for-term by the oracle.
+    "q274_changepoint_trend" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type").as("segment"),
+          datediff(col("ts").cast(DateType),
+            lit("1970-01-01").cast(DateType)).cast(LongType).as("x"))
+        .agg(dsum(col("value")).as("y"))
+      graft.operators.ChangepointTrend.fit(daily, k = 25)
+    }),
+
     // F8++ — the Prophet-shaped grid (funnel_forecast.py:365-412 sweeps
     // growth={linear,logistic} and seasonality): same CV selection as
     // q110 over {mean, linear, sat, seasonal}, where `sat` is a
@@ -933,6 +951,68 @@ object SourceQueries {
     // decimal-exact fit sums, per-row double predictions (2-term sums are
     // IEEE-commutative), explicit ((b1+b2)+b3)/3 to match the engine's
     // left-to-right fold, |bias| argmin with grid-order tiebreak.
+    // same daily series; exact BIGINT x-moments + DECIMAL y-moments →
+    // one DOUBLE cast; Cramer cofactor expansion written in the same
+    // a*(e*i - f*h) - b*(d*i - f*g) + c*(d*h - e*g) order as the
+    // engine's det3, so every fitted slope/SSE is the same IEEE chain
+    "q274_changepoint_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type AS segment,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |obs AS (
+        |  SELECT segment, x - MIN(x) OVER (PARTITION BY segment) AS x0, y,
+        |    row_number() OVER (PARTITION BY segment ORDER BY x) AS rn,
+        |    COUNT(*) OVER (PARTITION BY segment) AS n,
+        |    MAX(x) OVER (PARTITION BY segment)
+        |      - MIN(x) OVER (PARTITION BY segment) AS xmax0
+        |  FROM daily),
+        |cands AS (
+        |  SELECT DISTINCT segment, x0 AS c FROM obs
+        |  WHERE rn >= 2 AND rn <= FLOOR(n * 0.8)
+        |    AND (rn - 2) % GREATEST(1, CAST(FLOOR(n / 25) AS BIGINT)) = 0),
+        |feat AS (
+        |  SELECT o.segment, c.c, o.x0, o.y, o.xmax0,
+        |    GREATEST(0, o.x0 - c.c) AS h
+        |  FROM obs o JOIN cands c ON o.segment = c.segment),
+        |sums AS (
+        |  SELECT segment, c,
+        |    CAST(COUNT(*) AS DOUBLE) AS sn,
+        |    CAST(CAST(SUM(x0) AS BIGINT) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(x0 * x0) AS BIGINT) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(h) AS BIGINT) AS DOUBLE) AS sh,
+        |    CAST(CAST(SUM(h * h) AS BIGINT) AS DOUBLE) AS shh,
+        |    CAST(CAST(SUM(x0 * h) AS BIGINT) AS DOUBLE) AS sxh,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x0 AS DECIMAL(18,0)) * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(h AS DECIMAL(18,0)) * y) AS DOUBLE) AS shy,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy,
+        |    MAX(xmax0) AS xmax0
+        |  FROM feat GROUP BY 1, 2),
+        |solved AS (
+        |  SELECT *,
+        |    sn*(sxx*shh - sxh*sxh) - sx*(sx*shh - sxh*sh) + sh*(sx*sxh - sxx*sh)
+        |      AS det
+        |  FROM sums),
+        |params AS (
+        |  SELECT *,
+        |    (sy*(sxx*shh - sxh*sxh) - sx*(sxy*shh - sxh*shy) + sh*(sxy*sxh - sxx*shy)) / det AS b0,
+        |    (sn*(sxy*shh - sxh*shy) - sy*(sx*shh - sxh*sh) + sh*(sx*shy - sxy*sh)) / det AS b1,
+        |    (sn*(sxx*shy - sxy*sxh) - sx*(sx*shy - sxy*sh) + sy*(sx*sxh - sxx*sh)) / det AS b2
+        |  FROM solved WHERE det <> 0),
+        |scored AS (
+        |  SELECT *, syy - (b0*sy + b1*sxy + b2*shy) AS sse FROM params),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY segment ORDER BY sse, c) AS rk
+        |  FROM scored)
+        |SELECT segment, CAST(sn AS BIGINT) AS n_points, c AS changepoint,
+        |  ROUND(b1, 6) AS slope_pre, ROUND(b1 + b2, 6) AS slope_post,
+        |  ROUND(sse / syy, 6) AS rel_sse,
+        |  ROUND(b0 + b1*(xmax0 + 1) + b2*GREATEST(0, (xmax0 + 1) - c), 4) AS f1,
+        |  ROUND(b0 + b1*(xmax0 + 2) + b2*GREATEST(0, (xmax0 + 2) - c), 4) AS f2,
+        |  ROUND(b0 + b1*(xmax0 + 3) + b2*GREATEST(0, (xmax0 + 3) - c), 4) AS f3
+        |FROM ranked WHERE rk = 1 ORDER BY segment""".stripMargin,
     "q110_forecast_cv" ->
       """WITH daily AS (
         |  SELECT event_type AS segment,
