@@ -461,6 +461,31 @@ object SourceQueries {
       s.read.schema(schema).json(path).orderBy("n_nationkey")
     }),
 
+    // S3++ — JSON-rows ingested as ONE VariantType column (Spark 4
+    // `singleVariantColumn`): the schemaless twin of q98. The reader
+    // binary-encodes each JSON row ONCE at scan time; all downstream
+    // field accesses are typed variant path reads — no per-expression
+    // string re-parse and no up-front schema contract, which is how a
+    // 100 TB semi-structured feed should land before its schema settles.
+    // Round-trip: nation → JSON lines on disk → variant scan → typed
+    // extraction → aggregate; the oracle recomputes from the parquet
+    // table, proving the variant decode is lossless.
+    "q275_variant_ingest" -> ((s, dir) => {
+      val path = tmpDir("graft_varjson")
+      t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode(SaveMode.Overwrite).json(path)
+      s.read.option("singleVariantColumn", "v").json(path)
+        .select(
+          graft.functions.BqShims.variantGet(col("v"), "$.n_nationkey", "int").as("n_nationkey"),
+          graft.functions.BqShims.variantValue(col("v"), "$.n_name").as("n_name"),
+          graft.functions.BqShims.variantGet(col("v"), "$.n_regionkey", "int").as("n_regionkey"))
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"),
+          min("n_name").as("first_name"),
+          max("n_nationkey").cast(LongType).as("max_key"))
+        .orderBy("n_regionkey")
+    }),
+
     // S16 — scoped temp table lifetime (bqhelpers.py:843-909): register,
     // consume, drop; the result must survive the drop (materialized by
     // the driver write), the view must be gone after.
@@ -906,6 +931,11 @@ object SourceQueries {
         |  CAST(SUM(price) AS DOUBLE) AS total_price,
         |  CAST(SUM(k) AS BIGINT) AS sum_key
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q275_variant_ingest" ->
+      """SELECT n_regionkey, COUNT(*)::BIGINT AS n_nations,
+        |  MIN(n_name) AS first_name,
+        |  CAST(MAX(n_nationkey) AS BIGINT) AS max_key
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
     "q98_json_rows" ->
       """SELECT * FROM (
         |  SELECT n_nationkey, n_name FROM nation
