@@ -655,6 +655,23 @@ object SourceQueries {
       graft.operators.ChangepointTrend.fit(daily, k = 25)
     }),
 
+    // F8++++ — JOINT two-changepoint trend (Prophet's multi-break
+    // trend, restricted to the best PAIR rather than L1-shrunk over
+    // all): candidate pairs c1 < c2 from a 10-wide rank-spaced grid,
+    // 4×4 normal equations per pair via det4 Cramer column arithmetic,
+    // argmin on the 9-dp rounded scale-free SSE. O(C(10,2)·n) rows —
+    // constant fan-out, linear in the corpus. The oracle's determinant
+    // SQL is GENERATED by the same cofactor expansion the engine's
+    // det3/det4 use, so both engines run one IEEE chain (q276Oracle).
+    "q276_changepoint2" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type").as("segment"),
+          datediff(col("ts").cast(DateType),
+            lit("1970-01-01").cast(DateType)).cast(LongType).as("x"))
+        .agg(dsum(col("value")).as("y"))
+      graft.operators.ChangepointTrend.fit2(daily, k = 10)
+    }),
+
     // F8++ — the Prophet-shaped grid (funnel_forecast.py:365-412 sweeps
     // growth={linear,logistic} and seasonality): same CV selection as
     // q110 over {mean, linear, sat, seasonal}, where `sat` is a
@@ -710,7 +727,103 @@ object SourceQueries {
     })
   )
 
+  /** q276's oracle, GENERATED so the determinant SQL shares the exact
+    * cofactor-expansion association of `ChangepointTrend.det3`/`det4`
+    * (first row, minors parenthesized, left-assoc alternating sum) —
+    * textual identity of the arithmetic is what makes the IEEE chains
+    * engine-identical. */
+  private val q276Oracle: String = {
+    def det3(m: Seq[Seq[String]]): String = {
+      val Seq(Seq(a, b, c), Seq(d, e, f), Seq(g, h, i)) = m
+      s"$a*($e*$i - $f*$h) - $b*($d*$i - $f*$g) + $c*($d*$h - $e*$g)"
+    }
+    def det4(m: Seq[Seq[String]]): String = {
+      def minor(c0: Int): String = {
+        val cols = (0 to 3).filterNot(_ == c0)
+        det3((1 to 3).map(i => cols.map(j => m(i)(j))))
+      }
+      s"${m(0)(0)}*(${minor(0)}) - ${m(0)(1)}*(${minor(1)}) + " +
+        s"${m(0)(2)}*(${minor(2)}) - ${m(0)(3)}*(${minor(3)})"
+    }
+    val A = Seq(
+      Seq("sn", "sx", "s1", "s2"), Seq("sx", "sxx", "sx1", "sx2"),
+      Seq("s1", "sx1", "s11", "s12"), Seq("s2", "sx2", "s12", "s22"))
+    val r = Seq("sy", "sxy", "s1y", "s2y")
+    def rep(j: Int): Seq[Seq[String]] =
+      A.zipWithIndex.map { case (row, i) => row.updated(j, r(i)) }
+    s"""WITH daily AS (
+       |  SELECT event_type AS segment,
+       |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+       |  FROM events GROUP BY 1, 2),
+       |obs AS (
+       |  SELECT segment, x - MIN(x) OVER (PARTITION BY segment) AS x0, y,
+       |    row_number() OVER (PARTITION BY segment ORDER BY x) AS rn,
+       |    COUNT(*) OVER (PARTITION BY segment) AS n,
+       |    MAX(x) OVER (PARTITION BY segment)
+       |      - MIN(x) OVER (PARTITION BY segment) AS xmax0
+       |  FROM daily),
+       |cand AS (
+       |  SELECT DISTINCT segment, x0 AS c FROM obs
+       |  WHERE rn >= 2 AND rn <= FLOOR(n * 0.8)
+       |    AND (rn - 2) % GREATEST(1, CAST(FLOOR(n / 10) AS BIGINT)) = 0),
+       |pairs AS (
+       |  SELECT a.segment, a.c AS c1, b.c AS c2
+       |  FROM cand a JOIN cand b ON a.segment = b.segment AND a.c < b.c),
+       |feat AS (
+       |  SELECT o.segment, p.c1, p.c2, o.x0, o.y, o.xmax0,
+       |    GREATEST(0, o.x0 - p.c1) AS h1, GREATEST(0, o.x0 - p.c2) AS h2
+       |  FROM obs o JOIN pairs p ON o.segment = p.segment),
+       |sums AS (
+       |  SELECT segment, c1, c2,
+       |    CAST(COUNT(*) AS DOUBLE) AS sn,
+       |    CAST(CAST(SUM(x0) AS BIGINT) AS DOUBLE) AS sx,
+       |    CAST(CAST(SUM(x0 * x0) AS BIGINT) AS DOUBLE) AS sxx,
+       |    CAST(CAST(SUM(h1) AS BIGINT) AS DOUBLE) AS s1,
+       |    CAST(CAST(SUM(h1 * h1) AS BIGINT) AS DOUBLE) AS s11,
+       |    CAST(CAST(SUM(x0 * h1) AS BIGINT) AS DOUBLE) AS sx1,
+       |    CAST(CAST(SUM(h2) AS BIGINT) AS DOUBLE) AS s2,
+       |    CAST(CAST(SUM(h2 * h2) AS BIGINT) AS DOUBLE) AS s22,
+       |    CAST(CAST(SUM(x0 * h2) AS BIGINT) AS DOUBLE) AS sx2,
+       |    CAST(CAST(SUM(h1 * h2) AS BIGINT) AS DOUBLE) AS s12,
+       |    CAST(SUM(y) AS DOUBLE) AS sy,
+       |    CAST(SUM(y * CAST(x0 AS DECIMAL(18,0))) AS DOUBLE) AS sxy,
+       |    CAST(SUM(y * CAST(h1 AS DECIMAL(18,0))) AS DOUBLE) AS s1y,
+       |    CAST(SUM(y * CAST(h2 AS DECIMAL(18,0))) AS DOUBLE) AS s2y,
+       |    CAST(SUM(y * y) AS DOUBLE) AS syy,
+       |    MAX(xmax0) AS xmax0
+       |  FROM feat GROUP BY 1, 2, 3),
+       |solved AS (SELECT *, ${det4(A)} AS det FROM sums),
+       |params AS (
+       |  SELECT *,
+       |    (${det4(rep(0))}) / det AS b0,
+       |    (${det4(rep(1))}) / det AS b1,
+       |    (${det4(rep(2))}) / det AS b2,
+       |    (${det4(rep(3))}) / det AS b3
+       |  FROM solved WHERE det <> 0),
+       |scored AS (
+       |  SELECT *, syy - (b0*sy + b1*sxy + b2*s1y + b3*s2y) AS sse
+       |  FROM params),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY segment
+       |    ORDER BY ROUND(sse / syy, 9), c1, c2) AS rk
+       |  FROM scored)
+       |SELECT segment, CAST(sn AS BIGINT) AS n_points,
+       |  c1 AS cp1, c2 AS cp2,
+       |  ROUND(b1, 6) AS slope1, ROUND(b1 + b2, 6) AS slope2,
+       |  ROUND(b1 + b2 + b3, 6) AS slope3,
+       |  ROUND(sse / syy, 6) AS rel_sse,
+       |  ROUND(b0 + b1*(xmax0 + 1) + b2*GREATEST(0, (xmax0 + 1) - c1)
+       |    + b3*GREATEST(0, (xmax0 + 1) - c2), 4) AS f1,
+       |  ROUND(b0 + b1*(xmax0 + 2) + b2*GREATEST(0, (xmax0 + 2) - c1)
+       |    + b3*GREATEST(0, (xmax0 + 2) - c2), 4) AS f2,
+       |  ROUND(b0 + b1*(xmax0 + 3) + b2*GREATEST(0, (xmax0 + 3) - c1)
+       |    + b3*GREATEST(0, (xmax0 + 3) - c2), 4) AS f3
+       |FROM ranked WHERE rk = 1 ORDER BY segment""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q276_changepoint2" -> q276Oracle,
     // expected byte totals recomputed from the source table
     "q183_binaryfile_source" ->
       """SELECT COUNT(*)::BIGINT AS n_files,
@@ -1034,7 +1147,8 @@ object SourceQueries {
         |scored AS (
         |  SELECT *, syy - (b0*sy + b1*sxy + b2*shy) AS sse FROM params),
         |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY segment ORDER BY sse, c) AS rk
+        |  SELECT *, row_number() OVER (PARTITION BY segment
+        |    ORDER BY ROUND(sse / syy, 9), c) AS rk
         |  FROM scored)
         |SELECT segment, CAST(sn AS BIGINT) AS n_points, c AS changepoint,
         |  ROUND(b1, 6) AS slope_pre, ROUND(b1 + b2, 6) AS slope_post,

@@ -62,6 +62,29 @@ class ChangepointTrendSpec extends SparkTestBase {
     assert(nCands >= 5)
   }
 
+  test("joint 2-break fit recovers two planted slope breaks") {
+    // slopes +2 / -3 / +1 with breaks at 30 and 60; 90 points no noise
+    val df = series("s2", 90) { i =>
+      if (i < 30) 2.0 * i
+      else if (i < 60) 2.0 * 30 - 3.0 * (i - 30)
+      else 2.0 * 30 - 3.0 * 30 + 1.0 * (i - 60)
+    }
+    val fit = ChangepointTrend.fit2(df, k = 10).collect().head
+    val (c1, c2) = (fit.getAs[Long]("cp1"), fit.getAs[Long]("cp2"))
+    // k=10 on 90 points → step 9: planted breaks land within one step
+    assert(math.abs(c1 - 30L) <= 9, s"cp1 $c1 far from 30")
+    assert(math.abs(c2 - 60L) <= 9, s"cp2 $c2 far from 60")
+    // slopes compensate for up-to-step/2 break misplacement — a loose
+    // band still pins the +/-/+ regime structure and magnitudes
+    assert(math.abs(fit.getAs[Double]("slope1") - 2.0) < 0.6)
+    assert(math.abs(fit.getAs[Double]("slope2") - (-3.0)) < 0.6)
+    assert(math.abs(fit.getAs[Double]("slope3") - 1.0) < 0.6)
+    assert(fit.getAs[Double]("rel_sse") < 5e-2)
+    // the 2-break model must fit strictly better than the single-break
+    val one = ChangepointTrend.fit(df, k = 10).collect().head
+    assert(fit.getAs[Double]("rel_sse") < one.getAs[Double]("rel_sse"))
+  }
+
   test("multi-segment fit is independent per segment") {
     val df = series("a", 50)(i => if (i < 20) i.toDouble else 20.0 + 4.0 * (i - 20))
       .union(series("b", 50)(i => 200.0 - 2.0 * i))
