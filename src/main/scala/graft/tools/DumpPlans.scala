@@ -76,7 +76,10 @@ object DumpPlans {
       "q265_bitemporal_asof" -> "2|orders| version rows, one key-partition top-1 (rewritten), valid filter",
       "q266_cuped" -> "one user-level shuffle + 1-row stats broadcast; arms reuse the user table",
       "q267_timedecay_attribution" -> "user-keyed equi-join, bounded touch window, exact pow2 weights",
-      "q271_pipeline_card" -> "FUSED prep pipeline (dedup+decon+quality+sample+pack): one broadcast gram join, three windows each on its own single hash exchange, one final aggregate — no stage re-reads the corpus")
+      "q271_pipeline_card" -> "FUSED prep pipeline (dedup+decon+quality+sample+pack): one broadcast gram join, three windows each on its own single hash exchange, one final aggregate — no stage re-reads the corpus",
+      "q272_json_variant" -> "PARSE-ONCE variant JSON: single parseJson Project, all accesses try_variant_get binary reads, zero get_json_object",
+      "q274_changepoint_trend" -> "relational changepoint fit: bounded candidate join (k<=25), ONE sufficient-stats hash aggregate, Cramer as project arithmetic, top-1 window (rewrite-eligible) — no per-segment loop",
+      "q276_changepoint2" -> "joint 2-break fit: pair grid C(10,2) fan-out, same single-aggregate shape one dimension up")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.tools.DumpPlans` at sf0.01; regenerate with\n")
