@@ -140,7 +140,12 @@ object Bench {
       // r12: the left-outer stream join is a state-store query — tail
       // it; the source-overlap gram self-join is the block's only
       // ≥3 s addition
-      "q258_stream_left_outer", "q264_source_overlap")
+      "q258_stream_left_outer", "q264_source_overlap",
+      // r14: the fused pipeline card (8-gram broadcast join + export +
+      // read-back, 4.8 s isolated) is the round's only ≥3 s addition —
+      // tail it with the other heavies so mid-sequence co-tenancy
+      // can't push it toward its 2x pin
+      "q271_pipeline_card")
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (heavyLast.contains(name), name) }
