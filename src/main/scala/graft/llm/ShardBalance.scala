@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Token-balanced shard assignment for training-data export.
+  *
+  * Hash sharding (q88's md5 route) balances ROW counts, but training
+  * shards are consumed by token budget: a shard that drew the long
+  * documents starves the others and the epoch's stragglers are decided
+  * at export time. The classical fix is LPT greedy (longest job to the
+  * least-loaded bin), but LPT is inherently sequential — a driver-side
+  * loop over every document, exactly what a 100 TB export cannot do.
+  *
+  * This operator uses the relational approximation: sort documents by
+  * token count DESCENDING and deal them BOUSTROPHEDON (serpentine)
+  * across the `nShards` bins — rank r goes to shard r mod n on even
+  * passes and n−1−(r mod n) on odd passes, so a bin that received a
+  * large document in one pass receives a correspondingly small one in
+  * the next. On sorted input each consecutive pass-pair hands every
+  * bin one item from the "high" pass and the mirrored item from the
+  * "low" pass, telescoping the imbalance; the resulting spread is
+  * bounded by one inter-pass document gap in practice (spec-asserted
+  * empirically on the fixture corpus, not just claimed). Deterministic
+  * integer arithmetic end to end — identical on every engine.
+  *
+  * Scale: the only total order is a GLOBAL RANK, and a naive
+  * `row_number() over (order by …)` would move the corpus to one
+  * partition (Spark's single-partition Window). The rank here is
+  * two-phase instead: `repartitionByRange` on the sort key (a range
+  * exchange, the same cost class as any distributed sort), a
+  * per-partition `row_number`, and a partition-count offset join (a
+  * ≤-partitions-row broadcast). Rank values are invariant to where the
+  * sampled range boundaries land because the (tokens, id) order is
+  * total, so results stay deterministic while no single executor ever
+  * holds more than its range.
+  *
+  * [[assign]] returns per-document rows (doc id, n_tok, shard);
+  * [[audit]] folds them into the per-shard balance report.
+  */
+object ShardBalance {
+
+  /** Distributed global rank (0-based) by (`tokCol` desc, `idCol`) —
+    * the two-phase range-exchange pattern described above. */
+  private def withGlobalRank(docs: DataFrame, idCol: String,
+      nRangeParts: Int): DataFrame = {
+    val ranged = docs
+      .repartitionByRange(nRangeParts, col("n_tok").desc, col(idCol))
+      .withColumn("pid", spark_partition_id())
+    val wPid = Window.partitionBy("pid")
+      .orderBy(col("n_tok").desc, col(idCol))
+    // per-partition counts → exclusive prefix offsets (≤ nRangeParts
+    // rows: the window below is a tiny single-partition fold, then the
+    // join back is a broadcast)
+    val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum("cnt").over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("pid"), col("off"))
+    ranged
+      .withColumn("wrn", row_number().over(wPid).cast(LongType))
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("r", col("off") + col("wrn") - 1)
+  }
+
+  def assign(docs: DataFrame, idCol: String, tokCol: Column,
+      nShards: Int, nRangeParts: Int = 32): DataFrame = {
+    val base = docs.select(col(idCol), tokCol.cast(LongType).as("n_tok"))
+    withGlobalRank(base, idCol, nRangeParts)
+      .withColumn("pass", floor(col("r") / nShards).cast(LongType))
+      .withColumn("pos", pmod(col("r"), lit(nShards)).cast(LongType))
+      .withColumn("shard",
+        when(pmod(col("pass"), lit(2)) === 0, col("pos"))
+          .otherwise(lit(nShards - 1) - col("pos"))
+        .cast(IntegerType))
+      .select(col(idCol), col("n_tok"), col("shard"))
+  }
+
+  /** Per-shard totals + the global spread audit (max−min shard
+    * tokens), the number the serpentine deal is meant to pin down. */
+  def audit(assigned: DataFrame): DataFrame = {
+    val per = assigned.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+    val spread = per.agg(
+      max("tokens").as("max_tokens"), min("tokens").as("min_tokens"))
+    per.crossJoin(broadcast(spread))
+      .select(col("shard"), col("n_docs"), col("tokens"),
+        (col("max_tokens") - col("min_tokens")).as("spread"))
+      .orderBy("shard")
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.util.Tables._
-import graft.llm.{Ann, Decontaminate, MixtureSample, MlService, Multimodal, Pq, PrepPipeline, SemDedup, SeqPack, TextDedup, TextStats}
+import graft.llm.{Ann, Decontaminate, MixtureSample, MlService, Multimodal, Pq, PrepPipeline, SemDedup, SeqPack, ShardBalance, TextDedup, TextStats}
 
 /** LLM training-data pipeline block: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard), ANN (brute-force + LSH/IVF/PQ), text
@@ -945,6 +945,19 @@ object LlmQueries {
     // parquet (the real training-data sink layout), read back and report
     // per-shard balance stats. The md5 shard key is what keeps shards
     // balanced and reproducible with no RNG state.
+    // Token-BALANCED shard assignment (q88 balances rows by hash;
+    // training shards are consumed by token budget): serpentine deal
+    // over the token-descending global rank — the rank computed by the
+    // scalable two-phase pattern (range exchange + per-partition
+    // row_number + partition-offset broadcast), NEVER a single-
+    // partition global Window. Published as the per-shard audit with
+    // the max−min token spread the deal is meant to pin down.
+    "q277_token_balanced_shards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ShardBalance.audit(ShardBalance.assign(
+        docs, "doc_id", TextStats.tokenCount(col("text")), nShards = 16))
+    }),
+
     "q88_shard_export" -> ((s, dir) => {
       def shardOf(id: org.apache.spark.sql.Column) = {
         val h = md5(id.cast("string"))
@@ -2590,6 +2603,29 @@ object LlmQueries {
         |  ROUND(p.mx, 6) AS max_prior_cos
         |FROM base b LEFT JOIN prior p ON p.bid = b.vec_id
         |ORDER BY vec_id""".stripMargin,
+    // plain global row_number replays the two-phase distributed rank
+    // (rank is a property of the total order, not of the exchange)
+    "q277_token_balanced_shards" ->
+      """WITH ranked AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok,
+        |    row_number() OVER (
+        |      ORDER BY CAST(len(string_split_regex(text, '\s+')) AS BIGINT) DESC,
+        |        doc_id) - 1 AS r
+        |  FROM documents),
+        |dealt AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(CASE WHEN (r // 16) % 2 = 0 THEN r % 16
+        |         ELSE 15 - (r % 16) END AS INTEGER) AS shard
+        |  FROM ranked),
+        |per AS (
+        |  SELECT shard, COUNT(*)::BIGINT AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS tokens
+        |  FROM dealt GROUP BY 1),
+        |sp AS (SELECT MAX(tokens) - MIN(tokens) AS spread FROM per)
+        |SELECT shard, n_docs, tokens, sp.spread
+        |FROM per, sp ORDER BY shard""".stripMargin,
+
     "q88_shard_export" ->
       """WITH sharded AS (
         |  SELECT doc_id, source, n_chars,

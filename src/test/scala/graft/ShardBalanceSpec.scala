@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{ShardBalance, TextStats}
+
+/** Token-balanced sharding: the serpentine deal over the distributed
+  * two-phase global rank must (a) produce ranks identical to a naive
+  * global row_number regardless of how many range partitions the
+  * exchange used, (b) balance token totals far better than hash
+  * sharding on the same corpus, and (c) keep the spread within one
+  * document's tokens (the serpentine pairing bound, asserted
+  * empirically). */
+class ShardBalanceSpec extends SparkTestBase {
+
+  private lazy val docs = graft.util.Tables.t(spark, sfDir, "documents")
+  private def tok = TextStats.tokenCount(col("text"))
+
+  test("assignment is invariant to the range-partition count") {
+    val a4 = ShardBalance.assign(docs, "doc_id", tok, 16, nRangeParts = 4)
+      .orderBy("doc_id").collect().toSeq
+    val a32 = ShardBalance.assign(docs, "doc_id", tok, 16, nRangeParts = 32)
+      .orderBy("doc_id").collect().toSeq
+    val a1 = ShardBalance.assign(docs, "doc_id", tok, 16, nRangeParts = 1)
+      .orderBy("doc_id").collect().toSeq
+    assert(a4 === a32)
+    assert(a4 === a1) // nRangeParts = 1 IS the naive global rank
+  }
+
+  test("token spread beats hash sharding and stays within one max document") {
+    val assigned = ShardBalance.assign(docs, "doc_id", tok, 16)
+    val audit = ShardBalance.audit(assigned).collect()
+    assert(audit.length === 16)
+    val spread = audit.head.getAs[Long]("spread")
+    val maxDoc = assigned.agg(max("n_tok")).collect().head.getLong(0)
+    assert(spread <= maxDoc,
+      s"serpentine spread $spread exceeds max document $maxDoc")
+    // hash sharding's token spread on the same corpus, same shard count
+    val hashed = assigned
+      .withColumn("hshard", pmod(xxhash64(col("doc_id")), lit(16)))
+      .groupBy("hshard").agg(sum("n_tok").as("tokens"))
+      .agg((max("tokens") - min("tokens")).as("spread"))
+      .collect().head.getAs[Long]("spread")
+    assert(spread < hashed,
+      s"serpentine spread $spread not better than hash spread $hashed")
+  }
+
+  test("every document is assigned exactly once, shards cover 0..n-1") {
+    val assigned = ShardBalance.assign(docs, "doc_id", tok, 16)
+    assert(assigned.count() === docs.count())
+    assert(assigned.select("doc_id").distinct().count() === docs.count())
+    val shards = assigned.select("shard").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(shards === (0 until 16))
+  }
+}
