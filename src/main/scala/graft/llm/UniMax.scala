@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** UniMax epoch-capped budget allocation (Chung et al., ICLR 2023):
+  * given per-source token counts n_s, a total training budget B, and a
+  * repeat cap of E epochs per source, allocate tokens so every source
+  * gets an equal share of B EXCEPT that no source is asked for more
+  * than E·n_s tokens — the fair remedy for web-dominated mixtures that
+  * temperature flattening ([[MixtureSample.temperatureFlatten]]) only
+  * approximates: small sources are consumed up to the epoch cap, and
+  * the budget they cannot absorb is re-spread equally over the larger
+  * ones.
+  *
+  * The paper's allocation loop is sequential (smallest source first,
+  * re-divide the remainder). It has the classical waterfilling closed
+  * form, which is what makes it relational: sort sources by cap
+  * c_s = E·n_s ascending, and the capped set is a PREFIX of that order
+  * — source at rank k is capped iff c_k·(n−k+1) ≤ B − Σ_{j<k} c_j
+  * (its cap fits under the equal split of what is left when it is the
+  * smallest remaining). One window pass computes rank + exclusive
+  * prefix sums, one tiny aggregate finds the prefix boundary k*, and
+  * every uncapped source gets the integer water level
+  * (B − Σ_{j≤k*} c_j) div (n − k*). All arithmetic is exact BIGINT
+  * (ranks, prefix sums, one integer division) — bit-identical on any
+  * engine, no float accumulation order to disagree about.
+  *
+  * Scale shape: the waterfilling runs on the PER-SOURCE table — k rows
+  * for k sources (tens, not billions) — so its unpartitioned windows
+  * are bounded by source cardinality by construction, the same
+  * contract as [[ShardBalance]]'s partition-offset fold. The only
+  * full-data work is the groupBy(source) token count, a map-side
+  * combinable aggregate; the resulting allocation broadcasts back
+  * onto the corpus as a per-row sampling rate.
+  */
+object UniMax {
+
+  /** Per-source allocation table: (source, n_tok, cap, alloc_tok,
+    * is_capped, leftover). `counts` must be one row per source with a
+    * BIGINT token count column `n_tok`; `budget` is a one-row frame
+    * with a BIGINT column `b` (it is usually derived from the data, so
+    * it arrives as a plan, not a driver-side scalar). Leftover =
+    * B − Σ alloc (integer-division dust + the under-budget case where
+    * even B/n exceeds every cap). */
+  def allocate(counts: DataFrame, budget: DataFrame, epochCap: Int,
+      srcCol: String = "source"): DataFrame = {
+    val w = Window.orderBy(col("cap"), col(srcCol))
+    val ranked = counts
+      .withColumn("cap", col("n_tok") * epochCap)
+      .withColumn("k", row_number().over(w).cast(LongType))
+      .withColumn("prefix", coalesce(
+        sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .crossJoin(broadcast(counts.agg(
+        count(lit(1)).cast(LongType).as("n_src"))))
+      .crossJoin(broadcast(budget))
+      .withColumn("flag",
+        col("cap") * (col("n_src") - col("k") + 1) <= col("b") - col("prefix"))
+    // prefix boundary + capped mass: a 1-row aggregate over k sources
+    val boundary = ranked.agg(
+      coalesce(max(when(col("flag"), col("k"))), lit(0L)).as("kstar"),
+      coalesce(sum(when(col("flag"), col("cap"))), lit(0L)).as("csum"))
+    val alloc = ranked.crossJoin(broadcast(boundary))
+      .withColumn("lvl",
+        when(col("n_src") > col("kstar"),
+          expr("(b - csum) DIV (n_src - kstar)")).otherwise(lit(0L)))
+      .withColumn("alloc_tok",
+        when(col("k") <= col("kstar"), col("cap")).otherwise(col("lvl")))
+      .withColumn("is_capped",
+        (col("k") <= col("kstar")).cast(IntegerType))
+    val spent = alloc.agg(sum("alloc_tok").as("spent"))
+    alloc.crossJoin(broadcast(spent))
+      .select(col(srcCol), col("n_tok"), col("cap"), col("alloc_tok"),
+        col("is_capped"), (col("b") - col("spent")).as("leftover"))
+      .orderBy(srcCol)
+  }
+}

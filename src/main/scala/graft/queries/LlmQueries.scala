@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.util.Tables._
-import graft.llm.{Ann, Decontaminate, MixtureSample, MlService, Multimodal, Pq, PrepPipeline, SemDedup, SeqPack, ShardBalance, TextDedup, TextStats}
+import graft.llm.{Ann, Decontaminate, MixtureSample, MlService, Multimodal, Pq, PrepPipeline, SemDedup, SeqPack, ShardBalance, TextDedup, TextStats, UniMax}
 
 /** LLM training-data pipeline block: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard), ANN (brute-force + LSH/IVF/PQ), text
@@ -956,6 +956,26 @@ object LlmQueries {
       val docs = t(s, dir, "documents")
       ShardBalance.audit(ShardBalance.assign(
         docs, "doc_id", TextStats.tokenCount(col("text")), nShards = 16))
+    }),
+
+    // UniMax epoch-capped mixture budget (Chung 2023): equal token
+    // budget per domain, except no domain repeats past 2 epochs — the
+    // budget small domains cannot absorb re-spreads over the rest.
+    // Domains group sources by suffix first-digit, which makes one
+    // domain structurally ~11x the others — the skewed mixture UniMax
+    // exists for (the raw fixture sources are near-uniform, where the
+    // cap never binds). Closed-form waterfilling on the per-domain
+    // count table (tiny by construction — see llm/UniMax scaladoc for
+    // the prefix proof); budget = 1.5x the corpus tokens, exact BIGINT
+    // end to end: the 9 small domains cap at 2 epochs, the big one
+    // absorbs the rest at the water level.
+    "q278_unimax_budget" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy(substring(col("source"), 4, 1).as("domain"))
+        .agg(sum(TextStats.tokenCount(col("text")).cast(LongType))
+          .as("n_tok"))
+      val budget = counts.agg(expr("(sum(n_tok) * 3) DIV 2").as("b"))
+      UniMax.allocate(counts, budget, epochCap = 2, srcCol = "domain")
     }),
 
     "q88_shard_export" -> ((s, dir) => {
@@ -2625,6 +2645,43 @@ object LlmQueries {
         |sp AS (SELECT MAX(tokens) - MIN(tokens) AS spread FROM per)
         |SELECT shard, n_docs, tokens, sp.spread
         |FROM per, sp ORDER BY shard""".stripMargin,
+    // the sequential UniMax loop replayed via the same closed-form
+    // prefix test — capped set is a prefix of the cap-ascending order
+    "q278_unimax_budget" ->
+      """WITH c AS (
+        |  SELECT substr(source, 4, 1) AS domain,
+        |    CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT COUNT(*)::BIGINT AS n_src,
+        |    CAST((SUM(n_tok) * 3) // 2 AS BIGINT) AS b FROM c),
+        |r AS (
+        |  SELECT domain, n_tok, n_tok * 2 AS cap,
+        |    CAST(row_number() OVER (ORDER BY n_tok * 2, domain) AS BIGINT) AS k,
+        |    CAST(COALESCE(SUM(n_tok * 2) OVER (ORDER BY n_tok * 2, domain
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS prefix
+        |  FROM c),
+        |f AS (SELECT r.*, t.n_src, t.b,
+        |    CASE WHEN cap * (t.n_src - k + 1) <= t.b - prefix
+        |         THEN 1 ELSE 0 END AS flag
+        |  FROM r, tot t),
+        |ks AS (SELECT COALESCE(MAX(CASE WHEN flag = 1 THEN k END), 0) AS kstar,
+        |    CAST(COALESCE(SUM(CASE WHEN flag = 1 THEN cap END), 0) AS BIGINT)
+        |      AS csum
+        |  FROM f),
+        |a AS (
+        |  SELECT f.domain, f.n_tok, f.cap,
+        |    CAST(CASE WHEN f.k <= ks.kstar THEN f.cap
+        |         ELSE (f.b - ks.csum) // (f.n_src - ks.kstar) END AS BIGINT)
+        |      AS alloc_tok,
+        |    CAST(CASE WHEN f.k <= ks.kstar THEN 1 ELSE 0 END AS INTEGER)
+        |      AS is_capped,
+        |    f.b
+        |  FROM f, ks),
+        |sp2 AS (SELECT CAST(SUM(alloc_tok) AS BIGINT) AS spent FROM a)
+        |SELECT a.domain, a.n_tok, a.cap, a.alloc_tok, a.is_capped,
+        |  CAST(a.b - sp2.spent AS BIGINT) AS leftover
+        |FROM a, sp2 ORDER BY a.domain""".stripMargin,
 
     "q88_shard_export" ->
       """WITH sharded AS (
