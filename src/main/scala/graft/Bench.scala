@@ -145,7 +145,13 @@ object Bench {
       // read-back, 4.8 s isolated) is the round's only ≥3 s addition —
       // tail it with the other heavies so mid-sequence co-tenancy
       // can't push it toward its 2x pin
-      "q271_pipeline_card")
+      "q271_pipeline_card",
+      // r14: the cluster-keyed split shares q120's pinned cluster
+      // stage; whoever FIRST touches the pin pays the ~10 s
+      // LSH→verify→CC build. Tail it next to q120 (name order puts
+      // q120 first) so the build lands in the tail once, not in the
+      // light band.
+      "q279_cluster_split")
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (heavyLast.contains(name), name) }

@@ -978,6 +978,46 @@ object LlmQueries {
       UniMax.allocate(counts, budget, epochCap = 2, srcCol = "domain")
     }),
 
+    // Leakage-free train/val/test split: q139 hashes GROUPS (source)
+    // and a doc-level hash split leaks near-duplicates across the
+    // boundary — the classic eval-contamination failure. Here the
+    // split key is the NEAR-DUP CLUSTER id (q83's LSH→verify→CC
+    // pipeline, same pinned stage as q120), so a whole duplicate
+    // cluster lands in one split by construction. The audit proves it
+    // relationally: cluster_straddle (clusters spanning >1 split) must
+    // be 0 under the cluster key, and naive_straddle shows the leakage
+    // the doc-level hash would have caused on the same corpus. Scale:
+    // the split is a per-row hash of an already-computed cluster id —
+    // zero extra shuffles beyond the cluster stage itself.
+    "q279_cluster_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      val clusters = pinnedStage(s, s"$dir|clusters",
+        TextDedup.clusterAssignments(d, threshold = 0.95,
+          k = 32, bands = 8, shingleW = 1))
+        .select("doc_id", "cluster_id")
+      def splitOf(c: org.apache.spark.sql.Column) = {
+        val b = graft.functions.BqShims.md5Bucket(c) % 10
+        when(b < 8, lit("train")).when(b === 8, lit("val"))
+          .otherwise(lit("test"))
+      }
+      val withSplits = clusters
+        .join(d.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("split", splitOf(col("cluster_id")))
+        .withColumn("naive_split", splitOf(col("doc_id")))
+      val straddle = withSplits.groupBy("cluster_id")
+        .agg(countDistinct("split").as("cs"),
+          countDistinct("naive_split").as("ns"))
+        .agg(count(when(col("cs") > 1, 1)).as("cluster_straddle"),
+          count(when(col("ns") > 1, 1)).as("naive_straddle"))
+      withSplits.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("cluster_id").as("n_clusters"),
+          sum("n_chars").as("total_chars"))
+        .crossJoin(broadcast(straddle))
+        .orderBy("split")
+    }),
+
     "q88_shard_export" -> ((s, dir) => {
       def shardOf(id: org.apache.spark.sql.Column) = {
         val h = md5(id.cast("string"))
@@ -2682,6 +2722,53 @@ object LlmQueries {
         |SELECT a.domain, a.n_tok, a.cap, a.alloc_tok, a.is_capped,
         |  CAST(a.b - sp2.spent AS BIGINT) AS leftover
         |FROM a, sp2 ORDER BY a.domain""".stripMargin,
+    // clusters from all-pairs ground truth (q83's recursive CTE), then
+    // the same md5-bucket split applied to cluster id vs doc id
+    "q279_cluster_split" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, n_chars, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.95),
+        |edges AS (
+        |  SELECT doc_a AS s0, doc_b AS d0 FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT s0 AS a, d0 AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.d0 FROM reach r JOIN edges e ON r.b = e.s0 WHERE e.d0 != r.a),
+        |mins AS (SELECT a, MIN(b) AS mn FROM reach GROUP BY a),
+        |cl AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |    LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS cluster_id
+        |  FROM (SELECT doc_id, n_chars FROM s) d LEFT JOIN mins m ON m.a = d.doc_id),
+        |sp AS (
+        |  SELECT doc_id, n_chars, cluster_id,
+        |    CASE WHEN cb < 8 THEN 'train' WHEN cb = 8 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CASE WHEN db < 8 THEN 'train' WHEN db = 8 THEN 'val'
+        |         ELSE 'test' END AS naive_split
+        |  FROM (SELECT *,
+        |      CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % 10 AS cb,
+        |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % 10 AS db
+        |    FROM cl)),
+        |st AS (
+        |  SELECT COUNT(CASE WHEN cs > 1 THEN 1 END)::BIGINT AS cluster_straddle,
+        |    COUNT(CASE WHEN ns > 1 THEN 1 END)::BIGINT AS naive_straddle
+        |  FROM (SELECT cluster_id, COUNT(DISTINCT split) AS cs,
+        |      COUNT(DISTINCT naive_split) AS ns FROM sp GROUP BY 1))
+        |SELECT split, COUNT(*)::BIGINT AS n_docs,
+        |  COUNT(DISTINCT cluster_id)::BIGINT AS n_clusters,
+        |  SUM(n_chars)::BIGINT AS total_chars,
+        |  st.cluster_straddle, st.naive_straddle
+        |FROM sp, st
+        |GROUP BY split, st.cluster_straddle, st.naive_straddle
+        |ORDER BY split""".stripMargin,
 
     "q88_shard_export" ->
       """WITH sharded AS (
