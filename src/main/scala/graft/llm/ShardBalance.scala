@@ -79,15 +79,18 @@ object ShardBalance {
   }
 
   /** Per-shard totals + the global spread audit (max−min shard
-    * tokens), the number the serpentine deal is meant to pin down. */
+    * tokens), the number the serpentine deal is meant to pin down.
+    * Spread comes from an unpartitioned window over the PER-SHARD
+    * frame — nShards rows by construction — so the audit reads the
+    * corpus exactly once (an agg-then-crossJoin here would recompute
+    * the whole assign pipeline for the second branch). */
   def audit(assigned: DataFrame): DataFrame = {
-    val per = assigned.groupBy("shard")
+    val all = Window.partitionBy()
+    assigned.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
-    val spread = per.agg(
-      max("tokens").as("max_tokens"), min("tokens").as("min_tokens"))
-    per.crossJoin(broadcast(spread))
-      .select(col("shard"), col("n_docs"), col("tokens"),
-        (col("max_tokens") - col("min_tokens")).as("spread"))
+      .withColumn("spread",
+        max("tokens").over(all) - min("tokens").over(all))
+      .select(col("shard"), col("n_docs"), col("tokens"), col("spread"))
       .orderBy("shard")
   }
 }

@@ -22,8 +22,9 @@ import org.apache.spark.sql.types._
   * — source at rank k is capped iff c_k·(n−k+1) ≤ B − Σ_{j<k} c_j
   * (its cap fits under the equal split of what is left when it is the
   * smallest remaining). One window pass computes rank + exclusive
-  * prefix sums, one tiny aggregate finds the prefix boundary k*, and
-  * every uncapped source gets the integer water level
+  * prefix sums, unpartitioned windows over the same k-row frame find
+  * the prefix boundary k* and the capped mass, and every uncapped
+  * source gets the integer water level
   * (B − Σ_{j≤k*} c_j) div (n − k*). All arithmetic is exact BIGINT
   * (ranks, prefix sums, one integer division) — bit-identical on any
   * engine, no float accumulation order to disagree about.
@@ -40,30 +41,35 @@ object UniMax {
 
   /** Per-source allocation table: (source, n_tok, cap, alloc_tok,
     * is_capped, leftover). `counts` must be one row per source with a
-    * BIGINT token count column `n_tok`; `budget` is a one-row frame
-    * with a BIGINT column `b` (it is usually derived from the data, so
-    * it arrives as a plan, not a driver-side scalar). Leftover =
-    * B − Σ alloc (integer-division dust + the under-budget case where
-    * even B/n exceeds every cap). */
-  def allocate(counts: DataFrame, budget: DataFrame, epochCap: Int,
+    * BIGINT token count column `n_tok`; `budget` is a BIGINT column
+    * evaluated over the counts frame — usually an `OVER ()` window
+    * aggregate of the counts themselves (e.g.
+    * `expr("(sum(n_tok) OVER () * 3) DIV 2")`) or a literal. Keeping
+    * it an expression on the SAME frame (rather than a separate 1-row
+    * aggregate crossJoined back) is what holds the whole allocation to
+    * ONE pass over `counts`' lineage: every boundary scalar (n_src,
+    * k*, capped mass, spent) is an unpartitioned window over the k-row
+    * table, so the corpus scan behind `counts` is never recomputed.
+    * Leftover = B − Σ alloc (integer-division dust + the under-budget
+    * case where even B/n exceeds every cap). */
+  def allocate(counts: DataFrame, budget: Column, epochCap: Int,
       srcCol: String = "source"): DataFrame = {
+    val all = Window.partitionBy() // k-row frame, bounded by source count
     val w = Window.orderBy(col("cap"), col(srcCol))
-    val ranked = counts
+    counts
       .withColumn("cap", col("n_tok") * epochCap)
+      .withColumn("b", budget)
       .withColumn("k", row_number().over(w).cast(LongType))
       .withColumn("prefix", coalesce(
         sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .crossJoin(broadcast(counts.agg(
-        count(lit(1)).cast(LongType).as("n_src"))))
-      .crossJoin(broadcast(budget))
+      .withColumn("n_src", count(lit(1)).over(all))
       .withColumn("flag",
         col("cap") * (col("n_src") - col("k") + 1) <= col("b") - col("prefix"))
-    // prefix boundary + capped mass: a 1-row aggregate over k sources
-    val boundary = ranked.agg(
-      coalesce(max(when(col("flag"), col("k"))), lit(0L)).as("kstar"),
-      coalesce(sum(when(col("flag"), col("cap"))), lit(0L)).as("csum"))
-    val alloc = ranked.crossJoin(broadcast(boundary))
+      .withColumn("kstar",
+        coalesce(max(when(col("flag"), col("k"))).over(all), lit(0L)))
+      .withColumn("csum",
+        coalesce(sum(when(col("flag"), col("cap"))).over(all), lit(0L)))
       .withColumn("lvl",
         when(col("n_src") > col("kstar"),
           expr("(b - csum) DIV (n_src - kstar)")).otherwise(lit(0L)))
@@ -71,8 +77,7 @@ object UniMax {
         when(col("k") <= col("kstar"), col("cap")).otherwise(col("lvl")))
       .withColumn("is_capped",
         (col("k") <= col("kstar")).cast(IntegerType))
-    val spent = alloc.agg(sum("alloc_tok").as("spent"))
-    alloc.crossJoin(broadcast(spent))
+      .withColumn("spent", sum("alloc_tok").over(all))
       .select(col(srcCol), col("n_tok"), col("cap"), col("alloc_tok"),
         col("is_capped"), (col("b") - col("spent")).as("leftover"))
       .orderBy(srcCol)

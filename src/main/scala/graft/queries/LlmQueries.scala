@@ -974,8 +974,9 @@ object LlmQueries {
         .groupBy(substring(col("source"), 4, 1).as("domain"))
         .agg(sum(TextStats.tokenCount(col("text")).cast(LongType))
           .as("n_tok"))
-      val budget = counts.agg(expr("(sum(n_tok) * 3) DIV 2").as("b"))
-      UniMax.allocate(counts, budget, epochCap = 2, srcCol = "domain")
+      UniMax.allocate(counts,
+        budget = expr("(sum(n_tok) OVER () * 3) DIV 2"),
+        epochCap = 2, srcCol = "domain")
     }),
 
     // Leakage-free train/val/test split: q139 hashes GROUPS (source)
@@ -1001,20 +1002,33 @@ object LlmQueries {
         when(b < 8, lit("train")).when(b === 8, lit("val"))
           .otherwise(lit("test"))
       }
-      val withSplits = clusters
+      // ONE pass: doc rows fold to the cluster level (split is a
+      // function of cluster_id, so first() is exact), clusters fold to
+      // the ≤3-row split level carrying their straddle partials, and
+      // the global straddle totals are an unpartitioned window over
+      // those ≤3 rows — no branch re-joins the corpus.
+      val perCluster = clusters
         .join(d.select("doc_id", "n_chars"), "doc_id")
         .withColumn("split", splitOf(col("cluster_id")))
         .withColumn("naive_split", splitOf(col("doc_id")))
-      val straddle = withSplits.groupBy("cluster_id")
-        .agg(countDistinct("split").as("cs"),
-          countDistinct("naive_split").as("ns"))
-        .agg(count(when(col("cs") > 1, 1)).as("cluster_straddle"),
-          count(when(col("ns") > 1, 1)).as("naive_straddle"))
-      withSplits.groupBy("split")
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct("cluster_id").as("n_clusters"),
-          sum("n_chars").as("total_chars"))
-        .crossJoin(broadcast(straddle))
+        .groupBy("cluster_id")
+        .agg(first("split").as("split"),
+          countDistinct("split").as("cs"),
+          countDistinct("naive_split").as("ns"),
+          count(lit(1)).as("docs"),
+          sum("n_chars").as("chars"))
+      val all = Window.partitionBy()
+      perCluster.groupBy("split")
+        .agg(sum("docs").as("n_docs"),
+          count(lit(1)).as("n_clusters"),
+          sum("chars").as("total_chars"),
+          sum(when(col("cs") > 1, 1L).otherwise(0L)).as("cstr"),
+          sum(when(col("ns") > 1, 1L).otherwise(0L)).as("nstr"))
+        .withColumn("cluster_straddle", sum("cstr").over(all))
+        .withColumn("naive_straddle", sum("nstr").over(all))
+        .select(col("split"), col("n_docs"), col("n_clusters"),
+          col("total_chars"), col("cluster_straddle"),
+          col("naive_straddle"))
         .orderBy("split")
     }),
 

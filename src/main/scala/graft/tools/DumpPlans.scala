@@ -79,7 +79,10 @@ object DumpPlans {
       "q271_pipeline_card" -> "FUSED prep pipeline (dedup+decon+quality+sample+pack): one broadcast gram join, three windows each on its own single hash exchange, one final aggregate — no stage re-reads the corpus",
       "q272_json_variant" -> "PARSE-ONCE variant JSON: single parseJson Project, all accesses try_variant_get binary reads, zero get_json_object",
       "q274_changepoint_trend" -> "relational changepoint fit: bounded candidate join (k<=25), ONE sufficient-stats hash aggregate, Cramer as project arithmetic, top-1 window (rewrite-eligible) — no per-segment loop",
-      "q276_changepoint2" -> "joint 2-break fit: pair grid C(10,2) fan-out, same single-aggregate shape one dimension up")
+      "q276_changepoint2" -> "joint 2-break fit: pair grid C(10,2) fan-out, same single-aggregate shape one dimension up",
+      "q277_token_balanced_shards" -> "serpentine deal over a TWO-PHASE global rank: range exchange + per-partition row_number + broadcast partition offsets — no single-partition corpus Window",
+      "q278_unimax_budget" -> "UniMax waterfilling: the only full-data work is ONE map-side-combinable count agg; windows run on the k-row per-domain table",
+      "q279_cluster_split" -> "cluster-keyed split: per-row hash project over pinned cluster ids; straddle audit is two tiny aggregates")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.tools.DumpPlans` at sf0.01; regenerate with\n")

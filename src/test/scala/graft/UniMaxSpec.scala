@@ -19,8 +19,7 @@ class UniMaxSpec extends SparkTestBase {
     .agg(sum(size(split(col("text"), "\\s+")).cast("long")).as("n_tok"))
 
   private def run(budgetExpr: String) = UniMax.allocate(
-    counts, counts.agg(expr(budgetExpr).as("b")), epochCap = 2,
-    srcCol = "domain")
+    counts, expr(budgetExpr), epochCap = 2, srcCol = "domain")
     .collect().toSeq
 
   private def invariants(rows: Seq[org.apache.spark.sql.Row],
@@ -45,8 +44,8 @@ class UniMaxSpec extends SparkTestBase {
   }
 
   test("1.5x-corpus budget: invariants hold and both regimes occur") {
-    val rows = run("(sum(n_tok) * 3) DIV 2")
-    val budget = counts.agg(expr("(sum(n_tok) * 3) DIV 2"))
+    val rows = run("(sum(n_tok) OVER () * 3) DIV 2")
+    val budget = counts.agg(expr("(sum(n_tok) * 3) DIV 2").as("b"))
       .collect().head.getLong(0)
     invariants(rows, budget)
     // the 11x domain skew makes the 2-epoch cap bind on the small
@@ -59,15 +58,15 @@ class UniMaxSpec extends SparkTestBase {
   }
 
   test("budget above total caps: everyone capped, surplus is leftover") {
-    val rows = run("sum(n_tok) * 4")
-    val budget = counts.agg(expr("sum(n_tok) * 4")).collect().head.getLong(0)
+    val rows = run("sum(n_tok) OVER () * 4")
+    val budget = counts.agg(expr("sum(n_tok) * 4").as("b")).collect().head.getLong(0)
     invariants(rows, budget)
     assert(rows.forall(_.getAs[Int]("is_capped") == 1))
     assert(rows.forall(r => r.getAs[Long]("alloc_tok") === r.getAs[Long]("cap")))
   }
 
   test("tiny budget: nobody capped, equal split of B") {
-    val rows = run("CAST(count(*) * 3 AS BIGINT)") // 3 tokens per source
+    val rows = run("CAST(count(*) OVER () * 3 AS BIGINT)") // 3 tokens per source
     invariants(rows, rows.size * 3L)
     assert(rows.forall(_.getAs[Int]("is_capped") == 0))
     assert(rows.forall(_.getAs[Long]("alloc_tok") === 3L))
