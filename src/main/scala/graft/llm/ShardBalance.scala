@@ -42,28 +42,53 @@ import org.apache.spark.sql.types._
   */
 object ShardBalance {
 
-  /** Distributed global rank (0-based) by (`tokCol` desc, `idCol`) —
-    * the two-phase range-exchange pattern described above. */
-  private def withGlobalRank(docs: DataFrame, idCol: String,
-      nRangeParts: Int): DataFrame = {
-    val ranged = docs
-      .repartitionByRange(nRangeParts, col("n_tok").desc, col(idCol))
+  /** Distributed global rank + running total under a total order —
+    * the two-phase range-exchange pattern described above, exposed for
+    * every operator that needs a corpus-wide cumulative quantity
+    * (serpentine sharding here; the token-budget quality cut in
+    * q281). Adds to `df`:
+    *   - `r`    0-based global rank under `order`
+    *   - `cum`  INCLUSIVE global prefix sum of `n_tok`
+    *   - `total` the grand total of `n_tok` (same value on every row —
+    *     it falls out of the same ≤`nRangeParts`-row offsets fold, so
+    *     callers that need "budget = fraction of total" get it without
+    *     a second corpus pass)
+    * `order` columns must make the order total (append a unique id) or
+    * ranks are nondeterministic. The per-partition windows run inside
+    * each range partition; the only unpartitioned window is the
+    * offsets fold over ≤ `nRangeParts` rows, then the join back is a
+    * broadcast. */
+  def globalOrderStats(df: DataFrame, order: Seq[Column],
+      nRangeParts: Int = 32): DataFrame = {
+    val ranged = df
+      .repartitionByRange(nRangeParts, order: _*)
       .withColumn("pid", spark_partition_id())
-    val wPid = Window.partitionBy("pid")
-      .orderBy(col("n_tok").desc, col(idCol))
-    // per-partition counts → exclusive prefix offsets (≤ nRangeParts
-    // rows: the window below is a tiny single-partition fold, then the
-    // join back is a broadcast)
-    val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
-      .withColumn("off", coalesce(sum("cnt").over(
-        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+    val wPid = Window.partitionBy("pid").orderBy(order: _*)
+    val tiny = Window.orderBy("pid")
+    val offsets = ranged.groupBy("pid")
+      .agg(count(lit(1)).as("cnt"), sum("n_tok").as("vsum"))
+      .withColumn("off", coalesce(
+        sum("cnt").over(tiny.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .select(col("pid"), col("off"))
+      .withColumn("voff", coalesce(
+        sum("vsum").over(tiny.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("total", sum("vsum").over(
+        tiny.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("pid"), col("off"), col("voff"), col("total"))
     ranged
       .withColumn("wrn", row_number().over(wPid).cast(LongType))
+      .withColumn("wcum", sum("n_tok").over(
+        wPid.rowsBetween(Window.unboundedPreceding, 0)))
       .join(broadcast(offsets), Seq("pid"))
       .withColumn("r", col("off") + col("wrn") - 1)
+      .withColumn("cum", col("voff") + col("wcum"))
   }
+
+  /** Distributed global rank (0-based) by (`tokCol` desc, `idCol`). */
+  private def withGlobalRank(docs: DataFrame, idCol: String,
+      nRangeParts: Int): DataFrame =
+    globalOrderStats(docs, Seq(col("n_tok").desc, col(idCol)), nRangeParts)
 
   def assign(docs: DataFrame, idCol: String, tokCol: Column,
       nShards: Int, nRangeParts: Int = 32): DataFrame = {

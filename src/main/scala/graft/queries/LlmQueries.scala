@@ -1032,6 +1032,70 @@ object LlmQueries {
         .orderBy("split")
     }),
 
+    // Quality-gate calibration curve — the operator the r14 threshold
+    // scale audit did by hand: kept-docs/kept-tokens at every candidate
+    // threshold, in ONE corpus pass. The quality score is recast in
+    // integer deci-units (5/3/2 for the q76 length/stopword/punct
+    // bands) so threshold comparisons are exact on any engine, the 11
+    // (docs, tokens) pairs are conditional sums inside ONE 1-row
+    // aggregate (no 11x row fan-out before the agg), and posexplode
+    // turns the 1-row result back into the curve. A gate calibrated on
+    // this curve at one SF can be re-checked at the next SF for the
+    // q271-style saturation failure before it ships.
+    "q280_quality_sweep" -> ((s, dir) => {
+      val score10 =
+        (when(TextStats.tokenCount(col("text")).between(10, 1000), lit(5))
+            .otherwise(lit(0)) +
+          when(TextStats.stopwordRatio(col("text"), stopwords) > 0.01,
+            lit(3)).otherwise(lit(0)) +
+          when(TextStats.punctRatio(col("text")) < 0.2, lit(2))
+            .otherwise(lit(0))).cast(IntegerType)
+      val scored = t(s, dir, "documents").select(score10.as("s10"),
+        TextStats.tokenCount(col("text")).cast(LongType).as("n_tok"))
+      val aggs = (0 to 10).flatMap { th => Seq(
+        sum(when(col("s10") >= th, 1L).otherwise(0L)).as(s"d$th"),
+        sum(when(col("s10") >= th, col("n_tok")).otherwise(0L)).as(s"t$th"))
+      }
+      scored.agg(aggs.head, aggs.tail: _*)
+        .select(posexplode(array((0 to 10).map(th =>
+          struct(col(s"d$th").as("kept_docs"),
+            col(s"t$th").as("kept_tokens"))): _*)))
+        .select(col("pos").cast(IntegerType).as("threshold10"),
+          col("col.kept_docs"), col("col.kept_tokens"))
+        .orderBy("threshold10")
+    }),
+
+    // Token-budget quality cut: keep the best documents (integer
+    // deci-score desc, doc_id tiebreak) until a global token budget —
+    // a quarter of the corpus — is spent; report the cut per source.
+    // The corpus-wide running token total comes from ShardBalance's
+    // two-phase machinery (range exchange + per-partition running sums
+    // + a <=32-row offsets fold), and the budget itself falls out of
+    // the same fold (`total`), so there is no single-partition window
+    // and no second pass to compute the denominator.
+    "q281_budget_cut" -> ((s, dir) => {
+      val score10 =
+        (when(TextStats.tokenCount(col("text")).between(10, 1000), lit(5))
+            .otherwise(lit(0)) +
+          when(TextStats.stopwordRatio(col("text"), stopwords) > 0.01,
+            lit(3)).otherwise(lit(0)) +
+          when(TextStats.punctRatio(col("text")) < 0.2, lit(2))
+            .otherwise(lit(0))).cast(IntegerType)
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        col("source"), score10.as("s10"),
+        TextStats.tokenCount(col("text")).cast(LongType).as("n_tok"))
+      graft.llm.ShardBalance.globalOrderStats(scored,
+          Seq(col("s10").desc, col("doc_id")))
+        .withColumn("kept", col("cum") <= expr("total DIV 4"))
+        .groupBy("source")
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+          sum(when(col("kept"), col("n_tok")).otherwise(0L))
+            .as("kept_tokens"),
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("total_tokens"))
+        .orderBy("source")
+    }),
+
     "q88_shard_export" -> ((s, dir) => {
       def shardOf(id: org.apache.spark.sql.Column) = {
         val h = md5(id.cast("string"))
@@ -2783,6 +2847,50 @@ object LlmQueries {
         |FROM sp, st
         |GROUP BY split, st.cluster_straddle, st.naive_straddle
         |ORDER BY split""".stripMargin,
+    // integer deci-score (q76's bands x10) crossed with the threshold
+    // spine — the conditional-sum single pass replayed as a cross join
+    "q280_quality_sweep" ->
+      """WITH sc AS (
+        |  SELECT
+        |    (CASE WHEN len(string_split_regex(text, '\s+')) BETWEEN 10 AND 1000 THEN 5 ELSE 0 END +
+        |     CASE WHEN CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |       t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+        |       / len(string_split_regex(lower(text), '\s+')) > 0.01 THEN 3 ELSE 0 END +
+        |     CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |       / length(text) < 0.2 THEN 2 ELSE 0 END) AS s10,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |th AS (SELECT UNNEST(range(0, 11)) AS th)
+        |SELECT CAST(th.th AS INTEGER) AS threshold10,
+        |  COUNT(CASE WHEN sc.s10 >= th.th THEN 1 END)::BIGINT AS kept_docs,
+        |  CAST(COALESCE(SUM(CASE WHEN sc.s10 >= th.th THEN sc.n_tok END), 0)
+        |    AS BIGINT) AS kept_tokens
+        |FROM sc, th GROUP BY 1 ORDER BY 1""".stripMargin,
+    // plain global cumulative sum replays the two-phase running total
+    // (the prefix sum is a property of the total order, not of the
+    // exchange that computed it)
+    "q281_budget_cut" ->
+      """WITH sc AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN len(string_split_regex(text, '\s+')) BETWEEN 10 AND 1000 THEN 5 ELSE 0 END +
+        |     CASE WHEN CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |       t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+        |       / len(string_split_regex(lower(text), '\s+')) > 0.01 THEN 3 ELSE 0 END +
+        |     CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |       / length(text) < 0.2 THEN 2 ELSE 0 END) AS s10,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, SUM(n_tok) OVER (ORDER BY s10 DESC, doc_id) AS cum,
+        |    CAST(SUM(n_tok) OVER () // 4 AS BIGINT) AS b
+        |  FROM sc)
+        |SELECT source,
+        |  COUNT(CASE WHEN cum <= b THEN 1 END)::BIGINT AS kept_docs,
+        |  CAST(COALESCE(SUM(CASE WHEN cum <= b THEN n_tok END), 0) AS BIGINT)
+        |    AS kept_tokens,
+        |  COUNT(*)::BIGINT AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q88_shard_export" ->
       """WITH sharded AS (

@@ -44,6 +44,26 @@ class ShardBalanceSpec extends SparkTestBase {
       s"serpentine spread $spread not better than hash spread $hashed")
   }
 
+  test("globalOrderStats matches the naive single-partition window") {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), tok.cast("long").as("n_tok"))
+    val got = ShardBalance.globalOrderStats(base,
+        Seq(col("n_tok").desc, col("doc_id")), nRangeParts = 7)
+      .select("doc_id", "r", "cum", "total")
+      .orderBy("doc_id").collect().toSeq
+    val w = Window.orderBy(col("n_tok").desc, col("doc_id"))
+    val naive = base
+      .withColumn("r", row_number().over(w).cast("long") - 1)
+      .withColumn("cum",
+        sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum("n_tok").over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("doc_id", "r", "cum", "total")
+      .orderBy("doc_id").collect().toSeq
+    assert(got === naive)
+  }
+
   test("every document is assigned exactly once, shards cover 0..n-1") {
     val assigned = ShardBalance.assign(docs, "doc_id", tok, 16)
     assert(assigned.count() === docs.count())
