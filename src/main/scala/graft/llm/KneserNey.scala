@@ -61,6 +61,24 @@ object KneserNey {
       .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
   }
 
+  /** Per-(doc, w1, w2) in-document bigram instance counts, carrying
+    * the named doc-constant attribute columns (e.g. source) through —
+    * the scoring-side twin of [[bigramCounts]]: the model aggregates
+    * instances globally, a perplexity scorer needs them per document
+    * (pre-reduced to distinct bigrams per doc so the model join input
+    * is bounded by distinct-bigram volume, not raw token count). */
+  def docBigramCounts(docs: DataFrame, idCol: Column, textCol: Column,
+      carry: Seq[String] = Nil): DataFrame = {
+    val toks = docs.select((Seq(idCol.as("doc")) ++ carry.map(col) :+
+      posexplode(Surprisal.tokens(textCol))): _*)
+      .withColumnRenamed("col", "w1")
+    val w = Window.partitionBy("doc").orderBy("pos")
+    toks.withColumn("w2", lead("w1", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .groupBy((Seq("doc", "w1", "w2") ++ carry).map(col): _*)
+      .agg(count(lit(1)).as("tf"))
+  }
+
   /** Incremental maintenance: fold a delta corpus's bigram counts onto
     * an existing count table and re-derive the probabilities. The
     * count table IS the model state — counts are additive, and every

@@ -1096,6 +1096,44 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // Bigram-LM surprisal rollup — the q166 CCNet-style filter raised
+    // to bigram order (fluency, not just token rarity): every in-doc
+    // bigram scores bitlen(p_den)−bitlen(p_num) of its exact-rational
+    // KN probability (the ±1-bit integer proxy — float log-likelihoods
+    // are libm/order-dependent across engines), docs roll up to
+    // sources, and a source is flagged high-surprisal when its mean
+    // bits/bigram exceeds the corpus mean CROSS-MULTIPLIED (exact
+    // integers, non-degenerate at any SF by construction — the q271
+    // gate lesson). Self-scored (model trained on the same corpus), so
+    // every scoring bigram is in the model — no backoff path needed.
+    // Scale: one (w1,w2) shuffle for the model, vocab-sized marginal
+    // joins, and a (w1,w2)-keyed scoring join whose input is distinct
+    // bigrams per doc; the flag scalars ride an unpartitioned window
+    // over the 20-row source frame.
+    "q282_kn_surprisal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.llm.KneserNey
+        .bigramModel(docs, col("doc_id"), col("text"))
+        .select(col("w1"), col("w2"),
+          (length(bin(col("p_den"))) - length(bin(col("p_num"))))
+            .cast(LongType).as("bits"))
+      val perDoc = graft.llm.KneserNey
+        .docBigramCounts(docs, col("doc_id"), col("text"), Seq("source"))
+        .join(model, Seq("w1", "w2"))
+        .groupBy("doc", "source")
+        .agg(sum("tf").as("n_bg"),
+          sum(col("tf") * col("bits")).as("bits_sum"))
+      val all = Window.partitionBy()
+      perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_bg").as("n_bigrams"),
+          sum("bits_sum").as("bits_total"))
+        .withColumn("high_surprisal",
+          (col("bits_total") * sum("n_bigrams").over(all) >
+            sum("bits_total").over(all) * col("n_bigrams"))
+            .cast(IntegerType))
+        .orderBy("source")
+    }),
+
     "q88_shard_export" -> ((s, dir) => {
       def shardOf(id: org.apache.spark.sql.Column) = {
         val h = md5(id.cast("string"))
@@ -2891,6 +2929,52 @@ object LlmQueries {
         |  COUNT(*)::BIGINT AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q263's exact-rational KN model + per-doc instance join; the same
+    // length(bin(x)) integer bit-length proxy as q166
+    "q282_kn_surprisal" ->
+      """WITH tl AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS l
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, source, unnest(l) AS w,
+        |    unnest(range(1, len(l) + 1)) AS pos
+        |  FROM tl),
+        |inst AS (
+        |  SELECT doc_id, source, w1, w2 FROM (
+        |    SELECT doc_id, source, w AS w1,
+        |      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM toks)
+        |  WHERE w2 IS NOT NULL),
+        |bg AS (SELECT w1, w2, COUNT(*)::BIGINT AS c FROM inst GROUP BY 1, 2),
+        |st AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1,
+        |  COUNT(*)::BIGINT AS n_follow FROM bg GROUP BY 1),
+        |pr AS (SELECT w2, COUNT(*)::BIGINT AS n_prec FROM bg GROUP BY 1),
+        |ty AS (SELECT COUNT(*)::BIGINT AS t FROM bg),
+        |bits AS (
+        |  SELECT bg.w1, bg.w2,
+        |    CAST(length(bin(CAST(4 * st.cw1 * ty.t AS BIGINT))) -
+        |      length(bin(CAST((4 * bg.c - 3) * ty.t +
+        |        3 * st.n_follow * pr.n_prec AS BIGINT))) AS BIGINT) AS bits
+        |  FROM bg JOIN st USING (w1) JOIN pr USING (w2), ty),
+        |di AS (SELECT doc_id, source, w1, w2, COUNT(*)::BIGINT AS tf
+        |  FROM inst GROUP BY 1, 2, 3, 4),
+        |perdoc AS (
+        |  SELECT d.doc_id, d.source, CAST(SUM(d.tf) AS BIGINT) AS n_bg,
+        |    CAST(SUM(d.tf * b.bits) AS BIGINT) AS bits_sum
+        |  FROM di d JOIN bits b USING (w1, w2) GROUP BY 1, 2),
+        |persrc AS (
+        |  SELECT source, COUNT(*)::BIGINT AS n_docs,
+        |    CAST(SUM(n_bg) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(bits_sum) AS BIGINT) AS bits_total
+        |  FROM perdoc GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_bigrams) AS BIGINT) AS nb,
+        |  CAST(SUM(bits_total) AS BIGINT) AS bt FROM persrc)
+        |SELECT source, n_docs, n_bigrams, bits_total,
+        |  CAST(bits_total * tot.nb > tot.bt * n_bigrams AS INTEGER)
+        |    AS high_surprisal
+        |FROM persrc, tot ORDER BY source""".stripMargin,
 
     "q88_shard_export" ->
       """WITH sharded AS (
