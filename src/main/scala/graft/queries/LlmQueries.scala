@@ -1096,6 +1096,45 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // Embedding-space decontamination — the SEMANTIC twin of q84's
+    // n-gram gate: an eval item is contaminated if some training
+    // vector is too close in cosine, which catches paraphrases that
+    // share no 8-gram. Eval = vec_id % 10 == 0 (the q117-style
+    // deterministic holdout); per eval vector the max train cosine +
+    // its argmin-id witness, flagged at 0.4 (non-degenerate at all
+    // three SFs: the max-cosine range straddles it — measured
+    // 0.28..0.53). Exact integer dots/norms (floor(v*2^20), the ANN
+    // family's scheme) make the ranking engine-identical; cosine is
+    // one fixed IEEE chain for publishing. Scale shape: eval is the
+    // small side by construction — broadcast it, pairs reduce
+    // MAP-SIDE to one row per eval id (partial max of (cosine, -id)
+    // structs), so nothing pair-sized ever shuffles; the IVF/LSH
+    // prune (q82/q75) is the drop-in at billion-row train sides.
+    "q283_semantic_decon" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          Ann.norm2Exact(col("embedding")).as("n2"))
+      val eval = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("ee"),
+          col("n2").as("ne"))
+      val train = e.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("train_id"), col("embedding").as("et"),
+          col("n2").as("nt"))
+      train.crossJoin(broadcast(eval))
+        .withColumn("cosine",
+          Ann.dotExact(col("ee"), col("et")).cast(DoubleType) /
+            (sqrt(col("ne").cast(DoubleType)) *
+              sqrt(col("nt").cast(DoubleType))))
+        .groupBy("eval_id")
+        .agg(max(struct(col("cosine"), (-col("train_id")).as("nid")))
+          .as("m"))
+        .select(col("eval_id"),
+          round(col("m.cosine"), 6).as("max_cosine"),
+          (-col("m.nid")).as("nearest_train"),
+          (col("m.cosine") >= 0.4).cast(IntegerType).as("contaminated"))
+        .orderBy("eval_id")
+    }),
+
     // Bigram-LM surprisal rollup — the q166 CCNet-style filter raised
     // to bigram order (fluency, not just token rarity): every in-doc
     // bigram scores bitlen(p_den)−bitlen(p_num) of its exact-rational
@@ -2929,6 +2968,41 @@ object LlmQueries {
         |  COUNT(*)::BIGINT AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same floor(v*2^20) integer dots as the q74/q81 oracles; argmax
+    // replayed as row_number over (cosine DESC, train_id)
+    "q283_semantic_decon" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |ev AS (SELECT vec_id, embedding FROM e WHERE vec_id % 10 = 0),
+        |tr AS (SELECT vec_id, embedding FROM e WHERE vec_id % 10 != 0),
+        |norms AS (
+        |  SELECT vec_id, SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT)
+        |      * CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS n2
+        |  FROM (SELECT vec_id, unnest(embedding) AS v FROM e) GROUP BY 1),
+        |el AS (
+        |  SELECT a.vec_id AS eval_id, b.vec_id AS train_id,
+        |    unnest(a.embedding) AS av, unnest(b.embedding) AS bv
+        |  FROM ev a JOIN tr b ON true),
+        |dots AS (
+        |  SELECT eval_id, train_id,
+        |    SUM(CAST(FLOOR(CAST(av AS DOUBLE) * 1048576) AS BIGINT)
+        |      * CAST(FLOOR(CAST(bv AS DOUBLE) * 1048576) AS BIGINT)) AS dot
+        |  FROM el GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.eval_id, d.train_id,
+        |    CAST(d.dot AS DOUBLE) /
+        |      (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE)))
+        |      AS cosine
+        |  FROM dots d JOIN norms na ON na.vec_id = d.eval_id
+        |    JOIN norms nb ON nb.vec_id = d.train_id),
+        |best AS (
+        |  SELECT eval_id, train_id, cosine,
+        |    row_number() OVER (PARTITION BY eval_id
+        |      ORDER BY cosine DESC, train_id) AS rn
+        |  FROM scored)
+        |SELECT eval_id, ROUND(cosine, 6) AS max_cosine,
+        |  train_id AS nearest_train,
+        |  CAST(cosine >= 0.4 AS INTEGER) AS contaminated
+        |FROM best WHERE rn = 1 ORDER BY eval_id""".stripMargin,
     // q263's exact-rational KN model + per-doc instance join; the same
     // length(bin(x)) integer bit-length proxy as q166
     "q282_kn_surprisal" ->
