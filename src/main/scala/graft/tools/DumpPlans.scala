@@ -82,7 +82,11 @@ object DumpPlans {
       "q276_changepoint2" -> "joint 2-break fit: pair grid C(10,2) fan-out, same single-aggregate shape one dimension up",
       "q277_token_balanced_shards" -> "serpentine deal over a TWO-PHASE global rank: range exchange + per-partition row_number + broadcast partition offsets — no single-partition corpus Window",
       "q278_unimax_budget" -> "UniMax waterfilling: the only full-data work is ONE map-side-combinable count agg; windows run on the k-row per-domain table",
-      "q279_cluster_split" -> "cluster-keyed split: per-row hash project over pinned cluster ids; straddle audit is two tiny aggregates")
+      "q279_cluster_split" -> "cluster-keyed split: per-row hash project over pinned cluster ids; straddle audit is two tiny aggregates",
+      "q280_quality_sweep" -> "11-threshold calibration curve from ONE 1-row conditional-sum aggregate + posexplode — no 11x row fan-out",
+      "q281_budget_cut" -> "global running token total via two-phase range exchange; budget denominator from the same <=32-row offsets fold",
+      "q282_kn_surprisal" -> "one (w1,w2) model shuffle + vocab-sized marginals; scoring join keyed on (w1,w2); flag scalars on the 20-row source frame",
+      "q283_semantic_decon" -> "broadcast eval x train scan; pairs reduce MAP-SIDE to one row per eval id (partial max of (cosine,-id) structs)")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.tools.DumpPlans` at sf0.01; regenerate with\n")
