@@ -1096,6 +1096,44 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // Epoch-schedule materialization — the step that turns q278's
+    // UniMax token allocation into a RUNNABLE plan: alloc_tok of a
+    // domain = full_epochs complete passes (alloc DIV n_tok; the
+    // 2-epoch cap bounds it) + one partial pass sampled at the exact
+    // leftover rate rem/n_tok with the md5-derived 60-bit per-doc
+    // uniform (reproducible on any engine, no RNG state — the q85/q125
+    // convention). Publishes the plan next to the realized partial
+    // pick (docs, tokens) so a training job can audit how close the
+    // deterministic sample lands to its token target. Two corpus
+    // passes by construction — one to count (map-side combinable), one
+    // to tag against the broadcast 10-row plan — the classic
+    // plan/apply split.
+    "q284_epoch_schedule" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        substring(col("source"), 4, 1).as("domain"),
+        TextStats.tokenCount(col("text")).cast(LongType).as("tok"))
+      val counts = docs.groupBy("domain").agg(sum("tok").as("n_tok"))
+      val plan = UniMax.allocate(counts,
+          budget = expr("(sum(n_tok) OVER () * 3) DIV 2"),
+          epochCap = 2, srcCol = "domain")
+        .withColumn("full_epochs", expr("alloc_tok DIV n_tok"))
+        .withColumn("rem_tok",
+          col("alloc_tok") - col("full_epochs") * col("n_tok"))
+        .select("domain", "n_tok", "alloc_tok", "full_epochs", "rem_tok")
+      docs.join(broadcast(plan), "domain")
+        .withColumn("u",
+          TextDedup.portableHash(col("doc_id").cast(StringType))
+            .cast(DoubleType) / lit(1152921504606846976.0d)) // 2^60
+        .withColumn("picked",
+          col("u") * col("n_tok").cast(DoubleType) <
+            col("rem_tok").cast(DoubleType))
+        .groupBy("domain", "n_tok", "alloc_tok", "full_epochs", "rem_tok")
+        .agg(sum(when(col("picked"), 1L).otherwise(0L)).as("sched_docs"),
+          sum(when(col("picked"), col("tok")).otherwise(0L))
+            .as("sched_tokens"))
+        .orderBy("domain")
+    }),
+
     // Embedding-space decontamination — the SEMANTIC twin of q84's
     // n-gram gate: an eval item is contaminated if some training
     // vector is too close in cosine, which catches paraphrases that
@@ -2968,6 +3006,55 @@ object LlmQueries {
         |  COUNT(*)::BIGINT AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q278's waterfilling CTE extended with the epoch split and the
+    // q125-convention md5 uniform partial pick
+    "q284_epoch_schedule" ->
+      """WITH c AS (
+        |  SELECT substr(source, 4, 1) AS domain,
+        |    CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT COUNT(*)::BIGINT AS n_src,
+        |    CAST((SUM(n_tok) * 3) // 2 AS BIGINT) AS b FROM c),
+        |r AS (
+        |  SELECT domain, n_tok, n_tok * 2 AS cap,
+        |    CAST(row_number() OVER (ORDER BY n_tok * 2, domain) AS BIGINT) AS k,
+        |    CAST(COALESCE(SUM(n_tok * 2) OVER (ORDER BY n_tok * 2, domain
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS prefix
+        |  FROM c),
+        |f AS (SELECT r.*, t.n_src, t.b,
+        |    CASE WHEN cap * (t.n_src - k + 1) <= t.b - prefix
+        |         THEN 1 ELSE 0 END AS flag
+        |  FROM r, tot t),
+        |ks AS (SELECT COALESCE(MAX(CASE WHEN flag = 1 THEN k END), 0) AS kstar,
+        |    CAST(COALESCE(SUM(CASE WHEN flag = 1 THEN cap END), 0) AS BIGINT)
+        |      AS csum
+        |  FROM f),
+        |a AS (
+        |  SELECT f.domain, f.n_tok,
+        |    CAST(CASE WHEN f.k <= ks.kstar THEN f.cap
+        |         ELSE (f.b - ks.csum) // (f.n_src - ks.kstar) END AS BIGINT)
+        |      AS alloc_tok
+        |  FROM f, ks),
+        |plan AS (
+        |  SELECT domain, n_tok, alloc_tok,
+        |    CAST(alloc_tok // n_tok AS BIGINT) AS full_epochs,
+        |    CAST(alloc_tok - (alloc_tok // n_tok) * n_tok AS BIGINT)
+        |      AS rem_tok
+        |  FROM a),
+        |d AS (
+        |  SELECT substr(source, 4, 1) AS domain, doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS tok,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) / 1152921504606846976.0 AS u
+        |  FROM documents)
+        |SELECT p.domain, p.n_tok, p.alloc_tok, p.full_epochs, p.rem_tok,
+        |  SUM(CASE WHEN d.u * p.n_tok < p.rem_tok THEN 1 ELSE 0 END)::BIGINT
+        |    AS sched_docs,
+        |  CAST(COALESCE(SUM(CASE WHEN d.u * p.n_tok < p.rem_tok
+        |    THEN d.tok ELSE 0 END), 0) AS BIGINT) AS sched_tokens
+        |FROM plan p JOIN d USING (domain)
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1""".stripMargin,
     // same floor(v*2^20) integer dots as the q74/q81 oracles; argmax
     // replayed as row_number over (cosine DESC, train_id)
     "q283_semantic_decon" ->
