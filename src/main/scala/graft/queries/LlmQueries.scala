@@ -1096,6 +1096,47 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // kNN label probe — the standard embedding-quality eval: for each
+    // held-out vector (the q283 10% id split), do its 3 nearest train
+    // neighbors (exact integer cosine, train_id tiebreak) vote its own
+    // label? Per-label exact counts. The top-3-per-eval idiom is the
+    // Filter+row_number shape the WindowTopKRewrite compiles to the
+    // bounded-heap aggregate (partial top-k map-side — the pair volume
+    // never sorts, and only 3 rows per eval id cross the exchange);
+    // the majority vote is a 3-row-per-eval argmax with (votes desc,
+    // label) tiebreak.
+    "q285_knn_probe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          Ann.norm2Exact(col("embedding")).as("n2"))
+      val eval = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("eval_id"), col("label").as("elabel"),
+          col("embedding").as("ee"), col("n2").as("ne"))
+      val train = e.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("train_id"), col("label").as("tlabel"),
+          col("embedding").as("et"), col("n2").as("nt"))
+      val scored = train.crossJoin(broadcast(eval))
+        .withColumn("cosine",
+          Ann.dotExact(col("ee"), col("et")).cast(DoubleType) /
+            (sqrt(col("ne").cast(DoubleType)) *
+              sqrt(col("nt").cast(DoubleType))))
+      val wNn = Window.partitionBy("eval_id")
+        .orderBy(col("cosine").desc, col("train_id"))
+      val top3 = scored.withColumn("rn", row_number().over(wNn))
+        .filter(col("rn") <= 3)
+      val wVote = Window.partitionBy("eval_id")
+        .orderBy(col("votes").desc, col("tlabel"))
+      top3.groupBy("eval_id", "elabel", "tlabel")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(wVote))
+        .filter(col("vr") === 1)
+        .groupBy(col("elabel").as("label"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("tlabel") === col("elabel"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .orderBy("label")
+    }),
+
     // Epoch-schedule materialization — the step that turns q278's
     // UniMax token allocation into a RUNNABLE plan: alloc_tok of a
     // domain = full_epochs complete passes (alloc DIV n_tok; the
@@ -3006,6 +3047,52 @@ object LlmQueries {
         |  COUNT(*)::BIGINT AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same integer-dot scoring as q283; top-3 and majority vote
+    // replayed as two row_number windows
+    "q285_knn_probe" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |ev AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+        |tr AS (SELECT * FROM e WHERE vec_id % 10 != 0),
+        |norms AS (
+        |  SELECT vec_id, SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT)
+        |      * CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS n2
+        |  FROM (SELECT vec_id, unnest(embedding) AS v FROM e) GROUP BY 1),
+        |el AS (
+        |  SELECT a.vec_id AS eval_id, a.label AS elabel,
+        |    b.vec_id AS train_id, b.label AS tlabel,
+        |    unnest(a.embedding) AS av, unnest(b.embedding) AS bv
+        |  FROM ev a JOIN tr b ON true),
+        |dots AS (
+        |  SELECT eval_id, elabel, train_id, tlabel,
+        |    SUM(CAST(FLOOR(CAST(av AS DOUBLE) * 1048576) AS BIGINT)
+        |      * CAST(FLOOR(CAST(bv AS DOUBLE) * 1048576) AS BIGINT)) AS dot
+        |  FROM el GROUP BY 1, 2, 3, 4),
+        |scored AS (
+        |  SELECT d.eval_id, d.elabel, d.train_id, d.tlabel,
+        |    CAST(d.dot AS DOUBLE) /
+        |      (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE)))
+        |      AS cosine
+        |  FROM dots d JOIN norms na ON na.vec_id = d.eval_id
+        |    JOIN norms nb ON nb.vec_id = d.train_id),
+        |top3 AS (
+        |  SELECT * FROM (
+        |    SELECT eval_id, elabel, tlabel,
+        |      row_number() OVER (PARTITION BY eval_id
+        |        ORDER BY cosine DESC, train_id) AS rn
+        |    FROM scored) WHERE rn <= 3),
+        |votes AS (
+        |  SELECT eval_id, elabel, tlabel, COUNT(*)::BIGINT AS votes
+        |  FROM top3 GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT * FROM (
+        |    SELECT eval_id, elabel, tlabel,
+        |      row_number() OVER (PARTITION BY eval_id
+        |        ORDER BY votes DESC, tlabel) AS vr
+        |    FROM votes) WHERE vr = 1)
+        |SELECT elabel AS label, COUNT(*)::BIGINT AS n_eval,
+        |  SUM(CASE WHEN tlabel = elabel THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_correct
+        |FROM pred GROUP BY 1 ORDER BY 1""".stripMargin,
     // q278's waterfilling CTE extended with the epoch split and the
     // q125-convention md5 uniform partial pick
     "q284_epoch_schedule" ->
