@@ -151,7 +151,11 @@ object Bench {
       // LSH→verify→CC build. Tail it next to q120 (name order puts
       // q120 first) so the build lands in the tail once, not in the
       // light band.
-      "q279_cluster_split")
+      "q279_cluster_split",
+      // r14: streaming decon runs 4 AvailableNow triggers + a staged
+      // input write on first touch — a state-machinery footprint that
+      // belongs with the other streaming queries in the tail
+      "q286_stream_decon")
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (heavyLast.contains(name), name) }

@@ -73,6 +73,17 @@ object LlmQueries {
   private val streamDedupScratch =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
+  /** q286's staged corpus-batch dir (4 part files = 4 triggers), once
+    * per (JVM, sf dir); the stream is stateless so the input never
+    * mutates across runs. */
+  private val streamDeconDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q286's previous invocation's output dir, deleted at the start of
+    * the next invocation (same lazy-read contract as q118's scratch). */
+  private val streamDeconScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def copyTree(src: String, dst: String): Unit = {
     val sp = java.nio.file.Paths.get(src)
     val dp = java.nio.file.Paths.get(dst)
@@ -1096,6 +1107,32 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // Streaming decontamination — the q84 gate under continuous
+    // ingest (StreamOps.decontaminateStream): the corpus side arrives
+    // in 4 micro-batches, each flagged against the static eval grams.
+    // Decisions are batch-local by design (no cross-batch state), so
+    // stream == batch independent of trigger chopping — which is why
+    // the oracle below IS q84's oracle, shared verbatim.
+    "q286_stream_decon" -> ((s, dir) => {
+      val block = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      val batchDir = streamDeconDirs.computeIfAbsent(dir, _ => {
+        val bd = java.nio.file.Files
+          .createTempDirectory("graft_sdecon_in").toString
+        block.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text")
+          .repartition(4).write.mode("overwrite").parquet(bd)
+        bd
+      })
+      Option(streamDeconScratch.remove(dir)).foreach(deleteTree)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_sdecon_out").toString
+      streamDeconScratch.put(dir, outDir)
+      graft.streaming.StreamOps.decontaminateStream(s, batchDir,
+          block.filter(col("doc_id") % 7 === 0), n = 3, flagRatio = 0.1,
+          outDir = outDir)
+        .orderBy("doc_id")
+    }),
+
     // kNN label probe — the standard embedding-quality eval: for each
     // held-out vector (the q283 10% id split), do its 3 nearest train
     // neighbors (exact integer cosine, train_id tiebreak) vote its own
@@ -2063,7 +2100,35 @@ object LlmQueries {
        |  ROUND(CAST($nHits AS DOUBLE) / COUNT(*), 4) AS recall
        |FROM topk""".stripMargin
 
+  /** q84's DuckDB gate, shared verbatim with q286: the streaming
+    * decontamination is batch-local per trigger, so the batch gate IS
+    * its oracle. */
+  private val deconReportSql =
+    """WITH block AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+      |grams AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3
+      |      THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+      |                          for i in generate_series(1, len(toks)-2)])
+      |      ELSE [array_to_string(toks, ' ')] END AS gs
+      |  FROM block),
+      |eval_grams AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 7 = 0),
+      |exploded AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 7 != 0),
+      |overlap AS (
+      |  SELECT x.doc_id AS did, COUNT(DISTINCT x.g) AS n_overlap
+      |  FROM exploded x JOIN eval_grams e ON e.g = x.g GROUP BY x.doc_id)
+      |SELECT c.doc_id, len(c.gs) AS n_grams,
+      |  COALESCE(o.n_overlap, 0) AS n_overlap,
+      |  ROUND(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / len(c.gs), 6) AS overlap_ratio,
+      |  CAST(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / len(c.gs) >= 0.1 AS INT) AS contaminated
+      |FROM (SELECT doc_id, gs FROM grams WHERE doc_id % 7 != 0) c
+      |LEFT JOIN overlap o ON o.did = c.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q286_stream_decon" -> deconReportSql,
     // integer-exact surprisal: bitlen via bin() string length on both
     // engines; keep-decision cross-multiplied (101/20 bits/token)
     "q166_surprisal_filter" ->
@@ -2504,29 +2569,7 @@ object LlmQueries {
         |SELECT cluster_id, doc_id AS keeper, n_members::BIGINT AS n_members,
         |  quality AS keeper_quality
         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
-    "q84_decontaminate" ->
-      """WITH block AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks
-        |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
-        |grams AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3
-        |      THEN list_distinct([array_to_string(toks[i:i+2], ' ')
-        |                          for i in generate_series(1, len(toks)-2)])
-        |      ELSE [array_to_string(toks, ' ')] END AS gs
-        |  FROM block),
-        |eval_grams AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 7 = 0),
-        |exploded AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 7 != 0),
-        |overlap AS (
-        |  SELECT x.doc_id AS did, COUNT(DISTINCT x.g) AS n_overlap
-        |  FROM exploded x JOIN eval_grams e ON e.g = x.g GROUP BY x.doc_id)
-        |SELECT c.doc_id, len(c.gs) AS n_grams,
-        |  COALESCE(o.n_overlap, 0) AS n_overlap,
-        |  ROUND(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / len(c.gs), 6) AS overlap_ratio,
-        |  CAST(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / len(c.gs) >= 0.1 AS INT) AS contaminated
-        |FROM (SELECT doc_id, gs FROM grams WHERE doc_id % 7 != 0) c
-        |LEFT JOIN overlap o ON o.did = c.doc_id
-        |ORDER BY doc_id""".stripMargin,
+    "q84_decontaminate" -> deconReportSql,
     "q85_mixture_sample" ->
       """WITH ranked AS (
         |  SELECT doc_id, source,

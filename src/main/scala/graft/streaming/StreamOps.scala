@@ -431,6 +431,49 @@ object StreamOps {
     spark.read.schema(outSchema).parquet(out).distinct()
   }
 
+  /** Streaming decontamination — the q84 n-gram gate under continuous
+    * ingest: corpus documents arrive in micro-batches and each batch
+    * is flagged against the STATIC eval-gram set (broadcast inside
+    * [[graft.llm.Decontaminate.report]]). Per-document decisions are
+    * batch-local — there is deliberately NO cross-batch state — so the
+    * final table is independent of how the corpus is chopped into
+    * triggers, and the batch gate's oracle doubles as this stream's
+    * oracle verbatim. Scale shape per trigger: one broadcast gram
+    * semi-structure join sized to the micro-batch; the eval grams load
+    * once per trigger from the static frame (a production deployment
+    * pins them with a persisted broadcast). */
+  def decontaminateStream(spark: SparkSession, batchDocsDir: String,
+      evalDocs: DataFrame, n: Int, flagRatio: Double, outDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", org.apache.spark.sql.types.StringType)))
+    val src = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(batchDocsDir)
+    val q = src.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        withStatePartitions(spark, 8) {
+          graft.llm.Decontaminate.report(batch, evalDocs, n, flagRatio)
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(outDir)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    unloadStateStores()
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_grams", LongType),
+      StructField("n_overlap", LongType),
+      StructField("overlap_ratio", org.apache.spark.sql.types.DoubleType),
+      StructField("contaminated", org.apache.spark.sql.types.IntegerType)))
+    spark.read.schema(outSchema).parquet(outDir)
+  }
+
   /** Streaming CDC upsert (MERGE INTO under continuous ingest): an
     * out-of-order I/U/D changelog arrives in micro-batches and folds
     * onto a keyed state table. The state persists each key's
