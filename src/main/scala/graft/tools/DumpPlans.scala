@@ -86,7 +86,9 @@ object DumpPlans {
       "q280_quality_sweep" -> "11-threshold calibration curve from ONE 1-row conditional-sum aggregate + posexplode — no 11x row fan-out",
       "q281_budget_cut" -> "global running token total via two-phase range exchange; budget denominator from the same <=32-row offsets fold",
       "q282_kn_surprisal" -> "one (w1,w2) model shuffle + vocab-sized marginals; scoring join keyed on (w1,w2); flag scalars on the 20-row source frame",
-      "q283_semantic_decon" -> "broadcast eval x train scan; pairs reduce MAP-SIDE to one row per eval id (partial max of (cosine,-id) structs)")
+      "q283_semantic_decon" -> "broadcast eval x train scan; pairs reduce MAP-SIDE to one row per eval id (partial max of (cosine,-id) structs)",
+      "q284_epoch_schedule" -> "plan/apply split: one map-side count pass, one tagging pass against the broadcast 10-row plan",
+      "q285_knn_probe" -> "top-3-per-eval REWRITTEN to the bounded-heap aggregate (no Window sort of the pair volume); 3 rows per eval cross the exchange")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.tools.DumpPlans` at sf0.01; regenerate with\n")
