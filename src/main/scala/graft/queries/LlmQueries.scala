@@ -1107,6 +1107,55 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // Shard manifest — the reproducibility companion to q88's export:
+    // per shard an ORDER-INDEPENDENT content fingerprint (bit_xor of
+    // each doc's md5-derived 60-bit text hash — xor is the one
+    // aggregate that is exact, commutative, and cannot overflow, so
+    // the manifest is identical however the export was partitioned or
+    // parallelized), plus counts and id bounds. Re-running an export
+    // on any cluster and diffing manifests is the cheap end-to-end
+    // "did we ship the same bytes" audit.
+    "q287_shard_manifest" -> ((s, dir) => {
+      def shardOf(id: org.apache.spark.sql.Column) = {
+        val h = md5(id.cast("string"))
+        ((ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) % 16)
+          .cast("int")
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id"), shardOf(col("doc_id")).as("shard"),
+          TextDedup.portableHash(col("text")).as("h"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(h)").as("fingerprint"),
+          min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+        .orderBy("shard")
+    }),
+
+    // Token-compression audit — chars per whitespace token, per
+    // language: the tokenizer-budget check (a language whose words run
+    // long pays more bytes per token of context; on real BPE vocab the
+    // same audit is fertility). The fixture's BPE-ish and whitespace
+    // counts coincide exactly (all-lowercase alnum words), so the
+    // chars basis is the one with signal — measured spread
+    // 5.455..5.511 across langs at the three SFs. Flag = language's
+    // chars/token above the corpus mean, CROSS-MULTIPLIED in exact
+    // integers; scalars ride an unpartitioned window over the ≤5-row
+    // language frame.
+    "q288_token_compression" -> ((s, dir) => {
+      val all = Window.partitionBy()
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast(LongType)).as("total_chars"),
+          sum(TextStats.tokenCount(col("text")).cast(LongType))
+            .as("total_tokens"))
+        .withColumn("high_chars_per_tok",
+          (col("total_chars") * sum("total_tokens").over(all) >
+            sum("total_chars").over(all) * col("total_tokens"))
+            .cast(IntegerType))
+        .orderBy("lang")
+    }),
+
     // Streaming decontamination — the q84 gate under continuous
     // ingest (StreamOps.decontaminateStream): the corpus side arrives
     // in 4 micro-batches, each flagged against the static eval grams.
@@ -2129,6 +2178,34 @@ object LlmQueries {
 
   val oracles: Map[String, String] = Map(
     "q286_stream_decon" -> deconReportSql,
+    // q88's shard key + the portable 60-bit text hash, xor-folded
+    "q287_shard_manifest" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |        + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 16
+        |      AS INTEGER) AS shard,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT shard, COUNT(*)::BIGINT AS n_docs,
+        |  CAST(bit_xor(h) AS BIGINT) AS fingerprint,
+        |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-language integer char/token totals; the compression flag
+    // replayed cross-multiplied against the corpus totals
+    "q288_token_compression" ->
+      """WITH per AS (
+        |  SELECT lang, COUNT(*)::BIGINT AS n_docs,
+        |    CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        |    CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |      AS total_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(total_chars) AS BIGINT) AS tc,
+        |  CAST(SUM(total_tokens) AS BIGINT) AS tt FROM per)
+        |SELECT lang, n_docs, total_chars, total_tokens,
+        |  CAST(total_chars * tot.tt > tot.tc * total_tokens AS INTEGER)
+        |    AS high_chars_per_tok
+        |FROM per, tot ORDER BY lang""".stripMargin,
     // integer-exact surprisal: bitlen via bin() string length on both
     // engines; keep-decision cross-multiplied (101/20 bits/token)
     "q166_surprisal_filter" ->
