@@ -1107,6 +1107,42 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // Cell-occupancy drift audit — index-maintenance health for a
+    // cell-partitioned ANN layout (the q122 sign-cell scheme, 6 bits =
+    // 64 cells): the persisted corpus (90%) vs an arriving delta batch
+    // (10%), per-cell occupancies, an overload flag (post-merge cell
+    // above 1.25x mean occupancy — the SemDedup occupancy knob's
+    // re-split trigger; 1.25x is the calibrated bar that fires on the
+    // fixture's near-uniform cells at every SF where a 2x bar never
+    // would — the q271 gate lesson), and the drift as ONE exact
+    // cross-multiplied integer Σ|nb_i·td − nd_i·tb| (TVD scaled by
+    // 2·tb·td — goes positive long before any single cell overloads).
+    // All scalars ride an unpartitioned window over the ≤64-cell
+    // frame; cell assignment is a per-row integer expression.
+    "q289_cell_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        SemDedup.signCell(col("embedding"), signBits = 6).as("cell"))
+      val all = Window.partitionBy()
+      e.groupBy("cell")
+        .agg(sum(when(col("vec_id") % 10 =!= 0, 1L).otherwise(0L))
+            .as("n_base"),
+          sum(when(col("vec_id") % 10 === 0, 1L).otherwise(0L))
+            .as("n_delta"))
+        .withColumn("n_total", col("n_base") + col("n_delta"))
+        .withColumn("tb", sum("n_base").over(all))
+        .withColumn("td", sum("n_delta").over(all))
+        .withColumn("nc", count(lit(1)).over(all))
+        .withColumn("overloaded",
+          (col("n_total") * col("nc") * 4 >
+            lit(5) * (col("tb") + col("td"))).cast(IntegerType))
+        .withColumn("drift_num", sum(abs(
+          col("n_base") * col("td") - col("n_delta") * col("tb")))
+          .over(all))
+        .select(col("cell"), col("n_base"), col("n_delta"),
+          col("n_total"), col("overloaded"), col("drift_num"))
+        .orderBy("cell")
+    }),
+
     // Shard manifest — the reproducibility companion to q88's export:
     // per shard an ORDER-INDEPENDENT content fingerprint (bit_xor of
     // each doc's md5-derived 60-bit text hash — xor is the one
@@ -2178,6 +2214,33 @@ object LlmQueries {
 
   val oracles: Map[String, String] = Map(
     "q286_stream_decon" -> deconReportSql,
+    // the q122 sign-cell expression with fixed 6 bits; drift and
+    // overload replayed cross-multiplied
+    "q289_cell_drift" ->
+      """WITH base AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(6),
+        |      i -> CASE WHEN embedding[CAST(i + 1 AS INT)] > 0
+        |           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS cell
+        |  FROM embeddings),
+        |per AS (
+        |  SELECT cell,
+        |    SUM(CASE WHEN vec_id % 10 != 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_base,
+        |    SUM(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_delta
+        |  FROM base GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+        |  CAST(SUM(n_delta) AS BIGINT) AS td, COUNT(*)::BIGINT AS nc
+        |  FROM per),
+        |dr AS (SELECT CAST(SUM(ABS(n_base * t.td - n_delta * t.tb))
+        |  AS BIGINT) AS drift_num FROM per, tot t)
+        |SELECT per.cell, per.n_base, per.n_delta,
+        |  per.n_base + per.n_delta AS n_total,
+        |  CAST((per.n_base + per.n_delta) * t.nc * 4 > 5 * (t.tb + t.td)
+        |    AS INTEGER) AS overloaded,
+        |  dr.drift_num
+        |FROM per, tot t, dr ORDER BY per.cell""".stripMargin,
     // q88's shard key + the portable 60-bit text hash, xor-folded
     "q287_shard_manifest" ->
       """WITH s AS (
