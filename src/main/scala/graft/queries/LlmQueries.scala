@@ -1167,6 +1167,37 @@ object LlmQueries {
         .orderBy("shard")
     }),
 
+    // Manifest diff — the q287 manifest's use-case: corpus version v1
+    // (even doc ids) vs v2 (the full table), per shard. Because the
+    // fingerprint is an xor fold, the DELTA fingerprint is just
+    // fp_v1 XOR fp_v2 — the xor of exactly the documents that changed
+    // — so version drift localizes to shards without touching any
+    // document twice: changed = (fp_v1 != fp_v2), and a re-export
+    // only needs the changed shards. This algebraic incrementality is
+    // why the manifest uses xor rather than a concatenation hash.
+    "q290_manifest_diff" -> ((s, dir) => {
+      def shardOf(id: org.apache.spark.sql.Column) = {
+        val h = md5(id.cast("string"))
+        ((ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) % 16)
+          .cast("int")
+      }
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), shardOf(col("doc_id")).as("shard"),
+          TextDedup.portableHash(col("text")).as("h"))
+      d.groupBy("shard")
+        .agg(
+          sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_v1"),
+          count(lit(1)).as("n_v2"),
+          expr("bit_xor(CASE WHEN doc_id % 2 = 0 THEN h ELSE 0 END)")
+            .as("fp_v1"),
+          expr("bit_xor(h)").as("fp_v2"))
+        .withColumn("delta_fp",
+          expr("fp_v1 ^ fp_v2")) // xor of exactly the added docs' hashes
+        .withColumn("changed", (col("fp_v1") =!= col("fp_v2"))
+          .cast(IntegerType))
+        .orderBy("shard")
+    }),
+
     // Token-compression audit — chars per whitespace token, per
     // language: the tokenizer-budget check (a language whose words run
     // long pays more bytes per token of context; on real BPE vocab the
@@ -2254,6 +2285,27 @@ object LlmQueries {
         |  CAST(bit_xor(h) AS BIGINT) AS fingerprint,
         |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the q287 manifest per version; xor algebra replayed directly
+    "q290_manifest_diff" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |        + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 16
+        |      AS INTEGER) AS shard,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |per AS (
+        |  SELECT shard,
+        |    SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_v1,
+        |    COUNT(*)::BIGINT AS n_v2,
+        |    CAST(bit_xor(CASE WHEN doc_id % 2 = 0 THEN h ELSE 0 END)
+        |      AS BIGINT) AS fp_v1,
+        |    CAST(bit_xor(h) AS BIGINT) AS fp_v2
+        |  FROM s GROUP BY 1)
+        |SELECT shard, n_v1, n_v2, fp_v1, fp_v2,
+        |  CAST(xor(fp_v1, fp_v2) AS BIGINT) AS delta_fp,
+        |  CAST(fp_v1 != fp_v2 AS INTEGER) AS changed
+        |FROM per ORDER BY shard""".stripMargin,
     // per-language integer char/token totals; the compression flag
     // replayed cross-multiplied against the corpus totals
     "q288_token_compression" ->
