@@ -155,7 +155,10 @@ object Bench {
       // r14: streaming decon runs 4 AvailableNow triggers + a staged
       // input write on first touch — a state-machinery footprint that
       // belongs with the other streaming queries in the tail
-      "q286_stream_decon")
+      "q286_stream_decon",
+      // r14: dedup-savings shares the q120/q279 pinned cluster stage —
+      // tail it with them so the build never lands mid-sequence
+      "q291_dedup_savings")
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (heavyLast.contains(name), name) }

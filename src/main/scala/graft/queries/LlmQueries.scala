@@ -1167,6 +1167,39 @@ object LlmQueries {
         .orderBy("shard")
     }),
 
+    // Dedup-savings report — the PLANNING number the dedup family
+    // exists to produce: per source, tokens raw vs tokens after exact
+    // dedup (min-id keeper per normalized content key, q70's rule) vs
+    // tokens after near-dup canonical selection (cluster min-id, the
+    // q83 pipeline via the shared pinned stage). exact ≥ near always;
+    // the gap is what MinHash buys over hashing, per source — the
+    // number that decides whether the near-dup pass is worth its cost
+    // on a new feed. One corpus pass + two keeper-id semi-flags.
+    "q291_dedup_savings" -> ((s, dir) => {
+      val block = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      val d = block.select(col("doc_id"), col("source"),
+        TextStats.tokenCount(col("text")).cast(LongType).as("tok"),
+        TextDedup.contentKey(col("text")).as("ck"))
+      val exactKeep = d.groupBy("ck").agg(min("doc_id").as("doc_id"))
+        .select(col("doc_id"), lit(1).as("ek"))
+      val canon = pinnedStage(s, s"$dir|clusters",
+        TextDedup.clusterAssignments(block, threshold = 0.95,
+          k = 32, bands = 8, shingleW = 1))
+        .filter(col("is_canonical") === 1)
+        .select(col("doc_id"), lit(1).as("nk"))
+      d.join(exactKeep, Seq("doc_id"), "left")
+        .join(canon, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("tok").as("tokens_raw"),
+          sum(when(col("ek") === 1, col("tok")).otherwise(0L))
+            .as("tokens_exact"),
+          sum(when(col("nk") === 1, col("tok")).otherwise(0L))
+            .as("tokens_near"))
+        .orderBy("source")
+    }),
+
     // Manifest diff — the q287 manifest's use-case: corpus version v1
     // (even doc ids) vs v2 (the full table), per shard. Because the
     // fingerprint is an xor fold, the DELTA fingerprint is just
@@ -2284,6 +2317,40 @@ object LlmQueries {
         |SELECT shard, COUNT(*)::BIGINT AS n_docs,
         |  CAST(bit_xor(h) AS BIGINT) AS fingerprint,
         |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q70's content-key rule + q83's all-pairs recursive clusters,
+    // folded into one per-source savings grid
+    "q291_dedup_savings" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS tok,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ckey,
+        |    list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.95),
+        |edges AS (
+        |  SELECT doc_a AS s0, doc_b AS d0 FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT s0 AS a, d0 AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.d0 FROM reach r JOIN edges e ON r.b = e.s0 WHERE e.d0 != r.a),
+        |mins AS (SELECT a, MIN(b) AS mn FROM reach GROUP BY a),
+        |canon AS (
+        |  SELECT d.doc_id FROM (SELECT doc_id FROM s) d
+        |  LEFT JOIN mins m ON m.a = d.doc_id
+        |  WHERE LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) = d.doc_id),
+        |ek AS (SELECT MIN(doc_id) AS doc_id FROM s GROUP BY ckey)
+        |SELECT source, COUNT(*)::BIGINT AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS tokens_raw,
+        |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM ek)
+        |    THEN tok ELSE 0 END) AS BIGINT) AS tokens_exact,
+        |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM canon)
+        |    THEN tok ELSE 0 END) AS BIGINT) AS tokens_near
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // the q287 manifest per version; xor algebra replayed directly
     "q290_manifest_diff" ->
