@@ -158,7 +158,10 @@ object Bench {
       "q286_stream_decon",
       // r14: dedup-savings shares the q120/q279 pinned cluster stage —
       // tail it with them so the build never lands mid-sequence
-      "q291_dedup_savings")
+      "q291_dedup_savings",
+      // r14: streaming manifest runs 4 AvailableNow triggers + staged
+      // input on first touch — tail with the other streaming queries
+      "q292_stream_manifest")
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (heavyLast.contains(name), name) }

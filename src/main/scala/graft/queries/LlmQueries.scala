@@ -84,6 +84,13 @@ object LlmQueries {
   private val streamDeconScratch =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q292's staged full-corpus batch dir + previous output scratch —
+    * same contracts as q286's pair above. */
+  private val streamManifestDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val streamManifestScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def copyTree(src: String, dst: String): Unit = {
     val sp = java.nio.file.Paths.get(src)
     val dp = java.nio.file.Paths.get(dst)
@@ -1164,6 +1171,36 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"),
           expr("bit_xor(h)").as("fingerprint"),
           min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+        .orderBy("shard")
+    }),
+
+    // Streaming shard manifest — q287 under continuous ingest
+    // (StreamOps.shardManifestStream): each micro-batch appends
+    // per-shard (count, xor) PARTIALS and the read-back folds them.
+    // xor/+/min/max are associative+commutative, so the streamed
+    // manifest equals the batch manifest regardless of trigger
+    // chopping — which is why the oracle below is q287's, shared
+    // verbatim (the same algebra that makes the manifest incrementally
+    // maintainable makes stream == batch provable by one gate).
+    "q292_stream_manifest" -> ((s, dir) => {
+      def shardOf(id: org.apache.spark.sql.Column) = {
+        val h = md5(id.cast("string"))
+        ((ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) % 16)
+          .cast("int")
+      }
+      val batchDir = streamManifestDirs.computeIfAbsent(dir, _ => {
+        val bd = java.nio.file.Files
+          .createTempDirectory("graft_smani_in").toString
+        t(s, dir, "documents").select("doc_id", "text")
+          .repartition(4).write.mode("overwrite").parquet(bd)
+        bd
+      })
+      Option(streamManifestScratch.remove(dir)).foreach(deleteTree)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_smani_out").toString
+      streamManifestScratch.put(dir, outDir)
+      graft.streaming.StreamOps.shardManifestStream(s, batchDir,
+          shardOf, c => TextDedup.portableHash(c), outDir)
         .orderBy("shard")
     }),
 
@@ -2276,6 +2313,22 @@ object LlmQueries {
       |LEFT JOIN overlap o ON o.did = c.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** q287's DuckDB gate, shared verbatim with the streaming build
+    * (q292): the manifest's aggregates are associative+commutative, so
+    * the streamed fold equals the batch fold. */
+  private val shardManifestSql =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+      |        + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 16
+      |      AS INTEGER) AS shard,
+      |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+      |  FROM documents)
+      |SELECT shard, COUNT(*)::BIGINT AS n_docs,
+      |  CAST(bit_xor(h) AS BIGINT) AS fingerprint,
+      |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q286_stream_decon" -> deconReportSql,
     // the q122 sign-cell expression with fixed 6 bits; drift and
@@ -2305,19 +2358,10 @@ object LlmQueries {
         |    AS INTEGER) AS overloaded,
         |  dr.drift_num
         |FROM per, tot t, dr ORDER BY per.cell""".stripMargin,
-    // q88's shard key + the portable 60-bit text hash, xor-folded
-    "q287_shard_manifest" ->
-      """WITH s AS (
-        |  SELECT doc_id,
-        |    CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
-        |        + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 16
-        |      AS INTEGER) AS shard,
-        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
-        |  FROM documents)
-        |SELECT shard, COUNT(*)::BIGINT AS n_docs,
-        |  CAST(bit_xor(h) AS BIGINT) AS fingerprint,
-        |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
-        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q88's shard key + the portable 60-bit text hash, xor-folded;
+    // shared verbatim with q292 (stream == batch by xor associativity)
+    "q287_shard_manifest" -> shardManifestSql,
+    "q292_stream_manifest" -> shardManifestSql,
     // q70's content-key rule + q83's all-pairs recursive clusters,
     // folded into one per-source savings grid
     "q291_dedup_savings" ->

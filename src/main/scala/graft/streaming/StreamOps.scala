@@ -474,6 +474,63 @@ object StreamOps {
     spark.read.schema(outSchema).parquet(outDir)
   }
 
+  /** Streaming shard manifest — the q287 export-reproducibility
+    * fingerprint built under continuous ingest: each micro-batch
+    * appends its per-shard (count, xor-of-content-hashes) PARTIALS,
+    * and the final manifest is the xor/sum fold of the partials.
+    * Because xor and + are associative and commutative, the streamed
+    * manifest equals the batch manifest REGARDLESS of trigger
+    * chopping or arrival order — the algebraic-aggregation property
+    * that makes a manifest maintainable incrementally at all. The
+    * caller computes shard/hash columns; this runs any (shard, h)
+    * frame. */
+  def shardManifestStream(spark: SparkSession, batchDocsDir: String,
+      shardOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      hashOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      outDir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", org.apache.spark.sql.types.StringType)))
+    val src = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(batchDocsDir)
+    val q = src.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        withStatePartitions(spark, 8) {
+          batch
+            .select(col("doc_id"), shardOf(col("doc_id")).as("shard"),
+              hashOf(col("text")).as("h"))
+            .groupBy("shard")
+            .agg(count(lit(1)).as("n_docs"),
+              expr("bit_xor(h)").as("fingerprint"),
+              min("doc_id").as("min_doc_id"),
+              max("doc_id").as("max_doc_id"))
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(outDir)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    unloadStateStores()
+    val outSchema = StructType(Seq(
+      StructField("shard", org.apache.spark.sql.types.IntegerType),
+      StructField("n_docs", LongType),
+      StructField("fingerprint", LongType),
+      StructField("min_doc_id", LongType),
+      StructField("max_doc_id", LongType)))
+    // fold the per-trigger partials: xor for fingerprints, sum/min/max
+    // for the rest — each is the aggregate's own merge function
+    spark.read.schema(outSchema).parquet(outDir)
+      .groupBy("shard")
+      .agg(sum("n_docs").as("n_docs"),
+        expr("bit_xor(fingerprint)").as("fingerprint"),
+        min("min_doc_id").as("min_doc_id"),
+        max("max_doc_id").as("max_doc_id"))
+  }
+
   /** Streaming CDC upsert (MERGE INTO under continuous ingest): an
     * out-of-order I/U/D changelog arrives in micro-batches and folds
     * onto a keyed state table. The state persists each key's
