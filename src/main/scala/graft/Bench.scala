@@ -161,7 +161,13 @@ object Bench {
       "q291_dedup_savings",
       // r14: streaming manifest runs 4 AvailableNow triggers + staged
       // input on first touch — tail with the other streaming queries
-      "q292_stream_manifest")
+      "q292_stream_manifest",
+      // r14 session 4: the threshold-curve verify shuffles the ~480k
+      // candidate-pair set (3.4 s isolated) — tail it with the other
+      // pair-shuffle heavies; the streaming stratified sample stages
+      // its input + runs 4 AvailableNow triggers on first touch — tail
+      // with the other streaming queries
+      "q293_dedup_threshold_curve", "q297_stream_stratified")
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (heavyLast.contains(name), name) }

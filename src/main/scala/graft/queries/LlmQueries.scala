@@ -91,6 +91,13 @@ object LlmQueries {
   private val streamManifestScratch =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q297's staged batch dir + previous output scratch — same
+    * contracts as q286's pair above. */
+  private val streamSampleDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val streamSampleScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def copyTree(src: String, dst: String): Unit = {
     val sp = java.nio.file.Paths.get(src)
     val dp = java.nio.file.Paths.get(dst)
@@ -2102,6 +2109,245 @@ object LlmQueries {
           (col("dup_docs").cast(DoubleType) / col("n_docs").cast(DoubleType))
             .as("dup_rate"))
         .orderBy("source")
+    }),
+
+    // Dedup-threshold calibration curve — q280's sweep idea applied to
+    // the NEAR-DUP knob: over the LSH candidate set (the q71 operating
+    // point: shingleW=1, k=32, bands=8, portable hashes), exact
+    // token-set Jaccard bucketed at 6 candidate thresholds, as
+    // conditional sums in ONE aggregate over the candidate pairs (no
+    // 6x fan-out, no re-verify per threshold). The curve is computed
+    // over CANDIDATES, not all pairs — that is the honest scale path
+    // (banded recall bounds what any threshold can see; at 0.5 the
+    // capture probability is the floor, and the published
+    // n_candidates row makes the denominator explicit) — and the
+    // oracle replays the full portable shingle→minhash→band pipeline,
+    // so a green hash certifies candidates AND the curve. The verify
+    // intersects DISTINCT-TOKEN sets; Spark hashes tokens to longs
+    // first (xxhash64, the library's scale default — long intersects,
+    // no string compares on the 479k-pair hot path) while the oracle
+    // intersects the raw strings: the CARDINALITIES are identical, and
+    // cardinalities are all the curve consumes.
+    "q293_dedup_threshold_curve" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      val cands = TextDedup.minhashCandidates(d, k = 32, bands = 8,
+        shingleW = 1, portable = true)
+      val sets = d.select(col("doc_id"),
+        array_distinct(transform(split(col("text"), " "),
+          w => xxhash64(w))).as("ts"))
+      val ths = Seq(50, 60, 70, 80, 90, 95)
+      val pairs = cands
+        .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta")),
+          Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("tb")),
+          Seq("doc_b"))
+        .select(size(array_intersect(col("ta"), col("tb"))).cast(LongType)
+            .as("i"),
+          (size(col("ta")) + size(col("tb"))).cast(LongType).as("ab"))
+        .select(col("i"), (col("ab") - col("i")).as("u"))
+      pairs
+        .agg(count(lit(1)).as("n_candidates"),
+          ths.map(th => sum(when(col("i") * 100 >= col("u") * th, 1L)
+            .otherwise(0L)).as(s"n$th")): _*)
+        .select(col("n_candidates"), explode(array(ths.map(th =>
+          struct(lit(th).as("threshold_pct"), col(s"n$th").as("n_pairs"))): _*))
+          .as("r"))
+        .select(col("r.threshold_pct"), col("r.n_pairs"),
+          col("n_candidates"))
+        .orderBy("threshold_pct")
+    }),
+
+    // Inference-batch padding audit — the serving-side twin of q269's
+    // packing audit: fixed 16-doc batches padded to the batch max, the
+    // cost model of batched transformer inference. Length-sorted
+    // batching (the standard bucketing trick) vs arrival-order (FIFO)
+    // batching, per batch: the padding a batch wastes under each
+    // policy. Both global orders come from the two-phase distributed
+    // rank (range exchange + per-partition row_number + broadcast
+    // offsets — ShardBalance.globalOrderStats, never a single-
+    // partition corpus Window), so the plan holds at any corpus size;
+    // the output is one row per batch (N/16), a report, not a scalar.
+    "q294_batch_padding" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast(LongType).as("n_tok"))
+      val sorted = ShardBalance
+        .globalOrderStats(d, Seq(col("n_tok").desc, col("doc_id")))
+        .withColumn("batch", expr("r DIV 16"))
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n_docs"), max("n_tok").as("max_tok"),
+          sum("n_tok").as("sum_tok"))
+        .withColumn("padded_sorted",
+          col("max_tok") * col("n_docs") - col("sum_tok"))
+      val fifo = ShardBalance.globalOrderStats(d, Seq(col("doc_id")))
+        .withColumn("batch", expr("r DIV 16"))
+        .groupBy("batch")
+        .agg((max("n_tok") * count(lit(1)) - sum("n_tok")).as("padded_fifo"))
+      sorted.join(fifo, Seq("batch"))
+        .select(col("batch"), col("n_docs"), col("max_tok"), col("sum_tok"),
+          col("padded_sorted"), col("padded_fifo"))
+        .orderBy("batch")
+    }),
+
+    // DSIR-style importance weights (Xie 2023, hashed n-gram features):
+    // score every doc by how target-like its token distribution is,
+    // where the TARGET is the quality-gated subset (all three q76
+    // bands pass — the practical convention: the target sample is
+    // drawn from the corpus itself). Features are 64 hashed unigram
+    // buckets (portable md5 bucket); the per-bucket weight is the
+    // LINEARIZED importance ratio in exact scaled integers —
+    // 1024·(p_target_ppm+1)/(p_raw_ppm+1) − 1024, probabilities as
+    // integer parts-per-million, add-1 smoothed — monotone in the true
+    // ratio (all DSIR needs) and engine-exact where a float log is
+    // not. (A ±1-bit bitlen proxy was tried first and measured
+    // DEGENERATE here: the target is ~90% of this corpus, so every
+    // bucket ratio sits inside one bit.) Contract: target tokens ·1e6
+    // must fit a long → corpora up to ~9·10^12 target tokens.
+    // Per-source rollup publishes the signed importance mass and an
+    // above-corpus-mean flag, cross-multiplied (measured split:
+    // 10/11/9 of 20 sources at the three SFs). Scale: one token
+    // shuffle to bucket counts, the ≤64-row weight table broadcasts
+    // back, one per-doc sum — linear end to end.
+    "q295_dsir_weights" -> ((s, dir) => {
+      val all = Window.partitionBy()
+      val d = t(s, dir, "documents")
+      val base = d.select(col("doc_id"), col("source"),
+        (TextStats.tokenCount(col("text")).between(10, 1000) &&
+          (TextStats.stopwordRatio(col("text"), stopwords) > 0.01) &&
+          (TextStats.punctRatio(col("text")) < 0.2)).as("is_target"))
+      val tf = d.select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .select(col("doc_id"),
+          pmod(graft.functions.BqShims.md5Bucket(col("tok")), lit(64L))
+            .as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+      val weights = tf
+        .join(base.select("doc_id", "is_target"), Seq("doc_id"))
+        .groupBy("b")
+        .agg(sum("tf").as("cr"),
+          sum(when(col("is_target"), col("tf")).otherwise(0L)).as("ct"))
+        .withColumn("rt", sum("cr").over(all))
+        .withColumn("tt", sum("ct").over(all))
+        .select(col("b"), expr(
+          "CAST(((ct * 1000000) DIV tt + 1) * 1024" +
+            " DIV ((cr * 1000000) DIV rt + 1) - 1024 AS BIGINT)").as("w"))
+      val scores = tf.join(broadcast(weights), Seq("b"))
+        .groupBy("doc_id").agg(sum(col("tf") * col("w")).as("score"))
+      scores.join(base, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_target_like"),
+          sum("score").as("score_sum"),
+          sum(when(col("is_target"), 1L).otherwise(0L)).as("n_target"))
+        .withColumn("above_corpus_mean",
+          (col("score_sum") * sum("n_docs").over(all) >
+            sum("score_sum").over(all) * col("n_docs")).cast(IntegerType))
+        .orderBy("source")
+    }),
+
+    // Incremental re-export planner — the q290 manifest diff put to
+    // work: corpus v2 = v1 + a ~1% delta (doc_id % 97 == 0), per-shard
+    // xor fingerprints localize the change, and ONLY changed shards
+    // re-export (docs/tokens to move vs the full-export
+    // counterfactual). The measured gate: 6/16 shards changed at
+    // sf0.001/0.01 and 13/16 at sf0.1 — non-degenerate both ways,
+    // which a 50% delta (the q290 fixture split) is not. The totals
+    // ride an unpartitioned window over the 16-row shard frame.
+    "q296_reexport_plan" -> ((s, dir) => {
+      def shardOf(id: org.apache.spark.sql.Column) = {
+        val h = md5(id.cast("string"))
+        ((ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) % 16)
+          .cast("int")
+      }
+      val all = Window.partitionBy()
+      t(s, dir, "documents")
+        .select(col("doc_id"), shardOf(col("doc_id")).as("shard"),
+          TextDedup.portableHash(col("text")).as("h"),
+          TextStats.tokenCount(col("text")).cast(LongType).as("n_tok"))
+        .groupBy("shard")
+        .agg(sum(when(col("doc_id") % 97 =!= 0, 1L).otherwise(0L))
+            .as("n_v1"),
+          count(lit(1)).as("n_v2"),
+          expr("bit_xor(CASE WHEN doc_id % 97 != 0 THEN h ELSE 0 END)")
+            .as("fp_v1"),
+          expr("bit_xor(h)").as("fp_v2"),
+          sum("n_tok").as("tok_v2"))
+        .withColumn("changed",
+          (col("fp_v1") =!= col("fp_v2")).cast(IntegerType))
+        .withColumn("docs_to_export",
+          when(col("changed") === 1, col("n_v2")).otherwise(0L))
+        .withColumn("tokens_to_export",
+          when(col("changed") === 1, col("tok_v2")).otherwise(0L))
+        .withColumn("changed_shards", sum("changed").over(all))
+        .withColumn("saved_docs",
+          sum(when(col("changed") === 0, col("n_v2")).otherwise(0L))
+            .over(all))
+        .select(col("shard"), col("n_v1"), col("n_v2"), col("changed"),
+          col("docs_to_export"), col("tokens_to_export"),
+          col("changed_shards"), col("saved_docs"))
+        .orderBy("shard")
+    }),
+
+    // Streaming stratified sample — the q85/q125 deterministic-mixture
+    // convention under continuous ingest (StreamOps
+    // .stratifiedSampleStream): per-source percent rates, keep iff
+    // md5Bucket(doc_id) % 100 < rate. The decision is a pure row
+    // function (no cross-batch state), so stream == batch independent
+    // of trigger chopping — the oracle is the one-shot batch rule.
+    "q297_stream_stratified" -> ((s, dir) => {
+      val batchDir = streamSampleDirs.computeIfAbsent(dir, _ => {
+        val bd = java.nio.file.Files
+          .createTempDirectory("graft_ssamp_in").toString
+        t(s, dir, "documents").select("doc_id", "source")
+          .repartition(4).write.mode("overwrite").parquet(bd)
+        bd
+      })
+      Option(streamSampleScratch.remove(dir)).foreach(deleteTree)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_ssamp_out").toString
+      streamSampleScratch.put(dir, outDir)
+      graft.streaming.StreamOps.stratifiedSampleStream(s, batchDir,
+          Map("src0" -> 80, "src1" -> 50, "src2" -> 25, "src3" -> 10),
+          defaultRate = 40, outDir = outDir)
+        .orderBy("source")
+    }),
+
+    // Novelty / memorization-risk rollup — the per-source governance
+    // number behind q168's per-doc dup spans: of each source's 8-token
+    // windows, how many are verbatim-duplicated ANYWHERE in the corpus
+    // (total occurrences >= 2 — Lee 2021's repetition unit, catching
+    // within-doc repeats too)? Gram keys shuffle once to global
+    // counts, join back to window owners, roll up to sources; the risk
+    // flag is the ABOVE-CORPUS-MEAN dup rate, cross-multiplied (the
+    // q282/q295 convention — an absolute 5% bar was measured here at
+    // 11/20 sources at sf0.01 but SATURATED 20/20 at sf0.1, the exact
+    // q271 failure genus; the relative bar splits at every scale by
+    // construction). The fixture's near-dups are REORDERINGS, so
+    // 8-gram hits isolate exact-dup phrasing — the same property that
+    // made 8 the right decon window in q271.
+    "q298_novelty_rollup" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.llm.Surprisal.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), col("source"), explode(
+          when(size(col("ws")) >= 8,
+            transform(sequence(lit(0), size(col("ws")) - 8), i =>
+              TextDedup.portableHash(concat_ws(" ",
+                (1 to 8).map(o => try_element_at(col("ws"), i + o)): _*))))
+            .otherwise(array())).as("g"))
+      val all = Window.partitionBy()
+      val counts = grams.groupBy("g").agg(count(lit(1)).as("n"))
+      grams.join(counts, Seq("g"))
+        .groupBy("source")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_windows"),
+          sum(when(col("n") >= 2, 1L).otherwise(0L)).as("dup_windows"))
+        .withColumn("risk_flag",
+          (col("dup_windows") * sum("n_windows").over(all) >
+            sum("dup_windows").over(all) * col("n_windows"))
+            .cast(IntegerType))
+        .orderBy("source")
     })
   )
 
@@ -2316,6 +2562,59 @@ object LlmQueries {
   /** q287's DuckDB gate, shared verbatim with the streaming build
     * (q292): the manifest's aggregates are associative+commutative, so
     * the streamed fold equals the batch fold. */
+  /** q293's oracle: the full portable 1-gram shingle→minhash→band
+    * pipeline (k=32, bands=8 → 4 rows/band — q71's operating point)
+    * replayed in DuckDB over the src0-4 block, then the exact
+    * token-set Jaccard curve over the candidate pairs as conditional
+    * sums + an unnest back into rows. */
+  private def dedupCurveSql: String = {
+    val seedVals = TextDedup.portableSeeds(32).zipWithIndex
+      .map { case (c, i) => s"($i, $c)" }.mkString(", ")
+    val blk = "WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')"
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents $blk),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(w[i+1]), 1, 15)) AS BIGINT) AS sh
+      |  FROM (SELECT doc_id, w,
+      |    unnest(range(0, greatest(len(w) - 1, 0) + 1)) AS i FROM ws)),
+      |seeds(seed, sc) AS (VALUES $seedVals),
+      |seeded AS (
+      |  SELECT doc_id, s.seed, ${TextDedup.portableMixSql("sh.sh", "s.sc")} AS h
+      |  FROM sh CROSS JOIN seeds s),
+      |mins AS (SELECT doc_id, seed, MIN(h) AS m FROM seeded GROUP BY 1, 2),
+      |bk AS (
+      |  SELECT doc_id, seed // 4 AS band,
+      |    string_agg(CAST(m AS VARCHAR), '_' ORDER BY seed) AS key
+      |  FROM mins GROUP BY doc_id, seed // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+      |    AND a.doc_id < b.doc_id),
+      |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+      |  FROM documents $blk),
+      |p AS (
+      |  SELECT CAST(len(list_intersect(sa.ts, sb.ts)) AS BIGINT) AS i,
+      |    CAST(len(sa.ts) + len(sb.ts) - len(list_intersect(sa.ts, sb.ts))
+      |      AS BIGINT) AS u
+      |  FROM cand JOIN sets sa ON sa.doc_id = cand.da
+      |    JOIN sets sb ON sb.doc_id = cand.db),
+      |a AS (SELECT COUNT(*)::BIGINT AS n_candidates,
+      |  SUM(CASE WHEN i*100 >= u*50 THEN 1 ELSE 0 END)::BIGINT AS n50,
+      |  SUM(CASE WHEN i*100 >= u*60 THEN 1 ELSE 0 END)::BIGINT AS n60,
+      |  SUM(CASE WHEN i*100 >= u*70 THEN 1 ELSE 0 END)::BIGINT AS n70,
+      |  SUM(CASE WHEN i*100 >= u*80 THEN 1 ELSE 0 END)::BIGINT AS n80,
+      |  SUM(CASE WHEN i*100 >= u*90 THEN 1 ELSE 0 END)::BIGINT AS n90,
+      |  SUM(CASE WHEN i*100 >= u*95 THEN 1 ELSE 0 END)::BIGINT AS n95
+      |  FROM p)
+      |SELECT t.th AS threshold_pct,
+      |  CASE t.th WHEN 50 THEN n50 WHEN 60 THEN n60 WHEN 70 THEN n70
+      |    WHEN 80 THEN n80 WHEN 90 THEN n90 ELSE n95 END AS n_pairs,
+      |  n_candidates
+      |FROM a, (VALUES (50), (60), (70), (80), (90), (95)) AS t(th)
+      |ORDER BY 1""".stripMargin
+  }
+
   private val shardManifestSql =
     """WITH s AS (
       |  SELECT doc_id,
@@ -4062,6 +4361,152 @@ object LlmQueries {
         |  CAST(sum_chars AS DOUBLE) / n_docs AS mean_chars,
         |  CAST(dup_docs AS DOUBLE) / n_docs AS dup_rate
         |FROM base JOIN dup USING (source) JOIN med USING (source)
-        |ORDER BY base.source""".stripMargin
+        |ORDER BY base.source""".stripMargin,
+    "q293_dedup_threshold_curve" -> dedupCurveSql,
+    // both global orders replayed as row_number windows; integer DIV
+    // batching and exact integer padding arithmetic on both engines
+    "q294_batch_padding" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s AS (SELECT *, (row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1)
+        |    // 16 AS batch FROM d),
+        |f AS (SELECT *, (row_number() OVER (ORDER BY doc_id) - 1)
+        |    // 16 AS batch FROM d),
+        |sb AS (
+        |  SELECT batch, COUNT(*)::BIGINT AS n_docs, MAX(n_tok) AS max_tok,
+        |    CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+        |  FROM s GROUP BY 1),
+        |fb AS (
+        |  SELECT batch,
+        |    CAST(MAX(n_tok) * COUNT(*) - SUM(n_tok) AS BIGINT) AS padded_fifo
+        |  FROM f GROUP BY 1)
+        |SELECT sb.batch, sb.n_docs, sb.max_tok, sb.sum_tok,
+        |  sb.max_tok * sb.n_docs - sb.sum_tok AS padded_sorted,
+        |  fb.padded_fifo
+        |FROM sb JOIN fb USING (batch) ORDER BY 1""".stripMargin,
+    // hashed-bucket counts, the ppm-scaled linearized weight, and the
+    // per-doc integer score replayed; the target set is the q281 band
+    // triple, the flag the q282 above-corpus-mean convention
+    "q295_dsir_weights" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    (len(string_split_regex(text, '\s+')) BETWEEN 10 AND 1000
+        |     AND CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |       t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+        |       / len(string_split_regex(lower(text), '\s+')) > 0.01
+        |     AND CAST(length(text) - length(regexp_replace(text,
+        |       '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |       / length(text) < 0.2) AS is_target
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text),
+        |    '[^a-z0-9]+')) AS tok
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS b
+        |  FROM toks WHERE tok <> ''),
+        |tf AS (SELECT doc_id, b, COUNT(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+        |bc AS (
+        |  SELECT tf.b, CAST(SUM(tf.tf) AS BIGINT) AS cr,
+        |    CAST(SUM(CASE WHEN base.is_target THEN tf.tf ELSE 0 END)
+        |      AS BIGINT) AS ct
+        |  FROM tf JOIN base USING (doc_id) GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS rt,
+        |  CAST(SUM(ct) AS BIGINT) AS tt FROM bc),
+        |wt AS (
+        |  SELECT b, CAST(((ct * 1000000) // t.tt + 1) * 1024
+        |    // ((cr * 1000000) // t.rt + 1) - 1024 AS BIGINT) AS w
+        |  FROM bc, tot t),
+        |ds AS (
+        |  SELECT tf.doc_id, CAST(SUM(tf.tf * wt.w) AS BIGINT) AS score
+        |  FROM tf JOIN wt USING (b) GROUP BY 1),
+        |per AS (
+        |  SELECT source, COUNT(*)::BIGINT AS n_docs,
+        |    SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_target_like,
+        |    CAST(SUM(score) AS BIGINT) AS score_sum,
+        |    SUM(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS n_target
+        |  FROM ds JOIN base USING (doc_id) GROUP BY 1),
+        |g AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS gd,
+        |  CAST(SUM(score_sum) AS BIGINT) AS gs FROM per)
+        |SELECT source, n_docs, n_target_like, score_sum, n_target,
+        |  CAST(score_sum * g.gd > g.gs * n_docs AS INTEGER)
+        |    AS above_corpus_mean
+        |FROM per, g ORDER BY 1""".stripMargin,
+    // the q287/q290 xor-manifest algebra with a 1% delta; totals from
+    // the 16-row shard frame
+    "q296_reexport_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |        + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 16
+        |      AS INTEGER) AS shard,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |per AS (
+        |  SELECT shard,
+        |    SUM(CASE WHEN doc_id % 97 != 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_v1,
+        |    COUNT(*)::BIGINT AS n_v2,
+        |    CAST(bit_xor(CASE WHEN doc_id % 97 != 0 THEN h ELSE 0 END)
+        |      AS BIGINT) AS fp_v1,
+        |    CAST(bit_xor(h) AS BIGINT) AS fp_v2,
+        |    CAST(SUM(n_tok) AS BIGINT) AS tok_v2
+        |  FROM d GROUP BY 1),
+        |f AS (SELECT *, CAST(fp_v1 != fp_v2 AS INTEGER) AS changed FROM per),
+        |tot AS (SELECT CAST(SUM(changed) AS BIGINT) AS changed_shards,
+        |  CAST(SUM(CASE WHEN changed = 0 THEN n_v2 ELSE 0 END) AS BIGINT)
+        |    AS saved_docs FROM f)
+        |SELECT f.shard, f.n_v1, f.n_v2, f.changed,
+        |  CASE WHEN f.changed = 1 THEN f.n_v2 ELSE 0 END AS docs_to_export,
+        |  CASE WHEN f.changed = 1 THEN f.tok_v2 ELSE 0 END
+        |    AS tokens_to_export,
+        |  t.changed_shards, t.saved_docs
+        |FROM f, tot t ORDER BY 1""".stripMargin,
+    // the batch rule IS the oracle: md5 draw under per-source rates —
+    // stream == batch because the keep decision is a pure row function
+    "q297_stream_stratified" ->
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 100 AS u
+        |  FROM documents),
+        |r(source, rate) AS (VALUES ('src0', 80), ('src1', 50),
+        |  ('src2', 25), ('src3', 10)),
+        |s AS (
+        |  SELECT k.doc_id, k.source FROM k LEFT JOIN r USING (source)
+        |  WHERE k.u < COALESCE(r.rate, 40))
+        |SELECT source, COUNT(*)::BIGINT AS n_kept, MIN(doc_id) AS min_kept,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_kept
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // 8-token windows over the q166 token basis; global gram counts
+    // joined back, per-source conditional rollup
+    "q298_novelty_rollup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t <> '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, array_to_string(ws[i+1:i+8], ' ') AS gram
+        |  FROM (SELECT doc_id, source, ws,
+        |    unnest(range(0, len(ws) - 7)) AS i FROM toks WHERE len(ws) >= 8)),
+        |c AS (SELECT gram, COUNT(*)::BIGINT AS n FROM g GROUP BY 1),
+        |per AS (
+        |  SELECT g.source, COUNT(DISTINCT g.doc_id)::BIGINT AS n_docs,
+        |    COUNT(*)::BIGINT AS n_windows,
+        |    SUM(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END)::BIGINT
+        |      AS dup_windows
+        |  FROM g JOIN c USING (gram) GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_windows) AS BIGINT) AS tw,
+        |  CAST(SUM(dup_windows) AS BIGINT) AS td FROM per)
+        |SELECT source, n_docs, n_windows, dup_windows,
+        |  CAST(dup_windows * t.tw > t.td * n_windows AS INTEGER)
+        |    AS risk_flag
+        |FROM per, t ORDER BY 1""".stripMargin
   )
 }

@@ -531,6 +531,53 @@ object StreamOps {
         max("max_doc_id").as("max_doc_id"))
   }
 
+  /** Streaming stratified (per-source rate) sampling — the q85/q125
+    * mixture-assembly convention under continuous ingest: each arriving
+    * micro-batch keeps a doc iff its deterministic md5 draw
+    * (md5Bucket(doc_id) % 100) falls under its source's percent rate.
+    * The keep decision is a pure function of the ROW (no cross-batch
+    * state, no RNG), so the streamed sample equals the batch sample
+    * regardless of trigger chopping or arrival order — chop-invariance
+    * by construction, which is what lets the batch oracle gate the
+    * stream verbatim. Rates ride a broadcast join on the ≤|sources|-row
+    * rate table; unmapped sources fall to `defaultRate`. */
+  def stratifiedSampleStream(spark: SparkSession, batchDocsDir: String,
+      rates: Map[String, Int], defaultRate: Int, outDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", org.apache.spark.sql.types.StringType)))
+    import spark.implicits._
+    val rateDf = broadcast(rates.toSeq.toDF("source", "rate"))
+    val src = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(batchDocsDir)
+    val q = src.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .join(rateDf, Seq("source"), "left")
+          .filter(pmod(graft.functions.BqShims.md5Bucket(col("doc_id")),
+            lit(100L)) < coalesce(col("rate"), lit(defaultRate)))
+          .select("doc_id", "source")
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    unloadStateStores()
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", org.apache.spark.sql.types.StringType)))
+    spark.read.schema(outSchema).parquet(outDir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        min("doc_id").as("min_kept"),
+        sum("doc_id").as("sum_kept"))
+  }
+
   /** Streaming CDC upsert (MERGE INTO under continuous ingest): an
     * out-of-order I/U/D changelog arrives in micro-batches and folds
     * onto a keyed state table. The state persists each key's

@@ -88,7 +88,12 @@ object DumpPlans {
       "q282_kn_surprisal" -> "one (w1,w2) model shuffle + vocab-sized marginals; scoring join keyed on (w1,w2); flag scalars on the 20-row source frame",
       "q283_semantic_decon" -> "broadcast eval x train scan; pairs reduce MAP-SIDE to one row per eval id (partial max of (cosine,-id) structs)",
       "q284_epoch_schedule" -> "plan/apply split: one map-side count pass, one tagging pass against the broadcast 10-row plan",
-      "q285_knn_probe" -> "top-3-per-eval REWRITTEN to the bounded-heap aggregate (no Window sort of the pair volume); 3 rows per eval cross the exchange")
+      "q285_knn_probe" -> "top-3-per-eval REWRITTEN to the bounded-heap aggregate (no Window sort of the pair volume); 3 rows per eval cross the exchange",
+      "q293_dedup_threshold_curve" -> "banded LSH candidates (equi-join, no all-pairs); long-hashed token-set intersects; the 6-threshold curve is ONE conditional-sum aggregate, no per-threshold re-verify",
+      "q294_batch_padding" -> "BOTH batching policies via the two-phase global rank (range exchange + per-partition row_number + broadcast offsets); per-batch aggregate, batch-keyed join",
+      "q295_dsir_weights" -> "one token shuffle to 64 bucket counts; weight table broadcasts back; per-doc score is one hash aggregate — linear end to end",
+      "q296_reexport_plan" -> "one shard aggregate carries both versions' xor fingerprints; totals on the 16-row shard frame",
+      "q298_novelty_rollup" -> "gram shuffle to global counts, equi-join back to owners, per-source conditional rollup — no pair join anywhere")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.tools.DumpPlans` at sf0.01; regenerate with\n")

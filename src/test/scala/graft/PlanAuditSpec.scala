@@ -318,4 +318,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"),
       s"no window operator in the carry plan:\n$p")
   }
+
+  test("q293 threshold curve: candidates equi-join, never a cartesian") {
+    val p = formatted("q293_dedup_threshold_curve")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"curve verify grew a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"curve verify fell into a nested loop:\n$p")
+  }
+
+  test("q294 batching ranks are two-phase: no single-partition corpus Window") {
+    // the corpus-sized frames must never sort in ONE partition: every
+    // Window in the plan partitions by a key (the per-range pid);
+    // a global-order Window would print 'Window [...], [x ASC ...]'
+    // with an empty partition spec — assert the known bad shape out
+    val df = SparkEntry.queries("q294_batch_padding")(spark, sfDir)
+    val analyzed = df.queryExecution.optimizedPlan.toString
+    val badGlobal = analyzed.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(") && !l.contains("pid#"))
+    assert(!badGlobal, s"global unpartitioned Window over the corpus:\n$analyzed")
+  }
 }

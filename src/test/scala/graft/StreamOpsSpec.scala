@@ -187,4 +187,36 @@ class StreamOpsSpec extends SparkTestBase {
     assert(got == Set((10L, 1L, 11L), (20L, 2L, -1L), (30L, 3L, -1L)),
       s"got $got")
   }
+
+  test("stratifiedSampleStream: chop-invariant and equal to the batch rule") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 120L).map(i => (i, s"src${i % 3}"))
+    val batchDir = java.nio.file.Files.createTempDirectory("ssamp_in").toString
+    docs.toDF("doc_id", "source").repartition(6)
+      .write.mode("overwrite").parquet(batchDir)
+    val rates = Map("src0" -> 80, "src1" -> 30)
+    def run(chop: Int): Set[(String, Long, Long, Long)] = {
+      val out = java.nio.file.Files.createTempDirectory("ssamp_out").toString
+      StreamOps.stratifiedSampleStream(spark, batchDir, rates,
+          defaultRate = 50, outDir = out, maxFilesPerTrigger = chop)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    }
+    // one file per trigger vs three per trigger: different chopping,
+    // identical sample — the keep decision is a pure row function
+    val fine = run(1)
+    val coarse = run(3)
+    assert(fine == coarse, s"chop-dependent: $fine vs $coarse")
+    // and both equal the one-shot batch rule
+    val truth = docs.toDF("doc_id", "source")
+      .join(broadcast(rates.toSeq.toDF("source", "rate")), Seq("source"), "left")
+      .filter(pmod(graft.functions.BqShims.md5Bucket(col("doc_id")), lit(100L))
+        < coalesce(col("rate"), lit(50)))
+      .groupBy("source").agg(count(lit(1)).as("n"),
+        min("doc_id").as("mn"), sum("doc_id").as("sm"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(fine == truth, s"stream $fine vs batch $truth")
+  }
 }
