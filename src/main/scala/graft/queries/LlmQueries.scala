@@ -2348,6 +2348,80 @@ object LlmQueries {
             sum("dup_windows").over(all) * col("n_windows"))
             .cast(IntegerType))
         .orderBy("source")
+    }),
+
+    // Curriculum shard ordering — train easy-to-hard: shards (the q287
+    // md5 scheme) ranked by exact mean doc quality (integer
+    // micro-units: sum_s10*1e6 DIV n_docs — no float mean), cut into
+    // three difficulty bands, then given a training position that
+    // walks bands easiest-first with an md5-shuffled order INSIDE each
+    // band (deterministic, but not id-correlated — the within-band
+    // shuffle every curriculum schedule needs). One corpus pass to the
+    // 16-row shard frame; every window runs on those 16 rows.
+    "q299_curriculum_order" -> ((s, dir) => {
+      def shardOf(id: org.apache.spark.sql.Column) = {
+        val h = md5(id.cast("string"))
+        ((ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) % 16)
+          .cast("int")
+      }
+      val score10 =
+        (when(TextStats.tokenCount(col("text")).between(10, 1000), lit(5))
+            .otherwise(lit(0)) +
+          when(TextStats.stopwordRatio(col("text"), stopwords) > 0.01,
+            lit(3)).otherwise(lit(0)) +
+          when(TextStats.punctRatio(col("text")) < 0.2, lit(2))
+            .otherwise(lit(0))).cast(LongType)
+      val per = t(s, dir, "documents")
+        .select(shardOf(col("doc_id")).as("shard"), score10.as("s10"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("s10").as("sum_s10"))
+        .withColumn("mean_q_micro",
+          expr("sum_s10 * 1000000 DIV n_docs"))
+      val byCurriculum = Window.orderBy(col("band"),
+        graft.functions.BqShims.md5Bucket(col("shard")), col("shard"))
+      per
+        .withColumn("band",
+          expr("CAST((row_number() OVER (ORDER BY mean_q_micro DESC, shard)" +
+            " - 1) * 3 DIV 16 AS INT)"))
+        .withColumn("position", row_number().over(byCurriculum).cast(LongType))
+        .select(col("shard"), col("n_docs"), col("sum_s10"),
+          col("mean_q_micro"), col("band"), col("position"))
+        .orderBy("shard")
+    }),
+
+    // Clean eval-holdout builder — the inverse composition of q84: a
+    // 10% md5 candidate split, then every candidate sharing ANY
+    // verbatim 8-token window with the remaining train side is
+    // ejected, so the surviving holdout is decontaminated BY
+    // CONSTRUCTION (the guarantee an eval set needs, not a post-hoc
+    // overlap report). Gram-keyed equi-joins only: candidate grams
+    // probe the distinct train-gram set, hit docs eject — linear in
+    // corpus tokens, nothing pair-sized. Measured ejections 0/1/46 at
+    // the three SFs (the sf0.001 sample holds no dup-phrase mass).
+    "q300_eval_holdout" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        (pmod(graft.functions.BqShims.md5Bucket(col("doc_id")), lit(10L))
+          === 0).as("cand"),
+        graft.llm.Surprisal.tokens(col("text")).as("ws"))
+      val grams = base.select(col("doc_id"), col("cand"), explode(
+        when(size(col("ws")) >= 8,
+          transform(sequence(lit(0), size(col("ws")) - 8), i =>
+            TextDedup.portableHash(concat_ws(" ",
+              (1 to 8).map(o => try_element_at(col("ws"), i + o)): _*))))
+          .otherwise(array())).as("g"))
+      val trainGrams = grams.filter(!col("cand")).select("g").distinct()
+      val contam = grams.filter(col("cand")).join(trainGrams, Seq("g"))
+        .select("doc_id").distinct().withColumn("contaminated", lit(1))
+      base.select("doc_id", "source", "cand")
+        .join(contam, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cand"), 1L).otherwise(0L)).as("n_candidates"),
+          sum(when(col("cand") && col("contaminated") === 1, 1L)
+            .otherwise(0L)).as("n_contaminated"),
+          sum(when(col("cand") && col("contaminated").isNull, 1L)
+            .otherwise(0L)).as("n_final"))
+        .orderBy("source")
     })
   )
 
@@ -4507,6 +4581,62 @@ object LlmQueries {
         |SELECT source, n_docs, n_windows, dup_windows,
         |  CAST(dup_windows * t.tw > t.td * n_windows AS INTEGER)
         |    AS risk_flag
-        |FROM per, t ORDER BY 1""".stripMargin
+        |FROM per, t ORDER BY 1""".stripMargin,
+    // q287's shard key + the q281 score bands; integer micro-unit mean,
+    // band and curriculum position as 16-row windows
+    "q299_curriculum_order" ->
+      """WITH sc AS (
+        |  SELECT (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |      + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 16
+        |    AS shard,
+        |    CAST(CASE WHEN len(string_split_regex(text, '\s+'))
+        |        BETWEEN 10 AND 1000 THEN 5 ELSE 0 END +
+        |      CASE WHEN CAST(len(list_filter(string_split_regex(lower(text),
+        |        '\s+'), t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+        |        / len(string_split_regex(lower(text), '\s+')) > 0.01
+        |        THEN 3 ELSE 0 END +
+        |      CASE WHEN CAST(length(text) - length(regexp_replace(text,
+        |        '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |        / length(text) < 0.2 THEN 2 ELSE 0 END AS BIGINT) AS s10
+        |  FROM documents),
+        |per AS (
+        |  SELECT CAST(shard AS INTEGER) AS shard, COUNT(*)::BIGINT AS n_docs,
+        |    CAST(SUM(s10) AS BIGINT) AS sum_s10,
+        |    CAST(SUM(s10) * 1000000 // COUNT(*) AS BIGINT) AS mean_q_micro
+        |  FROM sc GROUP BY 1),
+        |b AS (
+        |  SELECT *, CAST((row_number() OVER
+        |      (ORDER BY mean_q_micro DESC, shard) - 1) * 3 // 16 AS INTEGER)
+        |    AS band
+        |  FROM per)
+        |SELECT shard, n_docs, sum_s10, mean_q_micro, band,
+        |  CAST(row_number() OVER (ORDER BY band,
+        |    CAST(('0x' || substr(md5(CAST(shard AS VARCHAR)), 1, 8))
+        |      AS BIGINT), shard) AS BIGINT) AS position
+        |FROM b ORDER BY shard""".stripMargin,
+    // 10% md5 candidate split; candidate 8-gram windows probe the
+    // distinct train grams, hit docs eject
+    "q300_eval_holdout" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 10 = 0 AS cand,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t <> '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, cand, array_to_string(ws[i+1:i+8], ' ') AS gram
+        |  FROM (SELECT doc_id, cand, ws,
+        |    unnest(range(0, len(ws) - 7)) AS i FROM toks WHERE len(ws) >= 8)),
+        |tg AS (SELECT DISTINCT gram FROM g WHERE NOT cand),
+        |contam AS (
+        |  SELECT DISTINCT g.doc_id FROM g JOIN tg USING (gram) WHERE g.cand)
+        |SELECT source, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(CASE WHEN cand THEN 1 ELSE 0 END)::BIGINT AS n_candidates,
+        |  SUM(CASE WHEN cand AND doc_id IN (SELECT doc_id FROM contam)
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+        |  SUM(CASE WHEN cand AND doc_id NOT IN (SELECT doc_id FROM contam)
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_final
+        |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
