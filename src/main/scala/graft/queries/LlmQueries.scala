@@ -2422,7 +2422,20 @@ object LlmQueries {
           sum(when(col("cand") && col("contaminated").isNull, 1L)
             .otherwise(0L)).as("n_final"))
         .orderBy("source")
-    })
+    }),
+
+    // Farthest-point-sampling coreset (Gonzalez k-center): pick 8
+    // maximally-diverse vectors; publishes the selection order and the
+    // coverage-radius curve. Exact integer grid distances, min-id
+    // start, ties to lower id — the oracle replays the greedy
+    // selection CTE-per-pick and certifies every pick AND radius.
+    // Scale: state is one row per vector (never pairwise); each round
+    // is one broadcast-closure distance update + a global top-1
+    // (TakeOrderedAndProject); k driver-collected rows, bounded by
+    // construction (see llm/Coreset scaladoc).
+    "q301_coreset_fps" -> ((s, dir) =>
+      graft.llm.Coreset.farthestPoints(s, t(s, dir, "embeddings"), k = 8)
+        .orderBy("pick"))
   )
 
   /** Exact integer dot products between the 50 query vectors
@@ -2687,6 +2700,38 @@ object LlmQueries {
       |  n_candidates
       |FROM a, (VALUES (50), (60), (70), (80), (90), (95)) AS t(th)
       |ORDER BY 1""".stripMargin
+  }
+
+  /** q301's oracle: the greedy farthest-point selection unrolled
+    * CTE-per-pick — each round takes the (m DESC, vec_id) top-1 of the
+    * running min-distance state, then folds the new center's exact
+    * integer distances in with LEAST. Generated from k so the Spark
+    * loop and the oracle cannot drift in round count. */
+  private def coresetFpsSql(k: Int): String = {
+    def dist(x: String, c: String) =
+      s"CAST(list_sum(list_transform(range(1, len($x.codes)+1), " +
+        s"i -> ($x.codes[i] - $c.codes[i]) * ($x.codes[i] - $c.codes[i]))) AS BIGINT)"
+    val sb = new StringBuilder
+    sb.append("""WITH codes AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS codes
+      |  FROM embeddings),
+      |c1 AS (SELECT vec_id, codes FROM codes ORDER BY vec_id LIMIT 1),
+      |d1 AS (SELECT x.vec_id, x.codes, """.stripMargin)
+    sb.append(dist("x", "c")).append(" AS m FROM codes x, c1 c)")
+    for (i <- 2 to k) {
+      sb.append(s""",
+        |p$i AS (SELECT vec_id, codes, m FROM d${i - 1}
+        |  ORDER BY m DESC, vec_id LIMIT 1),
+        |d$i AS (SELECT x.vec_id, x.codes, LEAST(x.m, """.stripMargin)
+      sb.append(dist("x", "c")).append(s") AS m FROM d${i - 1} x, p$i c)")
+    }
+    sb.append(
+      "\nSELECT 1 AS pick, vec_id, CAST(0 AS BIGINT) AS radius2 FROM c1")
+    for (i <- 2 to k)
+      sb.append(s"\nUNION ALL SELECT $i, vec_id, m FROM p$i")
+    sb.append("\nORDER BY pick")
+    sb.toString
   }
 
   private val shardManifestSql =
@@ -4637,6 +4682,7 @@ object LlmQueries {
         |    THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
         |  SUM(CASE WHEN cand AND doc_id NOT IN (SELECT doc_id FROM contam)
         |    THEN 1 ELSE 0 END)::BIGINT AS n_final
-        |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q301_coreset_fps" -> coresetFpsSql(8)
   )
 }
