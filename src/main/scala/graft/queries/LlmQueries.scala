@@ -98,6 +98,21 @@ object LlmQueries {
   private val streamSampleScratch =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q302's persisted gram-count index dir — same build-once contract
+    * as q117's signature index. */
+  private val gramIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Verbatim 8-token windows as portable 60-bit hashes (the q168/q271
+    * window unit) — one exploded row per window; docs under 8 tokens
+    * contribute none. Shared by q298/q300/q302. */
+  private def gram8(ws: org.apache.spark.sql.Column) = explode(
+    when(size(ws) >= 8,
+      transform(sequence(lit(0), size(ws) - 8), i =>
+        TextDedup.portableHash(concat_ws(" ",
+          (1 to 8).map(o => try_element_at(ws, i + o)): _*))))
+      .otherwise(array()))
+
   private def copyTree(src: String, dst: String): Unit = {
     val sp = java.nio.file.Paths.get(src)
     val dp = java.nio.file.Paths.get(dst)
@@ -2330,12 +2345,7 @@ object LlmQueries {
       val grams = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           graft.llm.Surprisal.tokens(col("text")).as("ws"))
-        .select(col("doc_id"), col("source"), explode(
-          when(size(col("ws")) >= 8,
-            transform(sequence(lit(0), size(col("ws")) - 8), i =>
-              TextDedup.portableHash(concat_ws(" ",
-                (1 to 8).map(o => try_element_at(col("ws"), i + o)): _*))))
-            .otherwise(array())).as("g"))
+        .select(col("doc_id"), col("source"), gram8(col("ws")).as("g"))
       val all = Window.partitionBy()
       val counts = grams.groupBy("g").agg(count(lit(1)).as("n"))
       grams.join(counts, Seq("g"))
@@ -2403,12 +2413,8 @@ object LlmQueries {
         (pmod(graft.functions.BqShims.md5Bucket(col("doc_id")), lit(10L))
           === 0).as("cand"),
         graft.llm.Surprisal.tokens(col("text")).as("ws"))
-      val grams = base.select(col("doc_id"), col("cand"), explode(
-        when(size(col("ws")) >= 8,
-          transform(sequence(lit(0), size(col("ws")) - 8), i =>
-            TextDedup.portableHash(concat_ws(" ",
-              (1 to 8).map(o => try_element_at(col("ws"), i + o)): _*))))
-          .otherwise(array())).as("g"))
+      val grams = base.select(col("doc_id"), col("cand"),
+        gram8(col("ws")).as("g"))
       val trainGrams = grams.filter(!col("cand")).select("g").distinct()
       val contam = grams.filter(col("cand")).join(trainGrams, Seq("g"))
         .select("doc_id").distinct().withColumn("contaminated", lit(1))
@@ -2435,7 +2441,49 @@ object LlmQueries {
     // construction (see llm/Coreset scaladoc).
     "q301_coreset_fps" -> ((s, dir) =>
       graft.llm.Coreset.farthestPoints(s, t(s, dir, "embeddings"), k = 8)
-        .orderBy("pick"))
+        .orderBy("pick")),
+
+    // Incremental novelty gate — q298's memorization-risk check as an
+    // INDEX-MAINTENANCE operator (the q117 pattern): the persisted
+    // corpus's 8-gram counts are written ONCE as a bucket-partitioned
+    // parquet index; each arriving delta batch probes it with a
+    // (bucket, gram) equi-join — a small delta touching few buckets
+    // prunes the index scan to those directories, and this fixture's
+    // full-width delta documents the layout without exercising the
+    // prune. Per delta source: windows seen in the index vs novel,
+    // with the above-delta-mean seen-rate flag (cross-multiplied).
+    "q302_incr_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxPath = gramIndexDirs.computeIfAbsent(dir, _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_gramidx").toString
+        docs.filter(col("doc_id") % 5 =!= 0)
+          .select(graft.llm.Surprisal.tokens(col("text")).as("ws"))
+          .select(gram8(col("ws")).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("n"))
+          .withColumn("bucket", pmod(col("g"), lit(32L)))
+          .write.partitionBy("bucket").mode("overwrite").parquet(p)
+        p
+      })
+      val idx = s.read.parquet(idxPath)
+        .select(col("bucket"), col("g"), lit(1).as("seen"))
+      val all = Window.partitionBy()
+      docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("source"),
+          graft.llm.Surprisal.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), col("source"), gram8(col("ws")).as("g"))
+        .withColumn("bucket", pmod(col("g"), lit(32L)))
+        .join(idx, Seq("bucket", "g"), "left")
+        .groupBy("source")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_windows"),
+          sum(when(col("seen") === 1, 1L).otherwise(0L)).as("seen_windows"))
+        .withColumn("high_overlap",
+          (col("seen_windows") * sum("n_windows").over(all) >
+            sum("seen_windows").over(all) * col("n_windows"))
+            .cast(IntegerType))
+        .orderBy("source")
+    })
   )
 
   /** Exact integer dot products between the 50 query vectors
@@ -4683,6 +4731,34 @@ object LlmQueries {
         |  SUM(CASE WHEN cand AND doc_id NOT IN (SELECT doc_id FROM contam)
         |    THEN 1 ELSE 0 END)::BIGINT AS n_final
         |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q301_coreset_fps" -> coresetFpsSql(8)
+    "q301_coreset_fps" -> coresetFpsSql(8),
+    // index = distinct 8-grams of the persisted corpus (%5 != 0);
+    // delta probes replayed as one join, flag on the delta frame
+    "q302_incr_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t <> '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, array_to_string(ws[i+1:i+8], ' ') AS gram
+        |  FROM (SELECT doc_id, source, ws,
+        |    unnest(range(0, len(ws) - 7)) AS i FROM toks WHERE len(ws) >= 8)),
+        |idx AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 != 0),
+        |probe AS (
+        |  SELECT g.source, g.doc_id,
+        |    CASE WHEN idx.gram IS NOT NULL THEN 1 ELSE 0 END AS seen
+        |  FROM g LEFT JOIN idx USING (gram) WHERE g.doc_id % 5 = 0),
+        |per AS (
+        |  SELECT source, COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+        |    COUNT(*)::BIGINT AS n_windows,
+        |    CAST(SUM(seen) AS BIGINT) AS seen_windows
+        |  FROM probe GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_windows) AS BIGINT) AS tw,
+        |  CAST(SUM(seen_windows) AS BIGINT) AS ts FROM per)
+        |SELECT source, n_docs, n_windows, seen_windows,
+        |  CAST(seen_windows * t.tw > t.ts * n_windows AS INTEGER)
+        |    AS high_overlap
+        |FROM per, t ORDER BY 1""".stripMargin
   )
 }
