@@ -167,7 +167,11 @@ object Bench {
       // pair-shuffle heavies; the streaming stratified sample stages
       // its input + runs 4 AvailableNow triggers on first touch — tail
       // with the other streaming queries
-      "q293_dedup_threshold_curve", "q297_stream_stratified")
+      "q293_dedup_threshold_curve", "q297_stream_stratified",
+      // r14 session 4: q304 consumes the shared pinned cluster stage —
+      // tail it next to q120/q279/q291 so the first-touch build never
+      // lands mid-sequence
+      "q304_cluster_sizes")
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (heavyLast.contains(name), name) }

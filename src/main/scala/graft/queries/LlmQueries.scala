@@ -2483,6 +2483,72 @@ object LlmQueries {
             sum("seen_windows").over(all) * col("n_windows"))
             .cast(IntegerType))
         .orderBy("source")
+    }),
+
+    // Cross-lingual duplicate report — near-dup pairs bucketed by
+    // (lang, lang): verbatim-content pairs carrying DIFFERENT language
+    // labels are either langid errors or true translations, and both
+    // need review before per-language mixture decisions trust the lang
+    // column (this fixture: 110/142 verified pairs at sf0.01 are
+    // cross-lang — the report exists because that number is usually
+    // assumed to be ~0). Pairs from the linear LSH→verify path (the
+    // q71 operating point, whose oracle proves 100% candidate recall
+    // at 0.95); lang pair normalized (lexicographic) so the grid is
+    // triangular. Exact counts; share published as one exact division.
+    "q303_cross_lang_dups" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      val pairs = TextDedup.verifyJaccard(
+        TextDedup.minhashCandidates(d, k = 32, bands = 8, shingleW = 1),
+        d, threshold = 0.95)
+      val langs = d.select(col("doc_id"), col("lang"))
+      val all = Window.partitionBy()
+      pairs
+        .join(langs.select(col("doc_id").as("doc_a"), col("lang").as("la")),
+          Seq("doc_a"))
+        .join(langs.select(col("doc_id").as("doc_b"), col("lang").as("lb")),
+          Seq("doc_b"))
+        .select(least(col("la"), col("lb")).as("lang_a"),
+          greatest(col("la"), col("lb")).as("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cross_lang",
+          (col("lang_a") =!= col("lang_b")).cast(IntegerType))
+        .withColumn("share",
+          col("n_pairs").cast(DoubleType) /
+            sum("n_pairs").over(all).cast(DoubleType))
+        .orderBy("lang_a", "lang_b")
+    }),
+
+    // Duplicate-cluster size audit — the distributional companion to
+    // q83: how big do near-dup clusters get? Histogram of cluster
+    // sizes (n_clusters and docs per size), plus the boilerplate flag:
+    // the largest cluster's share of all duplicate-involved docs,
+    // cross-multiplied against a 25% bar on the ≤|sizes|-row frame.
+    // At web scale this curve is the boilerplate detector — a fat tail
+    // means one template owns the corpus; the cluster stage is the
+    // shared pinned q83 pipeline, the histogram is two tiny aggregates.
+    "q304_cluster_sizes" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      val clusters = pinnedStage(s, s"$dir|clusters",
+        TextDedup.clusterAssignments(d, threshold = 0.95,
+          k = 32, bands = 8, shingleW = 1))
+      val sizes = clusters.groupBy("cluster_id")
+        .agg(count(lit(1)).as("sz"))
+        .filter(col("sz") > 1)
+      val all = Window.partitionBy()
+      sizes.groupBy("sz")
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("sz") * col("n_clusters"))
+        .withColumn("max_cluster_docs", max(col("sz")).over(all))
+        .withColumn("dup_docs_total", sum("n_docs").over(all))
+        .withColumn("boilerplate_flag",
+          (col("max_cluster_docs") * 4 > col("dup_docs_total"))
+            .cast(IntegerType))
+        .select(col("sz"), col("n_clusters"), col("n_docs"),
+          col("boilerplate_flag"))
+        .orderBy("sz")
     })
   )
 
@@ -4759,6 +4825,59 @@ object LlmQueries {
         |SELECT source, n_docs, n_windows, seen_windows,
         |  CAST(seen_windows * t.tw > t.ts * n_windows AS INTEGER)
         |    AS high_overlap
-        |FROM per, t ORDER BY 1""".stripMargin
+        |FROM per, t ORDER BY 1""".stripMargin,
+    // all-pairs exact ground truth (q71's oracle proved the LSH path's
+    // 100% recall at 0.95, so counts agree); normalized lang grid
+    "q303_cross_lang_dups" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+        |p AS (
+        |  SELECT LEAST(a.lang, b.lang) AS lang_a,
+        |    GREATEST(a.lang, b.lang) AS lang_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        |    >= 0.95),
+        |per AS (SELECT lang_a, lang_b, COUNT(*)::BIGINT AS n_pairs
+        |  FROM p GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS tp FROM per)
+        |SELECT lang_a, lang_b, n_pairs,
+        |  CAST(lang_a != lang_b AS INTEGER) AS cross_lang,
+        |  CAST(n_pairs AS DOUBLE) / CAST(t.tp AS DOUBLE) AS share
+        |FROM per, t ORDER BY 1, 2""".stripMargin,
+    // q291's recursive closure reused; histogram over multi-doc
+    // clusters, boilerplate flag on the tiny size frame
+    "q304_cluster_sizes" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        |    >= 0.95),
+        |edges AS (
+        |  SELECT doc_a AS s0, doc_b AS d0 FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT s0 AS a, d0 AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.d0 FROM reach r JOIN edges e ON r.b = e.s0
+        |  WHERE e.d0 != r.a),
+        |mins AS (SELECT a, MIN(b) AS mn FROM reach GROUP BY a),
+        |cl AS (
+        |  SELECT s.doc_id, LEAST(s.doc_id, COALESCE(m.mn, s.doc_id)) AS cid
+        |  FROM s LEFT JOIN mins m ON m.a = s.doc_id),
+        |szs AS (SELECT cid, COUNT(*)::BIGINT AS sz FROM cl GROUP BY 1
+        |  HAVING COUNT(*) > 1),
+        |h AS (SELECT sz, COUNT(*)::BIGINT AS n_clusters FROM szs GROUP BY 1),
+        |t AS (SELECT MAX(sz) AS mx, CAST(SUM(sz) AS BIGINT) AS tot FROM szs)
+        |SELECT h.sz, h.n_clusters, h.sz * h.n_clusters AS n_docs,
+        |  CAST(t.mx * 4 > t.tot AS INTEGER) AS boilerplate_flag
+        |FROM h, t ORDER BY h.sz""".stripMargin
   )
 }
