@@ -53,9 +53,25 @@ object UniMax {
     * Leftover = B − Σ alloc (integer-division dust + the under-budget
     * case where even B/n exceeds every cap). */
   def allocate(counts: DataFrame, budget: Column, epochCap: Int,
-      srcCol: String = "source"): DataFrame = {
-    val all = Window.partitionBy() // k-row frame, bounded by source count
-    val w = Window.orderBy(col("cap"), col(srcCol))
+      srcCol: String = "source"): DataFrame =
+    allocImpl(counts, budget, epochCap, srcCol, Nil)
+
+  /** [[allocate]] run independently inside each value of `armCol` —
+    * the ablation-grid form (q305): one frame holding many
+    * counts-tables (e.g. leave-one-domain-out arms), every window
+    * below partitioned by arm so each arm waterfills on its own k-row
+    * slice. Output gains the arm column; all bounds and exactness
+    * guarantees are per-arm unchanged. */
+  def allocateGrid(counts: DataFrame, budget: Column, epochCap: Int,
+      armCol: String, srcCol: String = "source"): DataFrame =
+    allocImpl(counts, budget, epochCap, srcCol, Seq(armCol))
+
+  private def allocImpl(counts: DataFrame, budget: Column, epochCap: Int,
+      srcCol: String, partCols: Seq[String]): DataFrame = {
+    val parts = partCols.map(col)
+    // k-row frame per partition, bounded by source count
+    val all = Window.partitionBy(parts: _*)
+    val w = Window.partitionBy(parts: _*).orderBy(col("cap"), col(srcCol))
     counts
       .withColumn("cap", col("n_tok") * epochCap)
       .withColumn("b", budget)
@@ -78,8 +94,9 @@ object UniMax {
       .withColumn("is_capped",
         (col("k") <= col("kstar")).cast(IntegerType))
       .withColumn("spent", sum("alloc_tok").over(all))
-      .select(col(srcCol), col("n_tok"), col("cap"), col("alloc_tok"),
-        col("is_capped"), (col("b") - col("spent")).as("leftover"))
-      .orderBy(srcCol)
+      .select(partCols.map(col) ++ Seq(col(srcCol), col("n_tok"), col("cap"),
+        col("alloc_tok"), col("is_capped"),
+        (col("b") - col("spent")).as("leftover")): _*)
+      .orderBy(partCols.map(col) :+ col(srcCol): _*)
   }
 }

@@ -2549,6 +2549,70 @@ object LlmQueries {
         .select(col("sz"), col("n_clusters"), col("n_docs"),
           col("boilerplate_flag"))
         .orderBy("sz")
+    }),
+
+    // Mixture-ablation grid — leave-one-domain-out UniMax: the q278
+    // allocation re-run for every 'drop one domain' arm UNDER THE SAME
+    // absolute budget, in ONE frame (UniMax.allocateGrid — every
+    // waterfilling window partitioned by arm). The grid is what an
+    // ablation study actually trains from, and it exercises all three
+    // allocation regimes at once: the full arm caps the 9 small
+    // domains, dropping a small domain re-spreads its share, and
+    // dropping the structurally-11x big domain makes the budget exceed
+    // every remaining cap (all capped, positive leftover). One corpus
+    // pass to the 10-row domain table; the grid is 10x9+10 rows.
+    "q305_ablation_grid" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy(substring(col("source"), 4, 1).as("domain"))
+        .agg(sum(TextStats.tokenCount(col("text")).cast(LongType))
+          .as("n_tok"))
+        .withColumn("b", expr("(sum(n_tok) OVER () * 3) DIV 2"))
+      val arms = counts
+        .select(concat(lit("drop_"), col("domain")).as("arm"))
+        .union(counts.select(lit("full").as("arm")).limit(1))
+      val grid = counts.crossJoin(broadcast(arms))
+        .filter(col("arm") === "full" ||
+          col("domain") =!= substring(col("arm"), 6, 1))
+      UniMax.allocateGrid(grid, col("b"), epochCap = 2, armCol = "arm",
+          srcCol = "domain")
+        .orderBy("arm", "domain")
+    }),
+
+    // Exact range-partition boundaries — the TeraSort-style splits
+    // computation as a first-class operator: 32 token-balanced export
+    // ranges over the (n_tok, doc_id) order, boundary i = the first
+    // row whose running token total reaches ceil(i·total/32). The
+    // running totals come from the two-phase global rank
+    // (ShardBalance.globalOrderStats — no single-partition Window);
+    // each row then decides LOCALLY which targets it crosses (a
+    // bounded sequence between its floor-scaled neighbors — fan-out
+    // only on the ≤31 boundary rows), so the whole computation is one
+    // pass + per-row arithmetic, no range join, no sampling error.
+    // Contract: total·32 must fit a long → corpora to ~2.8·10^17
+    // tokens.
+    "q306_range_splits" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast(LongType).as("n_tok"))
+      val nSplits = 32
+      ShardBalance.globalOrderStats(d, Seq(col("n_tok"), col("doc_id")))
+        .withColumn("prev", col("cum") - col("n_tok"))
+        .withColumn("ilo", expr(s"(prev * $nSplits) DIV total"))
+        .withColumn("ihi", expr(s"(cum * $nSplits) DIV total + 1"))
+        .withColumn("lo", greatest(lit(1L), col("ilo")))
+        .withColumn("hi", least(lit(nSplits - 1L), col("ihi")))
+        .withColumn("split_id", explode(expr(
+          s"""filter(
+             |  CASE WHEN lo <= hi THEN sequence(lo, hi)
+             |       ELSE array() END,
+             |  i -> prev < (i * total + ${nSplits - 1}) DIV $nSplits
+             |    AND (i * total + ${nSplits - 1}) DIV $nSplits <= cum)
+             |""".stripMargin)))
+        .withColumn("target_cum",
+          expr(s"(split_id * total + ${nSplits - 1}) DIV $nSplits"))
+        .select(col("split_id"), col("target_cum"),
+          col("doc_id").as("boundary_doc"),
+          col("n_tok").as("boundary_n_tok"), col("cum"))
+        .orderBy("split_id")
     })
   )
 
@@ -4878,6 +4942,71 @@ object LlmQueries {
         |t AS (SELECT MAX(sz) AS mx, CAST(SUM(sz) AS BIGINT) AS tot FROM szs)
         |SELECT h.sz, h.n_clusters, h.sz * h.n_clusters AS n_docs,
         |  CAST(t.mx * 4 > t.tot AS INTEGER) AS boilerplate_flag
-        |FROM h, t ORDER BY h.sz""".stripMargin
+        |FROM h, t ORDER BY h.sz""".stripMargin,
+    // the q278 waterfilling replayed with every window PARTITION BY
+    // arm; arms = full + drop_<domain>, same absolute budget
+    "q305_ablation_grid" ->
+      """WITH c AS (
+        |  SELECT substr(source, 4, 1) AS domain,
+        |    CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY 1),
+        |bt AS (SELECT CAST((SUM(n_tok) * 3) // 2 AS BIGINT) AS b FROM c),
+        |arms AS (SELECT 'full' AS arm
+        |  UNION ALL SELECT 'drop_' || domain FROM c),
+        |g AS (
+        |  SELECT a.arm, c.domain, c.n_tok, bt.b FROM arms a, c, bt
+        |  WHERE a.arm = 'full' OR c.domain != substr(a.arm, 6, 1)),
+        |r AS (
+        |  SELECT *, n_tok * 2 AS cap,
+        |    CAST(row_number() OVER (PARTITION BY arm
+        |      ORDER BY n_tok * 2, domain) AS BIGINT) AS k,
+        |    CAST(COALESCE(SUM(n_tok * 2) OVER (PARTITION BY arm
+        |      ORDER BY n_tok * 2, domain
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS prefix,
+        |    COUNT(*) OVER (PARTITION BY arm) AS n_src
+        |  FROM g),
+        |f AS (SELECT *,
+        |    CASE WHEN cap * (n_src - k + 1) <= b - prefix THEN 1 ELSE 0 END
+        |      AS flag
+        |  FROM r),
+        |x AS (SELECT *,
+        |    COALESCE(MAX(CASE WHEN flag = 1 THEN k END)
+        |      OVER (PARTITION BY arm), 0) AS kstar,
+        |    CAST(COALESCE(SUM(CASE WHEN flag = 1 THEN cap END)
+        |      OVER (PARTITION BY arm), 0) AS BIGINT) AS csum
+        |  FROM f),
+        |a2 AS (
+        |  SELECT arm, domain, n_tok, cap,
+        |    CAST(CASE WHEN k <= kstar THEN cap
+        |      WHEN n_src > kstar THEN (b - csum) // (n_src - kstar)
+        |      ELSE 0 END AS BIGINT) AS alloc_tok,
+        |    CAST(CASE WHEN k <= kstar THEN 1 ELSE 0 END AS INTEGER)
+        |      AS is_capped,
+        |    b
+        |  FROM x)
+        |SELECT arm, domain, n_tok, cap, alloc_tok, is_capped,
+        |  CAST(b - SUM(alloc_tok) OVER (PARTITION BY arm) AS BIGINT)
+        |    AS leftover
+        |FROM a2 ORDER BY arm, domain""".stripMargin,
+    // exact token-balanced split boundaries: first row whose running
+    // total reaches ceil(i*total/32)
+    "q306_range_splits" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s AS (
+        |  SELECT *, CAST(SUM(n_tok) OVER (ORDER BY n_tok, doc_id) AS BIGINT)
+        |    AS cum, CAST(SUM(n_tok) OVER () AS BIGINT) AS total
+        |  FROM d),
+        |g AS (
+        |  SELECT i.i, CAST((i.i * t.total + 31) // 32 AS BIGINT) AS tgt
+        |  FROM (SELECT DISTINCT total FROM s) t,
+        |    (SELECT unnest(range(1, 32)) AS i) i)
+        |SELECT g.i AS split_id, g.tgt AS target_cum,
+        |  s.doc_id AS boundary_doc, s.n_tok AS boundary_n_tok, s.cum
+        |FROM g JOIN s ON s.cum >= g.tgt AND s.cum - s.n_tok < g.tgt
+        |ORDER BY 1""".stripMargin
   )
 }
