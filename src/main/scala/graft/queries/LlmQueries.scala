@@ -2613,6 +2613,48 @@ object LlmQueries {
           col("doc_id").as("boundary_doc"),
           col("n_tok").as("boundary_n_tok"), col("cum"))
         .orderBy("split_id")
+    }),
+
+    // Training-run manifest — the artifact a trainer actually consumes,
+    // composing three planning operators into one 16-row table: the
+    // q277 token-balanced serpentine shards, the q299 curriculum
+    // (3 quality bands, md5-shuffled within band), and each shard's
+    // exact start_token_offset in training order (exclusive prefix sum
+    // — the resume/checkpoint coordinate). One corpus pass to the
+    // shard frame (the doc-keyed score join rides the assign output);
+    // every window runs on 16 rows.
+    "q307_training_manifest" -> ((s, dir) => {
+      val score10 =
+        (when(TextStats.tokenCount(col("text")).between(10, 1000), lit(5))
+            .otherwise(lit(0)) +
+          when(TextStats.stopwordRatio(col("text"), stopwords) > 0.01,
+            lit(3)).otherwise(lit(0)) +
+          when(TextStats.punctRatio(col("text")) < 0.2, lit(2))
+            .otherwise(lit(0))).cast(LongType)
+      val d = t(s, dir, "documents")
+      val assigned = ShardBalance.assign(d, "doc_id",
+        TextStats.tokenCount(col("text")), nShards = 16)
+      val per = assigned
+        .join(d.select(col("doc_id"), score10.as("s10")), Seq("doc_id"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
+          sum("s10").as("sum_s10"))
+        .withColumn("mean_q_micro", expr("sum_s10 * 1000000 DIV n_docs"))
+      val byCurriculum = Window.orderBy(col("band"),
+        graft.functions.BqShims.md5Bucket(col("shard")), col("shard"))
+      per
+        .withColumn("band",
+          expr("CAST((row_number() OVER (ORDER BY mean_q_micro DESC, shard)" +
+            " - 1) * 3 DIV 16 AS INT)"))
+        .withColumn("position", row_number().over(byCurriculum).cast(LongType))
+        .withColumn("start_token_offset", coalesce(
+          sum("tokens").over(
+            byCurriculum.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("shard"), col("n_docs"), col("tokens"), col("sum_s10"),
+          col("mean_q_micro"), col("band"), col("position"),
+          col("start_token_offset"))
+        .orderBy("shard")
     })
   )
 
@@ -5007,6 +5049,55 @@ object LlmQueries {
         |SELECT g.i AS split_id, g.tgt AS target_cum,
         |  s.doc_id AS boundary_doc, s.n_tok AS boundary_n_tok, s.cum
         |FROM g JOIN s ON s.cum >= g.tgt AND s.cum - s.n_tok < g.tgt
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+    // q277's serpentine deal + q299's band/position + the exclusive
+    // token prefix sum in curriculum order
+    "q307_training_manifest" ->
+      """WITH ranked AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok,
+        |    (CASE WHEN len(string_split_regex(text, '\s+'))
+        |        BETWEEN 10 AND 1000 THEN 5 ELSE 0 END +
+        |     CASE WHEN CAST(len(list_filter(string_split_regex(lower(text),
+        |       '\s+'), t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+        |       / len(string_split_regex(lower(text), '\s+')) > 0.01
+        |       THEN 3 ELSE 0 END +
+        |     CASE WHEN CAST(length(text) - length(regexp_replace(text,
+        |       '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |       / length(text) < 0.2 THEN 2 ELSE 0 END) AS s10,
+        |    row_number() OVER (
+        |      ORDER BY CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+        |        DESC, doc_id) - 1 AS r
+        |  FROM documents),
+        |dealt AS (
+        |  SELECT doc_id, n_tok, s10,
+        |    CAST(CASE WHEN (r // 16) % 2 = 0 THEN r % 16
+        |         ELSE 15 - (r % 16) END AS INTEGER) AS shard
+        |  FROM ranked),
+        |per AS (
+        |  SELECT shard, COUNT(*)::BIGINT AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS tokens,
+        |    CAST(SUM(s10) AS BIGINT) AS sum_s10,
+        |    CAST(SUM(s10) * 1000000 // COUNT(*) AS BIGINT) AS mean_q_micro
+        |  FROM dealt GROUP BY 1),
+        |b AS (
+        |  SELECT *, CAST((row_number() OVER
+        |      (ORDER BY mean_q_micro DESC, shard) - 1) * 3 // 16 AS INTEGER)
+        |    AS band
+        |  FROM per),
+        |o AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (ORDER BY band,
+        |      CAST(('0x' || substr(md5(CAST(shard AS VARCHAR)), 1, 8))
+        |        AS BIGINT), shard) AS BIGINT) AS position,
+        |    CAST(COALESCE(SUM(tokens) OVER (ORDER BY band,
+        |      CAST(('0x' || substr(md5(CAST(shard AS VARCHAR)), 1, 8))
+        |        AS BIGINT), shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_token_offset
+        |  FROM b)
+        |SELECT shard, n_docs, tokens, sum_s10, mean_q_micro, band,
+        |  position, start_token_offset
+        |FROM o ORDER BY shard""".stripMargin
   )
 }

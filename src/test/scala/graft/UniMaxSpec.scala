@@ -71,4 +71,31 @@ class UniMaxSpec extends SparkTestBase {
     assert(rows.forall(_.getAs[Int]("is_capped") == 0))
     assert(rows.forall(_.getAs[Long]("alloc_tok") === 3L))
   }
+
+  test("allocateGrid arm == allocate on that arm's slice (q305 shape)") {
+    // the grid run must be EXACTLY per-arm-independent: for every
+    // leave-one-out arm, the partitioned windows give the same rows
+    // as a standalone allocate over the filtered counts
+    val b = counts.agg(expr("CAST((sum(n_tok) * 3) DIV 2 AS BIGINT)").as("b"))
+      .collect().head.getLong(0)
+    val armed = counts.withColumn("b", lit(b))
+    val domains = counts.select("domain").collect().map(_.getString(0))
+    val grid = UniMax.allocateGrid(
+      domains.map(d => armed.filter(col("domain") =!= d)
+          .withColumn("arm", lit(s"drop_$d")))
+        .reduce(_ unionAll _),
+      col("b"), epochCap = 2, armCol = "arm", srcCol = "domain")
+      .collect().groupBy(_.getAs[String]("arm"))
+    domains.foreach { d =>
+      val solo = UniMax.allocate(armed.filter(col("domain") =!= d),
+          lit(b), epochCap = 2, srcCol = "domain")
+        .collect().map(r => (r.getAs[String]("domain"),
+          r.getAs[Long]("alloc_tok"), r.getAs[Int]("is_capped"),
+          r.getAs[Long]("leftover"))).toSet
+      val fromGrid = grid(s"drop_$d").map(r => (r.getAs[String]("domain"),
+        r.getAs[Long]("alloc_tok"), r.getAs[Int]("is_capped"),
+        r.getAs[Long]("leftover"))).toSet
+      assert(fromGrid == solo, s"arm drop_$d diverged from standalone")
+    }
+  }
 }
