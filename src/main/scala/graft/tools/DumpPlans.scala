@@ -93,7 +93,10 @@ object DumpPlans {
       "q294_batch_padding" -> "BOTH batching policies via the two-phase global rank (range exchange + per-partition row_number + broadcast offsets); per-batch aggregate, batch-keyed join",
       "q295_dsir_weights" -> "one token shuffle to 64 bucket counts; weight table broadcasts back; per-doc score is one hash aggregate — linear end to end",
       "q296_reexport_plan" -> "one shard aggregate carries both versions' xor fingerprints; totals on the 16-row shard frame",
-      "q298_novelty_rollup" -> "gram shuffle to global counts, equi-join back to owners, per-source conditional rollup — no pair join anywhere")
+      "q298_novelty_rollup" -> "gram shuffle to global counts, equi-join back to owners, per-source conditional rollup — no pair join anywhere",
+      "q305_ablation_grid" -> "leave-one-out UniMax grid: ONE corpus count agg; every waterfilling window PARTITION BY arm on the 100-row grid frame",
+      "q306_range_splits" -> "exact split boundaries: two-phase running totals; each row locally decides which targets it crosses — no range join, no BNLJ",
+      "q307_training_manifest" -> "three planning operators composed; corpus passes once through assign, all manifest windows on the 16-row shard frame")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.tools.DumpPlans` at sf0.01; regenerate with\n")
