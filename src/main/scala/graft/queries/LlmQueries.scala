@@ -2655,6 +2655,50 @@ object LlmQueries {
           col("mean_q_micro"), col("band"), col("position"),
           col("start_token_offset"))
         .orderBy("shard")
+    }),
+
+    // Incremental manifest maintenance under CDC — the q287 xor
+    // manifest IS an incrementally-maintainable view: because xor is
+    // its own inverse, applying a changelog needs only the CHANGED
+    // rows' hashes (delete folds the old hash out, update folds
+    // old-out/new-in, insert folds new in) — never a rescan of the
+    // corpus. A deterministic disjoint changelog (inserts %11==3,
+    // updates %13==0, deletes %17==0 of the rest) is applied both ways
+    // per shard: the O(|delta|) incremental fold vs the full v2
+    // recompute, and the published identity flag (fp match AND count
+    // match) must be 1 on every shard — the q226/q227 IVM gate
+    // convention applied to export provenance.
+    "q308_manifest_cdc" -> ((s, dir) => {
+      def shardOf(id: org.apache.spark.sql.Column) = {
+        val h = md5(id.cast("string"))
+        ((ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) % 16)
+          .cast("int")
+      }
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        shardOf(col("doc_id")).as("shard"),
+        TextDedup.portableHash(col("text")).as("h"),
+        TextDedup.portableHash(concat(col("text"), lit(" v2"))).as("h2"),
+        (col("doc_id") % 11 === 3).as("ins"),
+        (col("doc_id") % 11 =!= 3 && col("doc_id") % 13 === 0).as("upd"),
+        (col("doc_id") % 11 =!= 3 && col("doc_id") % 13 =!= 0 &&
+          col("doc_id") % 17 === 0).as("del"))
+      d.groupBy("shard")
+        .agg(
+          sum(when(!col("ins"), 1L).otherwise(0L)).as("n_v1"),
+          sum(when(!col("del"), 1L).otherwise(0L)).as("n_v2"),
+          expr("bit_xor(CASE WHEN NOT ins THEN h ELSE 0 END)").as("fp_v1"),
+          // incremental: start from v1, fold deltas only
+          expr("bit_xor(CASE WHEN del THEN h WHEN upd THEN h ^ h2 " +
+            "WHEN ins THEN h2 ELSE 0 END)").as("delta_fp"),
+          // full recompute of v2 (updates carry h2, inserts h2)
+          expr("bit_xor(CASE WHEN del THEN 0 WHEN upd THEN h2 " +
+            "WHEN ins THEN h2 ELSE h END)").as("fp_full"))
+        .withColumn("fp_inc", expr("fp_v1 ^ delta_fp"))
+        .withColumn("match",
+          (col("fp_inc") === col("fp_full")).cast(IntegerType))
+        .select(col("shard"), col("n_v1"), col("n_v2"), col("fp_inc"),
+          col("fp_full"), col("match"))
+        .orderBy("shard")
     })
   )
 
@@ -5098,6 +5142,35 @@ object LlmQueries {
         |  FROM b)
         |SELECT shard, n_docs, tokens, sum_s10, mean_q_micro, band,
         |  position, start_token_offset
-        |FROM o ORDER BY shard""".stripMargin
+        |FROM o ORDER BY shard""".stripMargin,
+    // both maintenance paths replayed: the O(|delta|) xor fold and the
+    // full v2 recompute; match must be 1 everywhere (xor algebra)
+    "q308_manifest_cdc" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |        + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 16
+        |      AS INTEGER) AS shard,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h,
+        |    CAST(('0x' || substr(md5(text || ' v2'), 1, 15)) AS BIGINT) AS h2,
+        |    doc_id % 11 = 3 AS ins,
+        |    doc_id % 11 != 3 AND doc_id % 13 = 0 AS upd,
+        |    doc_id % 11 != 3 AND doc_id % 13 != 0 AND doc_id % 17 = 0 AS del
+        |  FROM documents),
+        |per AS (
+        |  SELECT shard,
+        |    SUM(CASE WHEN NOT ins THEN 1 ELSE 0 END)::BIGINT AS n_v1,
+        |    SUM(CASE WHEN NOT del THEN 1 ELSE 0 END)::BIGINT AS n_v2,
+        |    CAST(bit_xor(CASE WHEN NOT ins THEN h ELSE 0 END) AS BIGINT)
+        |      AS fp_v1,
+        |    CAST(bit_xor(CASE WHEN del THEN h WHEN upd THEN xor(h, h2)
+        |      WHEN ins THEN h2 ELSE 0 END) AS BIGINT) AS delta_fp,
+        |    CAST(bit_xor(CASE WHEN del THEN 0 WHEN upd THEN h2
+        |      WHEN ins THEN h2 ELSE h END) AS BIGINT) AS fp_full
+        |  FROM d GROUP BY 1)
+        |SELECT shard, n_v1, n_v2,
+        |  CAST(xor(fp_v1, delta_fp) AS BIGINT) AS fp_inc, fp_full,
+        |  CAST(xor(fp_v1, delta_fp) = fp_full AS INTEGER) AS match
+        |FROM per ORDER BY 1""".stripMargin
   )
 }
