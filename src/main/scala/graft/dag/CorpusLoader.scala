@@ -462,6 +462,61 @@ object CorpusLoader {
     }
   }
 
+  /** Stable content hash of the whole corpus source tree: every file
+    * under `sql/` and `metrics/` (templates, schema toml, metrics/ranks
+    * globals — everything that feeds rendering), hashed as sorted
+    * (relative path, bytes). The filesystem-level analog of
+    * [[ViewDag.treeHash]] and of the reference's treehash gate
+    * (update_schema.py): any byte change anywhere in the tree changes
+    * the hash. */
+  def corpusTreeHash(dataRoot: Path): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq("sql", "metrics").map(dataRoot.resolve).filter(Files.isDirectory(_))
+      .foreach { root =>
+        val it = Files.walk(root)
+        try {
+          val files = mutable.ArrayBuffer[Path]()
+          it.filter(Files.isRegularFile(_)).forEach(p => { files += p; () })
+          files.sortBy(p => dataRoot.relativize(p).toString).foreach { p =>
+            md.update(dataRoot.relativize(p).toString.getBytes("UTF-8"))
+            md.update(0.toByte)
+            md.update(Files.readAllBytes(p))
+            md.update(0.toByte)
+          }
+        } finally it.close()
+      }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Per-session cache of the last fused exec sweep, keyed by
+    * (corpus tree hash, fixture params). Weak session keys: dropping a
+    * session drops its entry. */
+  private val execCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      (String, (CorpusResult, Seq[ExecOutcome]))]())
+
+  /** [[deployAndExecute]] behind the reference's treehash short-circuit
+    * (update_schema.py: an unchanged tree is not redeployed): the first
+    * sweep in a session pays the full deploy + materialization; every
+    * following sweep over a byte-identical corpus returns the recorded
+    * outcomes after one tree walk. This is the production re-deploy
+    * path — a scheduler re-running the sweep against an unchanged
+    * repository should cost a hash, not 160 CREATEs and 64 view
+    * executions — and any byte change anywhere in `sql/` or `metrics/`
+    * invalidates (CorpusCacheSpec pins both directions). */
+  def deployAndExecuteCached(spark: SparkSession, dataRoot: Path,
+      rowsPerTable: Int,
+      capRows: Int = 100000): (CorpusResult, Seq[ExecOutcome]) = {
+    val key = s"${corpusTreeHash(dataRoot)}|$rowsPerTable|$capRows"
+    val hit = execCache.get(spark)
+    if (hit != null && hit._1 == key) hit._2
+    else {
+      val result = deployAndExecute(spark, dataRoot, rowsPerTable, capRows)
+      execCache.put(spark, (key, result))
+      result
+    }
+  }
+
   private def withStoreConf[A](spark: SparkSession, storeAnalyzed: Boolean)(f: => A): A =
     withConfs(spark,
       Map("spark.sql.legacy.storeAnalyzedPlanForView" -> storeAnalyzed.toString))(f)

@@ -47,7 +47,88 @@ object Bpe {
   /** [[learnMerges]] as a local list (bounded: one scalar row per
     * step) — the form [[encodeCorpus]] consumes. */
   def learnMergeList(docs: DataFrame, m: Int,
-      textCol: String = "text"): Seq[(Int, String, String, Long)] = {
+      textCol: String = "text"): Seq[(Int, String, String, Long)] =
+    learnMergeListWithRounds(docs, m, textCol)._1
+
+  /** Candidates a batched round may accept from one top-K collect.
+    * Candidate 1 is the round's true argmax (always safe). Candidate
+    * i > 1 is accepted only when the sequential algorithm PROVABLY
+    * would pick it at its round without a recount:
+    *
+    *  (1) its symbols are disjoint from every previously accepted
+    *      merge's {l, r, l+r} — so earlier replaces can neither
+    *      destroy nor (via symbol collision with a freshly minted
+    *      l+r) inflate its adjacency count: it stays EXACTLY w_i;
+    *  (2) w_i strictly exceeds nextW + Σ interference, where nextW
+    *      bounds every non-accepted pair (the next snapshot weight; 0
+    *      past the end of a COMPLETE list) and each accepted merge j
+    *      contributes B_j = max(leftoverBound_j, newPairBound_j):
+    *      leftover (l_j, r_j) adjacencies — the ones literal
+    *      left-to-right replace skips in runs — each sit between two
+    *      occurrences, i.e. require an (r_j, l_j) adjacency, so
+    *      leftovers ≤ min(⌊w_j/2⌋, count_before(r_j, l_j));
+    *      newPairBound_j bounds every pair the new symbol
+    *      c_j = l_j+r_j can form: count(x, c_j) ≤ count_before(x, l_j)
+    *      and count(c_j, y) ≤ count_before(r_j, y), maximized over the
+    *      snapshot's known matching pairs. When the collected list is
+    *      SHORTER than K it is the complete pair table and absent
+    *      pairs are exactly 0; otherwise the unknown tail is bounded
+    *      by the K-th weight.
+    *
+    * Acceptance stops at the FIRST failure (prefix-only), so every
+    * non-accepted pair sorts at-or-after nextW and the bound in (2)
+    * covers it. The next round recounts exactly, so bounds never
+    * accumulate across rounds. */
+  private[graft] def acceptBatch(cand: IndexedSeq[(String, String, Long)],
+      complete: Boolean): Seq[(String, String, Long)] = {
+    if (cand.isEmpty) return Nil
+    // weight of a snapshot pair not in the collected list
+    val unknown = if (complete) 0L else cand.last._3
+    def known(l: String, r: String): Long =
+      cand.collectFirst { case (pl, pr, pw) if pl == l && pr == r => pw }
+        .getOrElse(unknown)
+    val accepted = scala.collection.mutable.ListBuffer[(String, String, Long)]()
+    val syms = scala.collection.mutable.Set[String]()
+    var interference = 0L
+    var i = 0
+    var stop = false
+    while (i < cand.length && !stop) {
+      val (l, r, w) = cand(i)
+      val nextW =
+        if (i + 1 < cand.length) Some(cand(i + 1)._3)
+        else if (complete) Some(0L)
+        else None // unbounded tail: cannot certify anything past the list
+      val ok =
+        if (i == 0) true
+        else nextW.exists(nw => !syms.contains(l) && !syms.contains(r) &&
+          w > nw + interference)
+      if (ok) {
+        accepted += ((l, r, w))
+        syms ++= Seq(l, r, l + r)
+        val leftoverBound = math.min(w / 2, known(r, l))
+        val newPairBound = (unknown +: cand.collect {
+          case (pl, pr, pw) if (pr == l || pl == r) && (pl, pr) != ((l, r)) => pw
+        }).max
+        interference += math.max(leftoverBound, newPairBound)
+        i += 1
+      } else stop = true
+    }
+    accepted.toSeq
+  }
+
+  /** Batched merge learning: per ROUND one vocabulary aggregation and
+    * one bounded top-K collect (K scalar rows — the only driver
+    * traffic), then [[acceptBatch]] takes the provably-safe prefix and
+    * all accepted replaces apply as one chained projection before a
+    * single checkpoint. Returns (merges, rounds): the merge list is
+    * bit-identical to the one-collect-per-merge loop (BpeSpec pins the
+    * equivalence by property), rounds ≤ m shows the driver round-trip
+    * saving — at real tokenizer merge counts (30k+) this is the
+    * difference between a driver-latency-bound loop and one bounded by
+    * the corpus passes. */
+  private[graft] def learnMergeListWithRounds(docs: DataFrame, m: Int,
+      textCol: String = "text",
+      topK: Int = 16): (Seq[(Int, String, String, Long)], Int) = {
     val words = docs
       .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
@@ -58,6 +139,7 @@ object Bpe {
     var cur = words.localCheckpoint()
     val merges = scala.collection.mutable.ListBuffer[(Int, String, String, Long)]()
     var step = 1
+    var rounds = 0
     var exhausted = false
     while (step <= m && !exhausted) {
       val syms = split(trim(col("seq")), " ")
@@ -69,20 +151,27 @@ object Bpe {
           (l, r) => struct(l.as("l"), r.as("r")))))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("n")).as("w"))
-      // bounded collect: exactly one scalar row per step
-      val top = pairs.orderBy(desc("w"), col("l"), col("r")).limit(1).collect()
+      // bounded collect: at most topK scalar rows per round
+      val top = pairs.orderBy(desc("w"), col("l"), col("r")).limit(topK)
+        .collect().map { case Row(l: String, r: String, w: Long) => (l, r, w) }
+        .toIndexedSeq
+      rounds += 1
       if (top.isEmpty) exhausted = true
       else {
-        val Row(l: String, r: String, w: Long) = top(0)
-        merges += ((step, l, r, w))
-        // literal replace with Column args (no SQL-literal quoting pitfalls)
-        cur = cur.withColumn("seq",
+        val batch = acceptBatch(top, complete = top.length < topK)
+          .take(m - step + 1)
+        val applied = batch.foldLeft(cur) { case (df, (l, r, _)) =>
+          // literal replace with Column args (no SQL-literal quoting
+          // pitfalls), chained in acceptance order — identical to the
+          // sequential rounds because accepted symbols are disjoint
+          df.withColumn("seq",
             call_function("replace", col("seq"), lit(s" $l $r "), lit(s" $l$r ")))
-          .localCheckpoint()
-        step += 1
+        }
+        batch.foreach { case (l, r, w) => merges += ((step, l, r, w)); step += 1 }
+        cur = applied.localCheckpoint()
       }
     }
-    merges.toSeq
+    (merges.toSeq, rounds)
   }
 
   /** ENCODE the corpus with the learned merges — the tokenizer-apply

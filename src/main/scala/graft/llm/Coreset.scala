@@ -35,12 +35,22 @@ object Coreset {
     *         vector, and its distance-to-chosen-set at selection time —
     *         the k-center coverage-radius curve (radius2 of pick 1 is 0
     *         by convention; the curve is non-increasing from pick 2).
+    *         At most min(k, n) rows: k past the vector count would only
+    *         re-pick duplicates. Throws on an empty embeddings frame.
     */
   def farthestPoints(spark: SparkSession, embeddings: DataFrame,
       k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val codes = KMeans.gridCodes(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one pass over the cached codes: fail loudly on an empty frame
+    // (the first-pick collect would otherwise throw an opaque
+    // ArrayIndexOutOfBounds) and cap k at the vector count — past n
+    // every remaining minD2 is 0 and the argmax would re-pick the
+    // min-id vector forever, silently duplicating picks
+    val n = codes.count()
+    require(n > 0, "farthestPoints: embeddings frame is empty")
+    val kCap = math.min(k.toLong, n).toInt
     def d2To(center: IndexedSeq[Long]) =
       aggregate(
         zip_with(col("codes"), typedLit(center), (x, v) => (x - v) * (x - v)),
@@ -51,12 +61,12 @@ object Coreset {
     val picks = scala.collection.mutable.ArrayBuffer(
       (1, first.getLong(first.fieldIndex("vec_id")), 0L))
     var state = codes.withColumn("m", d2To(codesOf(first)))
-    for (i <- 2 to k) {
+    for (i <- 2 to kCap) {
       val next = state.orderBy(col("m").desc, col("vec_id")).limit(1)
         .collect()(0)
       picks += ((i, next.getLong(next.fieldIndex("vec_id")),
         next.getLong(next.fieldIndex("m"))))
-      if (i < k)
+      if (i < kCap)
         state = state.withColumn("m",
           least(col("m"), d2To(codesOf(next))))
     }

@@ -103,6 +103,20 @@ object LlmQueries {
   private val gramIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // every build-once dir and last-run scratch above is reclaimed at
+  // JVM exit (graft.util.ScratchSweep — ADVICE r14 leak fix)
+  locally {
+    import scala.jdk.CollectionConverters._
+    graft.util.ScratchSweep.atExit {
+      Seq(shardDirs, sigIndexDirs, ivfIndexDirs,
+        streamDeconDirs, streamDeconScratch, streamManifestDirs,
+        streamManifestScratch, streamSampleDirs, streamSampleScratch,
+        gramIndexDirs).flatMap(_.values.asScala) ++
+      Seq(streamDedupDirs, streamDedupScratch)
+        .flatMap(_.values.asScala).flatMap { case (a, b) => Seq(a, b) }
+    }
+  }
+
   /** Verbatim 8-token windows as portable 60-bit hashes (the q168/q271
     * window unit) — one exploded row per window; docs under 8 tokens
     * contribute none. Shared by q298/q300/q302. */
@@ -352,12 +366,17 @@ object LlmQueries {
     }),
 
     // q117's arrival-time form: the batch docs ARRIVE AS A STREAM
-    // (4 files, maxFilesPerTrigger=1 → 4 triggers) and every
+    // (4 files, maxFilesPerTrigger=2 → 2 triggers) and every
     // micro-batch joins the persisted index then appends its own
     // signatures — the growing index catches pairs split across
     // triggers when the later doc arrives, so the emitted set equals
     // the batch result regardless of how the stream is chopped (same
-    // oracle as q117 proves it end-to-end).
+    // oracle as q117 proves it end-to-end; chop=1 equivalence stays
+    // spec-pinned in StreamOpsSpec). Two triggers, not four: each
+    // trigger pays a fixed index-scan + probe + append cost that
+    // dominates at bench scale, and the cross-batch property needs
+    // only >1 trigger — at production scale the trigger size is set
+    // by arrival cadence, not by this knob.
     "q118_stream_incr_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val (batchDir, seedDir) = streamDedupDirs.computeIfAbsent(dir, _ => {
@@ -387,7 +406,8 @@ object LlmQueries {
           queryName = "q118_" +
             java.util.UUID.randomUUID().toString.replace("-", ""),
           k = 32, bands = 4, shingleW = 3, portable = true,
-          pruneParts = sigIndexParts, outDir = Some(outDir))
+          maxFilesPerTrigger = 2, pruneParts = sigIndexParts,
+          outDir = Some(outDir))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -2127,8 +2147,11 @@ object LlmQueries {
     }),
 
     // Dedup-threshold calibration curve — q280's sweep idea applied to
-    // the NEAR-DUP knob: over the LSH candidate set (the q71 operating
-    // point: shingleW=1, k=32, bands=8, portable hashes), exact
+    // the NEAR-DUP knob: over the LSH candidate set (the q71 band
+    // geometry — shingleW=1, k=32, bands=8 — in its PORTABLE-hash
+    // variant: q71 itself runs the default xxhash64 family, so its
+    // recall proof does NOT cover this candidate set; q293's own
+    // oracle independently certifies it), exact
     // token-set Jaccard bucketed at 6 candidate thresholds, as
     // conditional sums in ONE aggregate over the candidate pairs (no
     // 6x fan-out, no re-verify per threshold). The curve is computed
@@ -2244,9 +2267,18 @@ object LlmQueries {
           sum(when(col("is_target"), col("tf")).otherwise(0L)).as("ct"))
         .withColumn("rt", sum("cr").over(all))
         .withColumn("tt", sum("ct").over(all))
+        // tt = 0 (no document passed the quality gate) would make the
+        // non-ANSI DIV yield null weights while the oracle's integer
+        // division errors — fail loudly on that degenerate corpus
+        // instead of silently diverging (the documented assumption is
+        // target ≈ 90% of corpus, so tt > 0 on any real input)
         .select(col("b"), expr(
-          "CAST(((ct * 1000000) DIV tt + 1) * 1024" +
-            " DIV ((cr * 1000000) DIV rt + 1) - 1024 AS BIGINT)").as("w"))
+          "CASE WHEN tt <= 0 THEN CAST(raise_error(" +
+            "'q295: no document passes the quality gate (tt=0); " +
+            "DSIR weights are undefined') AS BIGINT) " +
+            "ELSE ((ct * 1000000) DIV tt + 1) * 1024" +
+            " DIV ((cr * 1000000) DIV rt + 1) - 1024 END").cast(LongType)
+          .as("w"))
       val scores = tf.join(broadcast(weights), Seq("b"))
         .groupBy("doc_id").agg(sum(col("tf") * col("w")).as("score"))
       scores.join(base, Seq("doc_id"))

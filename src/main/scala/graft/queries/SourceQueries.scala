@@ -42,6 +42,16 @@ object SourceQueries {
   private val blobDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // build-once sidecars reclaimed at JVM exit (graft.util.ScratchSweep
+  // — ADVICE r14 leak fix)
+  locally {
+    import scala.jdk.CollectionConverters._
+    graft.util.ScratchSweep.atExit {
+      Seq(sketchDirs, qsketchDirs, bloomDirs, orcDirs, zoneDirs, blobDirs)
+        .flatMap(_.values.asScala)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // Small-file compaction (the streaming-sink hygiene op): a freshly
     // fragmented 64-file copy of orders is rewritten to

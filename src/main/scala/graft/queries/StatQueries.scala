@@ -27,6 +27,15 @@ object StatQueries {
         .forEach(f => Files.deleteIfExists(f))
   }
 
+  // build-once fixture + last-run scratch reclaimed at JVM exit
+  // (graft.util.ScratchSweep — ADVICE r14 leak fix)
+  locally {
+    import scala.jdk.CollectionConverters._
+    graft.util.ScratchSweep.atExit {
+      Seq(hhSrcDirs, hhScratch).flatMap(_.values.asScala)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // Grouped top-k through the native bounded-heap aggregate
     // (operators/TopKAgg): each map task keeps ≤ k entries per group,

@@ -281,7 +281,12 @@ object StreamOps {
         s"b_ts BETWEEN a_ts - INTERVAL $window AND a_ts"),
       "left_outer")
     val outDir = java.nio.file.Files.createTempDirectory(queryName).toString
-    withStatePartitions(spark, 8) {
+    // 4 state partitions, not 8: a stream-stream join commits FOUR
+    // stores per partition per batch (keyToNumValues/keyWithIndexToValue
+    // × both sides), so partition count multiplies fixed commit cost
+    // 4×; at production rates this is sized to throughput, here to the
+    // fixed-cost floor.
+    withStatePartitions(spark, 4) {
       val q = joined.select(col("a_id"), col("a_user"), col("b_id"))
         .writeStream
         .outputMode("append")

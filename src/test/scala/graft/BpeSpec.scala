@@ -63,4 +63,44 @@ class BpeSpec extends SparkTestBase {
       .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got == Seq(("x", "y", 4L)))
   }
+
+  test("batched acceptance == one-collect-per-merge loop (property, 40 corpora)") {
+    // topK=1 degenerates acceptBatch to "accept the argmax only" — the
+    // exact sequential loop — so batched-vs-sequential equivalence is a
+    // pure property of the acceptance rule. Small alphabet + short
+    // words maximize the adversarial cases the rule must survive:
+    // overlapping runs ("abab" → leftover pairs literal replace skips),
+    // symbol collisions (a+b = "ab" colliding with later candidates),
+    // and dense weight ties.
+    val rnd = new scala.util.Random(20260815L)
+    val alpha = "ab"
+    for (trial <- 1 to 40) {
+      val words = (1 to (3 + rnd.nextInt(8))).map { _ =>
+        (1 to (1 + rnd.nextInt(6)))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val text = (1 to 20).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" ")
+      val docs = Seq((trial.toLong, text)).toDF("doc_id", "text")
+      val (batched, _) = Bpe.learnMergeListWithRounds(docs, m = 8)
+      val (sequential, seqRounds) =
+        Bpe.learnMergeListWithRounds(docs, m = 8, topK = 1)
+      assert(batched == sequential,
+        s"trial $trial diverged on '$text':\n  batched   $batched\n  sequential $sequential")
+      assert(seqRounds >= sequential.size)
+    }
+  }
+
+  test("batched acceptance needs FEWER rounds than merges on a spread corpus") {
+    // well-separated pair frequencies over disjoint alphabets: the
+    // prefix rule accepts several merges per collect
+    val docs = Seq((1L,
+      ("ab " * 40) + ("cd " * 20) + ("ef " * 10) + ("gh " * 5) + "ij"))
+      .toDF("doc_id", "text")
+    val (merges, rounds) = Bpe.learnMergeListWithRounds(docs, m = 5)
+    assert(merges.map(t => (t._2, t._3)) ==
+      Seq(("a", "b"), ("c", "d"), ("e", "f"), ("g", "h"), ("i", "j")))
+    assert(rounds < merges.size,
+      s"no batching happened: $rounds rounds for ${merges.size} merges")
+  }
 }

@@ -47,4 +47,16 @@ class CoresetSpec extends SparkTestBase {
         r.getLong(2))).toSeq
     assert(run() == run())
   }
+
+  test("empty input fails loudly; k past n caps at n without duplicates") {
+    val ex = intercept[IllegalArgumentException] {
+      Coreset.farthestPoints(spark, vecs(Nil), k = 3)
+    }
+    assert(ex.getMessage.contains("empty"), s"opaque error: ${ex.getMessage}")
+    // 3 vectors, k=10 → exactly 3 picks, all distinct
+    val pts = Seq((1L, Seq(0f, 0f)), (2L, Seq(5f, 0f)), (3L, Seq(0f, 5f)))
+    val got = Coreset.farthestPoints(spark, vecs(pts), k = 10)
+      .collect().map(_.getLong(1)).toSeq
+    assert(got.size == 3 && got.distinct.size == 3, s"duplicate picks: $got")
+  }
 }

@@ -188,6 +188,49 @@ class StreamOpsSpec extends SparkTestBase {
       s"got $got")
   }
 
+  test("left-outer stream join matches pairs split ACROSS triggers") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("slo_x").toString
+    def stage(name: String, mtime: Long,
+        rows: Seq[(Long, java.time.LocalDateTime, Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("slo_xone").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Path.of(dir, name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    def at(d: Int, h: Int) = java.time.LocalDateTime.of(2024, 2, d, h, 0)
+    val base = System.currentTimeMillis()
+    // the match spans the trigger boundary BOTH ways: user 1's click
+    // arrives a batch BEFORE its purchase (click must survive in state
+    // until the anchor lands), user 2's purchase arrives a batch BEFORE
+    // its click (the unmatched anchor must wait in state, then pair
+    // instead of emitting a premature null).
+    stage("00_first.parquet", base, Seq(
+      (11L, at(5, 2), 1L, "click"),
+      (20L, at(5, 12), 2L, "purchase")))
+    stage("01_second.parquet", base + 10000, Seq(
+      (10L, at(5, 12), 1L, "purchase"),
+      (21L, at(5, 13), 2L, "click")))
+    stage("02_sentinel.parquet", base + 20000, Seq(
+      (-1L, at(28, 0), -1L, "purchase"), (-2L, at(28, 0), -1L, "click")))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    val got = StreamOps.streamLeftOuterJoinAvailableNow(spark, dir, schema,
+        anchorType = "purchase", otherType = "click", window = "1 DAY",
+        queryName = "slo_xbatch")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // user 2's click is AFTER its purchase → outside the trailing-day
+    // window → null row; user 1 pairs across the boundary.
+    assert(got == Set((10L, 1L, 11L), (20L, 2L, -1L)), s"got $got")
+  }
+
   test("stratifiedSampleStream: chop-invariant and equal to the batch rule") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
