@@ -256,4 +256,259 @@ object ChangepointTrend {
         round(fc(3), 4).as("f3"))
       .orderBy("segment")
   }
+
+  // ---- greedy-forward k-changepoint selection ---------------------------
+
+  /** n×n determinant as SQL text: first-row cofactor expansion with
+    * parenthesized minors and a left-associated alternating sum — the
+    * string form of [[det3]]/[[det4]]'s shape at every dimension, so
+    * the 3×3, 4×4 and 5×5 Cramer chains of the greedy rounds are ONE
+    * IEEE expression tree in both engines. */
+  private def detStr(m: IndexedSeq[IndexedSeq[String]]): String =
+    if (m.size == 1) m(0)(0)
+    else if (m.size == 2) s"${m(0)(0)}*${m(1)(1)} - ${m(0)(1)}*${m(1)(0)}"
+    else {
+      val terms = m(0).indices.map { c0 =>
+        val cols = m(0).indices.filterNot(_ == c0)
+        val minor = detStr(
+          (1 until m.size).map(i => cols.map(j => m(i)(j)).toIndexedSeq)
+            .toIndexedSeq)
+        s"${m(0)(c0)}*($minor)"
+      }
+      terms.zipWithIndex.map { case (t, i) =>
+        if (i == 0) t else if (i % 2 == 1) s" - $t" else s" + $t"
+      }.mkString
+    }
+
+  /** The greedy-forward changepoint pipeline as ONE SQL text over an
+    * `input` relation (segment: string, x: integer time index,
+    * y: DECIMAL(18,2)) — the L0 analog of Prophet's L1 changepoint
+    * shrinkage (`prophet_forecast.py:33-59`): instead of soft-shrinking
+    * 25 slack variables, breaks enter one at a time (each round refits
+    * the FULL model exactly — normal equations grow 3×3 → 4×4 → 5×5 —
+    * and takes the least-SSE candidate) and selection STOPS when the
+    * best new break improves the rounded scale-free SSE by less than
+    * `tauPct` percent — Prophet's "most series need few changepoints"
+    * prior made into an explicit stopping rule.
+    *
+    * Generated as text because the engine RUNS this same text
+    * (`spark.sql`) and the DuckDB oracle replays it verbatim: the
+    * Cramer determinant chains are far past the size where maintaining
+    * two hand-written copies in identical IEEE shape is tenable, and
+    * textual identity is what q274/q276 proved makes the fits
+    * hash-match. Dialect intersection only: GREATEST / ROUND / CASE /
+    * window row_number / `%` on non-negative operands behave
+    * identically; integer sums pass through CAST(... AS BIGINT) (a
+    * no-op in Spark, the HUGEINT collapse in DuckDB).
+    *
+    * Scale shape: round j is one O(k·n)-row candidate join + one
+    * map-side-combined groupBy + a top-1 window — the same linear
+    * shape as [[fit]], `maxBreaks` times; segments that stop early
+    * drop out of later rounds via the eligibility filter (`nb = j-1`),
+    * so a corpus of mostly-linear segments pays ~one round. */
+  def greedySql(input: String, k: Int = 10, maxBreaks: Int = 3,
+      tauPct: Int = 2): String = {
+    val (ctes, fin) = greedyStages("", k, maxBreaks, tauPct)
+    s"WITH obs0 AS (SELECT segment, x, y FROM $input),\n" +
+      ctes.map { case (n, s) => s"$n AS (\n$s)" }.mkString(",\n") +
+      "\n" + fin
+  }
+
+  /** The pipeline as ORDERED (name, body) stages plus the final
+    * select, every relation name prefixed with `pfx`: the oracle
+    * assembles them into one WITH chain (prefix ""), while the engine
+    * executes them stage-by-stage as session views (unique prefix per
+    * call) with the multiply-referenced frames (`obs`, `cand`, each
+    * round's `st`) locally checkpointed — a WITH chain would inline
+    * each `st` TWICE per round (eligibility + carry-forward join),
+    * doubling the analyzed tree per round on top of the large Cramer
+    * expressions. The ARITHMETIC text is prefix-free and therefore
+    * byte-identical between the two modes. */
+  private def greedyStages(pfx: String, k: Int, maxBreaks: Int,
+      tauPct: Int): (Seq[(String, String)], String) = {
+    require(maxBreaks >= 1 && maxBreaks <= 3,
+      "maxBreaks 1..3 (5x5 Cramer is the generated-text ceiling)")
+    val factor = s"0.${100 - tauPct}" // e.g. 0.98
+    val stages = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    stages += (s"${pfx}obs" ->
+      s"""  SELECT segment, x - MIN(x) OVER (PARTITION BY segment) AS x0, y,
+         |    row_number() OVER (PARTITION BY segment ORDER BY x) AS rn,
+         |    COUNT(*) OVER (PARTITION BY segment) AS n,
+         |    MAX(x) OVER (PARTITION BY segment)
+         |      - MIN(x) OVER (PARTITION BY segment) AS xmax0
+         |  FROM ${pfx}obs0""".stripMargin)
+    stages += (s"${pfx}cand" ->
+      s"""  SELECT DISTINCT segment, x0 AS c FROM ${pfx}obs
+         |  WHERE rn >= 2 AND rn <= FLOOR(n * 0.8)
+         |    AND (rn - 2) % GREATEST(1, CAST(FLOOR(n / $k) AS BIGINT)) = 0""".stripMargin)
+    // stage 0: plain line fit (2x2 Cramer), the no-break baseline
+    val a0 = IndexedSeq(IndexedSeq("sn", "sf0"), IndexedSeq("sf0", "sp0_0"))
+    val r0 = IndexedSeq("sy", "sy0")
+    def rep(a: IndexedSeq[IndexedSeq[String]], r: IndexedSeq[String],
+        j: Int): IndexedSeq[IndexedSeq[String]] =
+      a.zipWithIndex.map { case (row, i) => row.updated(j, r(i)) }
+    stages += (s"${pfx}m0" ->
+      s"""  SELECT segment,
+         |    CAST(COUNT(*) AS DOUBLE) AS sn,
+         |    CAST(CAST(SUM(x0) AS BIGINT) AS DOUBLE) AS sf0,
+         |    CAST(CAST(SUM(x0 * x0) AS BIGINT) AS DOUBLE) AS sp0_0,
+         |    CAST(SUM(y) AS DOUBLE) AS sy,
+         |    CAST(SUM(y * CAST(x0 AS DECIMAL(18,0))) AS DOUBLE) AS sy0,
+         |    CAST(SUM(y * y) AS DOUBLE) AS syy,
+         |    MAX(xmax0) AS xmax0
+         |  FROM ${pfx}obs GROUP BY segment""".stripMargin)
+    stages += (s"${pfx}p0" ->
+      s"  SELECT *, ${detStr(a0)} AS det FROM ${pfx}m0")
+    stages += (s"${pfx}q0" ->
+      s"""  SELECT *,
+         |    (${detStr(rep(a0, r0, 0))}) / det AS b0,
+         |    (${detStr(rep(a0, r0, 1))}) / det AS b1
+         |  FROM ${pfx}p0 WHERE det <> 0""".stripMargin)
+    stages += (s"${pfx}s0" ->
+      s"  SELECT *, syy - (b0*sy + b1*sy0) AS sse FROM ${pfx}q0")
+    stages += (s"${pfx}st0" ->
+      s"""  SELECT segment, CAST(sn AS BIGINT) AS n_points, xmax0, syy,
+         |    0 AS nb,
+         |${(1 to maxBreaks).map(i => s"    CAST(NULL AS BIGINT) AS cp$i,").mkString("\n")}
+         |    ROUND(sse / syy, 9) AS r,
+         |    ROUND(sse / syy, 6) AS rel6,
+         |    ROUND(b0 + b1*(xmax0 + 1), 4) AS f1,
+         |    ROUND(b0 + b1*(xmax0 + 2), 4) AS f2,
+         |    ROUND(b0 + b1*(xmax0 + 3), 4) AS f3
+         |  FROM ${pfx}s0""".stripMargin)
+    for (j <- 1 to maxBreaks) {
+      val dim = j + 2
+      // features: f0 = x0, f1..f(j-1) = accepted breaks, fj = candidate
+      val prevCps = (1 until j).map(i => s"cp$i")
+      val aj: IndexedSeq[IndexedSeq[String]] =
+        IndexedSeq.tabulate(dim, dim) { (row, colN) =>
+          (row, colN) match {
+            case (0, 0) => "sn"
+            case (0, cI) => s"sf${cI - 1}"
+            case (rI, 0) => s"sf${rI - 1}"
+            case (rI, cI) =>
+              val (lo, hi) = (math.min(rI, cI) - 1, math.max(rI, cI) - 1)
+              s"sp${lo}_$hi"
+          }
+        }
+      val rj = "sy" +: (0 until dim - 1).map(i => s"sy$i")
+      val feats = "o.x0" +:
+        prevCps.map(cp => s"GREATEST(0, o.x0 - e.$cp)") :+
+        "GREATEST(0, o.x0 - cd.c)"
+      val featAliases = (0 until dim - 1).map(i => s"h$i")
+      val sumsSql =
+        (0 until dim - 1).map(i =>
+          s"    CAST(CAST(SUM(h$i) AS BIGINT) AS DOUBLE) AS sf$i,") ++
+        (for { lo <- 0 until dim - 1; hi <- lo until dim - 1 } yield
+          s"    CAST(CAST(SUM(h$lo * h$hi) AS BIGINT) AS DOUBLE) AS sp${lo}_$hi,") ++
+        Seq("    CAST(SUM(y) AS DOUBLE) AS sy") ++
+        (0 until dim - 1).map(i =>
+          s"    , CAST(SUM(y * CAST(h$i AS DECIMAL(18,0))) AS DOUBLE) AS sy$i")
+      val bSql = (0 until dim).map(i =>
+        s"    (${detStr(rep(aj, rj.toIndexedSeq, i))}) / det AS b$i")
+      val sseTerms = ("b0*sy" +: (1 until dim).map(i => s"b$i*sy${i - 1}"))
+        .mkString(" + ")
+      // forecast at horizon h for the winner model: uses the winner's
+      // own carried cps (wcp*) and candidate (wc)
+      def fcW(h: Int): String = {
+        val terms = s"w.b0 + w.b1*(s.xmax0 + $h)" +:
+          (prevCps.map(cp => s"w.b${prevCps.indexOf(cp) + 2}" +
+            s"*GREATEST(0, (s.xmax0 + $h) - w.w$cp)") :+
+          s"w.b${dim - 1}*GREATEST(0, (s.xmax0 + $h) - w.wc)")
+        terms.mkString(" + ")
+      }
+      val exclCand = prevCps.map(cp => s" AND cd.c <> e.$cp").mkString
+      val carryCps = prevCps.map(cp => s"e.$cp AS w$cp")
+      val groupCps = prevCps.map(cp => s"w$cp")
+      stages += (s"$pfx" + s"e$j" ->
+        s"""  SELECT segment${prevCps.map(c => s", $c").mkString}, syy
+           |  FROM ${pfx}st${j - 1} WHERE nb = ${j - 1}""".stripMargin)
+      stages += (s"$pfx" + s"f$j" ->
+        s"""  SELECT o.segment, cd.c${carryCps.map(c => s", $c").mkString}, e.syy, o.y,
+           |${feats.zip(featAliases).map { case (f, a) => s"    $f AS $a," }.mkString("\n")}
+           |    o.xmax0
+           |  FROM ${pfx}obs o
+           |  JOIN ${pfx}e$j e ON o.segment = e.segment
+           |  JOIN ${pfx}cand cd ON cd.segment = o.segment$exclCand""".stripMargin)
+      stages += (s"$pfx" + s"m$j" ->
+        s"""  SELECT segment, c${groupCps.map(c => s", $c").mkString},
+           |    CAST(COUNT(*) AS DOUBLE) AS sn,
+           |${sumsSql.mkString("\n")},
+           |    MAX(syy) AS syy
+           |  FROM ${pfx}f$j GROUP BY segment, c${groupCps.map(c => s", $c").mkString}""".stripMargin)
+      stages += (s"$pfx" + s"p$j" ->
+        s"  SELECT *, ${detStr(aj)} AS det FROM ${pfx}m$j")
+      stages += (s"$pfx" + s"q$j" ->
+        s"""  SELECT *,
+           |${bSql.mkString(",\n")}
+           |  FROM ${pfx}p$j WHERE det <> 0""".stripMargin)
+      stages += (s"$pfx" + s"s$j" ->
+        s"  SELECT *, syy - ($sseTerms) AS sse FROM ${pfx}q$j")
+      stages += (s"$pfx" + s"w$j" ->
+        s"""  SELECT segment, c AS wc${groupCps.map(c => s", $c").mkString},
+           |${(0 until dim).map(i => s"    b$i,").mkString("\n")}
+           |    ROUND(sse / syy, 9) AS wr, ROUND(sse / syy, 6) AS wrel6
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY segment
+           |    ORDER BY ROUND(sse / syy, 9), c) AS rk FROM ${pfx}s$j)
+           |  WHERE rk = 1""".stripMargin)
+      stages += (s"$pfx" + s"st$j" ->
+        s"""  SELECT s.segment, s.n_points, s.xmax0, s.syy,
+           |    CASE WHEN w.segment IS NOT NULL AND w.wr < s.r * $factor
+           |      THEN $j ELSE s.nb END AS nb,
+           |${(1 until j).map(i => s"    s.cp$i,").mkString("\n")}
+           |    CASE WHEN w.segment IS NOT NULL AND w.wr < s.r * $factor
+           |      THEN w.wc ELSE s.cp$j END AS cp$j,
+           |${(j + 1 to maxBreaks).map(i => s"    s.cp$i,").mkString("\n")}
+           |    CASE WHEN w.segment IS NOT NULL AND w.wr < s.r * $factor
+           |      THEN w.wr ELSE s.r END AS r,
+           |    CASE WHEN w.segment IS NOT NULL AND w.wr < s.r * $factor
+           |      THEN w.wrel6 ELSE s.rel6 END AS rel6,
+           |    CASE WHEN w.segment IS NOT NULL AND w.wr < s.r * $factor
+           |      THEN ROUND(${fcW(1)}, 4) ELSE s.f1 END AS f1,
+           |    CASE WHEN w.segment IS NOT NULL AND w.wr < s.r * $factor
+           |      THEN ROUND(${fcW(2)}, 4) ELSE s.f2 END AS f2,
+           |    CASE WHEN w.segment IS NOT NULL AND w.wr < s.r * $factor
+           |      THEN ROUND(${fcW(3)}, 4) ELSE s.f3 END AS f3
+           |  FROM ${pfx}st${j - 1} s LEFT JOIN ${pfx}w$j w ON s.segment = w.segment""".stripMargin)
+    }
+    val fin =
+      s"""SELECT segment, n_points, CAST(nb AS BIGINT) AS n_breaks,
+         |${(1 to maxBreaks).map(i => s"  cp$i,").mkString("\n")}
+         |  rel6 AS rel_sse, f1, f2, f3
+         |FROM ${pfx}st$maxBreaks ORDER BY segment""".stripMargin
+    (stages.toSeq, fin)
+  }
+
+  /** Greedy-forward changepoint fit over `obs` (segment, x, y):
+    * executes [[greedyStages]] — the same text [[greedySql]] hands the
+    * oracle, staged through session views with the multiply-referenced
+    * frames checkpointed (see [[greedyStages]]). Output per segment:
+    * n_points, n_breaks (0..maxBreaks, 0 = the plain line was never
+    * beaten by `tauPct`%), cp1..cpN in SELECTION order (cp1 = the
+    * break that bought the most SSE — the greedy analog of Prophet's
+    * largest-|delta| changepoint), final rel_sse, and 1/2/3-step
+    * forecasts from the final model. */
+  def fitGreedy(obs: DataFrame, k: Int = 10, maxBreaks: Int = 3,
+      tauPct: Int = 2): DataFrame = {
+    val spark = obs.sparkSession
+    val pfx = "gcpt" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8) + "_"
+    val (ctes, fin) = greedyStages(pfx, k, maxBreaks, tauPct)
+    val eager = Set(s"${pfx}obs", s"${pfx}cand") ++
+      (0 to maxBreaks).map(j => s"${pfx}st$j")
+    obs.createOrReplaceTempView(s"${pfx}obs0")
+    try {
+      ctes.foreach { case (name, sql) =>
+        val df = spark.sql(sql)
+        (if (eager(name)) df.localCheckpoint() else df)
+          .createOrReplaceTempView(name)
+      }
+      // analyzed eagerly by spark.sql, so the view drops below are safe
+      spark.sql(fin)
+    } finally {
+      (s"${pfx}obs0" +: ctes.map(_._1)).foreach { v =>
+        spark.catalog.dropTempView(v); ()
+      }
+    }
+  }
 }

@@ -871,10 +871,196 @@ object InfraQueries {
       val (_, execs) = CorpusLoader.deployAndExecuteCached(s, corpusRoot,
         rowsPerTable = 64)
       CorpusLoader.execSummary(s, execs).orderBy("dataset")
+    }),
+
+    // S2 as an oracle row (r14 ask #5; Catalog2Spec keeps the
+    // no-job-submitted property) — the dry-run validator over a fixed
+    // battery of good/bad SQL against the real tables: parse errors,
+    // unresolved columns/tables/functions, type errors, ambiguity.
+    // Analysis-only both ways; the oracle pins the golden verdicts.
+    "q310_dryrun_validate" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("q310_orders")
+      val battery = Seq(
+        (1L, "select_ok", "SELECT o_orderkey FROM q310_orders", true),
+        (2L, "missing_column", "SELECT nope FROM q310_orders", false),
+        (3L, "parse_error", "SELEC o_orderkey FRM q310_orders", false),
+        (4L, "missing_table", "SELECT * FROM q310_no_such_table", false),
+        (5L, "type_error",
+          "SELECT array_contains(o_orderkey, 1) FROM q310_orders", false),
+        (6L, "ambiguous_column",
+          "SELECT o_orderkey FROM q310_orders a JOIN q310_orders b" +
+            " ON a.o_orderkey = b.o_orderkey", false),
+        (7L, "join_ok",
+          "SELECT a.o_orderkey FROM q310_orders a JOIN q310_orders b" +
+            " ON a.o_orderkey = b.o_orderkey", true),
+        (8L, "missing_function",
+          "SELECT graft_no_such_fn(o_orderkey) FROM q310_orders", false))
+      import s.implicits._
+      battery.map { case (id, label, sql, expectOk) =>
+        val ok = graft.catalog.QueryValidation.validate(s, sql).isEmpty
+        // a battery row whose live verdict drifts from the documented
+        // one must fail the round loudly, not silently re-pin
+        require(ok == expectOk, s"validator drift on '$label': got $ok")
+        (id, label, ok)
+      }.toDF("check_id", "label", "is_valid").orderBy("check_id")
+    }),
+
+    // D5 as an oracle row (r14 ask #5; OperatorsSpec keeps the
+    // library-level coverage) — the write guard's three outcomes on a
+    // real frame: whitelist DENIAL throws (caught → 'denied'), dry-run
+    // logs without executing, live mode writes and the read-back count
+    // must equal the source table's (the only non-literal oracle
+    // column).
+    "q311_write_guard" -> ((s, dir) => {
+      import graft.catalog.{SchemaId, WriteDeniedException, WriteGuard}
+      val nation = t(s, dir, "nation")
+      def attempt(g: WriteGuard, target: String,
+          path: String): (String, java.lang.Long) =
+        try {
+          if (g.writeTable(nation, SchemaId("p", "d", target), path,
+              SaveMode.Overwrite))
+            ("written", Long.box(s.read.parquet(path).count()))
+          else ("dry_run", null)
+        } catch {
+          case _: WriteDeniedException => ("denied", null)
+        }
+      val dry = WriteGuard(write = false,
+        writeTargets = Some(Set("t_ok")), log = _ => ())
+      val live = WriteGuard(write = true,
+        writeTargets = Some(Set("t_ok")), log = _ => ())
+      val out = tmpDir("graft_wguard")
+      val rows = Seq(
+        (1L, "t_ok") -> attempt(dry, "t_ok", s"$out/a1"),
+        (2L, "t_secret") -> attempt(dry, "t_secret", s"$out/a2"),
+        (3L, "t_ok") -> attempt(live, "t_ok", s"$out/a3"),
+        (4L, "t_secret") -> attempt(live, "t_secret", s"$out/a4"))
+      // dry-run must leave no file behind; the denied live write too
+      require(!new java.io.File(s"$out/a1").exists(), "dry-run wrote")
+      require(!new java.io.File(s"$out/a4").exists(), "denied write ran")
+      require(dry.dryRunLog.size == 1, s"dry-run log: ${dry.dryRunLog}")
+      import s.implicits._
+      rows.map { case ((id, target), (outcome, n)) =>
+        (id, target, outcome, n)
+      }.toDF("attempt", "target", "outcome", "n_rows").orderBy("attempt")
+    }),
+
+    // I2 as an oracle row (r14 ask #5; DiffPatchSpec's 500-sample
+    // property + HistoricStatesSpec keep the library-level coverage) —
+    // per-bug historic-state reconstruction on a fixed two-bug history:
+    // status un-apply, keyword add/remove reversal, consecutive-
+    // duplicate change dedup, and a unified-diff REVERSE apply on the
+    // user story (metric_changes.py:183-225 semantics). The oracle pins
+    // the hand-derived golden states.
+    "q312_historic_states" -> ((s, dir) => {
+      import graft.operators.HistoricStates._
+      import s.implicits._
+      val histories = Seq(
+        BugHistory(1L,
+          BugState("RESOLVED", "Core", "DOM", Seq("kw_a", "kw_b"),
+            "https://x.example/a", ""),
+          Seq(
+            BugChange("2024-01-05T00:00:00Z",
+              Seq(FieldChange("status", "NEW", "ASSIGNED"))),
+            BugChange("2024-01-08T00:00:00Z",
+              Seq(FieldChange("keywords", "kw_old", "kw_b"))),
+            // consecutive duplicate of the same change set: must dedup
+            BugChange("2024-01-09T00:00:00Z",
+              Seq(FieldChange("keywords", "kw_old", "kw_b"))),
+            BugChange("2024-01-12T00:00:00Z",
+              Seq(FieldChange("status", "ASSIGNED", "RESOLVED"))))),
+        BugHistory(2L,
+          BugState("NEW", "Web", "Site", Seq.empty, "https://x.example/b",
+            "platform:windows\nimpact:high"),
+          Seq(
+            BugChange("2024-02-01T00:00:00Z",
+              Seq(FieldChange("cf_user_story", "",
+                "@@ -1,2 +1,2 @@\n-platform:linux\n+platform:windows\n impact:high"))))))
+      historicStates(s, histories.toDS())
+        .flatMap(b => b.states.zipWithIndex.map { case (st, i) =>
+          (b.number, i.toLong, st.status, st.product, st.component,
+            st.keywords.mkString(","), st.url, st.userStory)
+        })
+        .toDF("number", "state_idx", "status", "product", "component",
+          "keywords", "url", "user_story")
+        .orderBy("number", "state_idx")
+    }),
+
+    // I5 as an oracle row (r14 ask #5; OperatorsSpec keeps the
+    // library-level coverage) — the row-count-stability ingest gate
+    // (siterank.py:296-358: import only when the upstream count matches
+    // the previous observation) applied down a real daily series: each
+    // day's import gates on equality with the prior day's count. The
+    // oracle recomputes the gate with LAG — a REAL recomputation, not a
+    // golden pin.
+    "q313_stable_count_gate" -> ((s, dir) => {
+      val days = t(s, dir, "events")
+        .groupBy(col("ts").cast(DateType).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("day")
+        .collect().map(r => (r.getDate(0), r.getLong(1))).toSeq
+      // bounded driver fold: one row per day (~30), the same shape the
+      // reference's gate runs in (a scalar check before each import)
+      val gated = days.zipWithIndex.map { case ((day, n), i) =>
+        val prev = if (i == 0) None else Some(days(i - 1)._2)
+        (day, n, Incremental.stableCountGate(n, prev))
+      }
+      import s.implicits._
+      gated.toDF("day", "n", "gate_pass").orderBy("day")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // golden verdicts of the validation battery (engine-side `require`
+    // turns any drift into a hard failure, so this pin cannot rot
+    // silently)
+    "q310_dryrun_validate" ->
+      """SELECT CAST(check_id AS BIGINT) AS check_id, label, is_valid
+        |FROM (VALUES
+        |  (1, 'select_ok', TRUE),
+        |  (2, 'missing_column', FALSE),
+        |  (3, 'parse_error', FALSE),
+        |  (4, 'missing_table', FALSE),
+        |  (5, 'type_error', FALSE),
+        |  (6, 'ambiguous_column', FALSE),
+        |  (7, 'join_ok', TRUE),
+        |  (8, 'missing_function', FALSE)) t(check_id, label, is_valid)
+        |ORDER BY check_id""".stripMargin,
+    // three guard outcomes; the written row count is recomputed from
+    // the source table, not pinned
+    "q311_write_guard" ->
+      """SELECT CAST(attempt AS BIGINT) AS attempt, target, outcome,
+        |  CAST(n_rows AS BIGINT) AS n_rows
+        |FROM (VALUES
+        |  (1, 't_ok', 'dry_run', NULL),
+        |  (2, 't_secret', 'denied', NULL),
+        |  (3, 't_ok', 'written', (SELECT COUNT(*) FROM nation)),
+        |  (4, 't_secret', 'denied', NULL)) t(attempt, target, outcome, n_rows)
+        |ORDER BY attempt""".stripMargin,
+    // hand-derived golden states: status un-apply, keyword reversal,
+    // duplicate-change dedup (4 states from 4 changes), diff reverse
+    "q312_historic_states" ->
+      """SELECT CAST(number AS BIGINT) AS number,
+        |  CAST(state_idx AS BIGINT) AS state_idx,
+        |  status, product, component, keywords, url, user_story
+        |FROM (VALUES
+        |  (1, 0, 'RESOLVED', 'Core', 'DOM', 'kw_a,kw_b', 'https://x.example/a', ''),
+        |  (1, 1, 'ASSIGNED', 'Core', 'DOM', 'kw_a,kw_b', 'https://x.example/a', ''),
+        |  (1, 2, 'ASSIGNED', 'Core', 'DOM', 'kw_a,kw_old', 'https://x.example/a', ''),
+        |  (1, 3, 'NEW', 'Core', 'DOM', 'kw_a,kw_old', 'https://x.example/a', ''),
+        |  (2, 0, 'NEW', 'Web', 'Site', '', 'https://x.example/b',
+        |    'platform:windows' || chr(10) || 'impact:high'),
+        |  (2, 1, 'NEW', 'Web', 'Site', '', 'https://x.example/b',
+        |    'platform:linux' || chr(10) || 'impact:high'))
+        |  t(number, state_idx, status, product, component, keywords, url, user_story)
+        |ORDER BY number, state_idx""".stripMargin,
+    // REAL recomputation of the stability gate: equality with LAG,
+    // first day fails closed (no prior observation)
+    "q313_stable_count_gate" ->
+      """SELECT day, n, COALESCE(n = LAG(n) OVER (ORDER BY day), FALSE) AS gate_pass
+        |FROM (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS n
+        |  FROM events GROUP BY 1)
+        |ORDER BY day""".stripMargin,
     "q90_view_dag" ->
       """SELECT c_mktsegment, COUNT(*) AS n_big FROM (
         |  SELECT c.c_custkey, c.c_mktsegment, o.total

@@ -682,6 +682,25 @@ object SourceQueries {
       graft.operators.ChangepointTrend.fit2(daily, k = 10)
     }),
 
+    // F8+++++ — greedy-forward k-changepoint trend, the L0 analog of
+    // Prophet's L1 changepoint shrinkage (prophet_forecast.py:33-59,
+    // DELTAS §2's last forecasting gap): breaks enter one at a time —
+    // each round refits the FULL model exactly (normal equations grow
+    // 3×3 → 4×4 → 5×5, Cramer chains generated in one shared text) and
+    // stops when the best new break improves the rounded scale-free
+    // SSE by < 2% (Prophet's sparse-changepoint prior as an explicit
+    // rule). Engine and oracle run the SAME generated SQL; recovery of
+    // planted breaks + early stop on a line are spec-pinned
+    // (ChangepointGreedySpec).
+    "q309_changepoint_greedy" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type").as("segment"),
+          datediff(col("ts").cast(DateType),
+            lit("1970-01-01").cast(DateType)).cast(LongType).as("x"))
+        .agg(dsum(col("value")).as("y"))
+      graft.operators.ChangepointTrend.fitGreedy(daily, k = 10)
+    }),
+
     // F8++ — the Prophet-shaped grid (funnel_forecast.py:365-412 sweeps
     // growth={linear,logistic} and seasonality): same CV selection as
     // q110 over {mean, linear, sat, seasonal}, where `sat` is a
@@ -834,6 +853,13 @@ object SourceQueries {
 
   val oracles: Map[String, String] = Map(
     "q276_changepoint2" -> q276Oracle,
+    // the greedy pipeline's own generated text over the q274/q276
+    // daily fixture — engine and oracle share every arithmetic chain
+    "q309_changepoint_greedy" -> graft.operators.ChangepointTrend.greedySql(
+      """(SELECT event_type AS segment,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+        |  FROM events GROUP BY 1, 2) daily""".stripMargin, k = 10),
     // expected byte totals recomputed from the source table
     "q183_binaryfile_source" ->
       """SELECT COUNT(*)::BIGINT AS n_files,
