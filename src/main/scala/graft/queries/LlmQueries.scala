@@ -1018,6 +1018,26 @@ object LlmQueries {
         docs, "doc_id", TextStats.tokenCount(col("text")), nShards = 16))
     }),
 
+    // Systematic weighted resampling — EXACTLY m = 1000 draws with
+    // every document's multiplicity within 1 of its exact expectation
+    // m·w/W (the low-variance sampler a mixture builder uses where
+    // multinomial drawing would over-draw hot documents): midpoint
+    // targets on the cumulative token axis, multiplicity a per-row
+    // BIGINT closed form over the two-phase distributed prefix sum (no
+    // single-partition window, no RNG — the oracle replays every draw).
+    // Result joins back broadcast (≤ m rows) for the per-source rollup.
+    "q314_systematic_resample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val drawn = graft.llm.Resample.systematic(
+        d, "doc_id", TextStats.tokenCount(col("text")), m = 1000L)
+      d.select(col("doc_id"), col("source"))
+        .join(broadcast(drawn), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_drawn"), sum("mult").as("draws"),
+          max("mult").as("max_mult"))
+        .orderBy("source")
+    }),
+
     // UniMax epoch-capped mixture budget (Chung 2023): equal token
     // budget per domain, except no domain repeats past 2 epochs — the
     // budget small domains cannot absorb re-spreads over the rest.
@@ -3979,6 +3999,28 @@ object LlmQueries {
         |sp AS (SELECT MAX(tokens) - MIN(tokens) AS spread FROM per)
         |SELECT shard, n_docs, tokens, sp.spread
         |FROM per, sp ORDER BY shard""".stripMargin,
+    // every systematic draw replayed: same cumulative axis (doc_id
+    // order), same midpoint-target counting formula in BIGINT
+    "q314_systematic_resample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(SUM(n_tok) OVER () AS BIGINT) AS total
+        |  FROM w WHERE n_tok > 0),
+        |m AS (
+        |  SELECT source, doc_id,
+        |    (2000 * cum + total - 1) // (2 * total)
+        |      - (2000 * (cum - n_tok) + total - 1) // (2 * total) AS mult
+        |  FROM pos)
+        |SELECT source, COUNT(*)::BIGINT AS n_docs_drawn,
+        |  CAST(SUM(mult) AS BIGINT) AS draws,
+        |  CAST(MAX(mult) AS BIGINT) AS max_mult
+        |FROM m WHERE mult > 0 GROUP BY 1 ORDER BY source""".stripMargin,
     // the sequential UniMax loop replayed via the same closed-form
     // prefix test — capped set is a prefix of the cap-ascending order
     "q278_unimax_budget" ->

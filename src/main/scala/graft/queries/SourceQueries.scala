@@ -701,6 +701,22 @@ object SourceQueries {
       graft.operators.ChangepointTrend.fitGreedy(daily, k = 10)
     }),
 
+    // Robust trend — Theil–Sen median-of-pairwise-slopes over the same
+    // daily fixture: the estimator an anomaly pipeline fits so its
+    // baseline cannot be bent by the anomalies themselves (~29%
+    // breakdown vs OLS's 0). Slopes are single divisions of exact
+    // deltas, the median is SELECTED (lower median by row_number), so
+    // the oracle replays every comparison; O(n²) pairs per segment is
+    // the right shape for bounded daily series (TheilSen scaladoc).
+    "q315_theil_sen" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type").as("segment"),
+          datediff(col("ts").cast(DateType),
+            lit("1970-01-01").cast(DateType)).cast(LongType).as("x"))
+        .agg(dsum(col("value")).as("y"))
+      graft.operators.TheilSen.fit(daily)
+    }),
+
     // F8++ — the Prophet-shaped grid (funnel_forecast.py:365-412 sweeps
     // growth={linear,logistic} and seasonality): same CV selection as
     // q110 over {mean, linear, sat, seasonal}, where `sat` is a
@@ -853,6 +869,40 @@ object SourceQueries {
 
   val oracles: Map[String, String] = Map(
     "q276_changepoint2" -> q276Oracle,
+    // every pairwise slope, both median selections, and the forecast
+    // chain replayed term-for-term
+    "q315_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type AS segment,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.segment, a.x AS x1, b.x AS x2,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b ON a.segment = b.segment AND a.x < b.x),
+        |med AS (
+        |  SELECT segment, slope, cnt AS n_pairs FROM (
+        |    SELECT segment, slope, x1, x2,
+        |      row_number() OVER (PARTITION BY segment ORDER BY slope, x1, x2) AS rn,
+        |      COUNT(*) OVER (PARTITION BY segment) AS cnt
+        |    FROM pairs)
+        |  WHERE rn = (cnt + 1) // 2),
+        |res AS (
+        |  SELECT d.segment, m.slope, m.n_pairs,
+        |    CAST(d.y AS DOUBLE) - m.slope * d.x AS resid,
+        |    row_number() OVER (PARTITION BY d.segment
+        |      ORDER BY CAST(d.y AS DOUBLE) - m.slope * d.x, d.x) AS rn,
+        |    COUNT(*) OVER (PARTITION BY d.segment) AS n_points,
+        |    MAX(d.x) OVER (PARTITION BY d.segment) AS xmax
+        |  FROM daily d JOIN med m ON d.segment = m.segment)
+        |SELECT segment, CAST(n_points AS BIGINT) AS n_points,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  ROUND(slope, 9) AS slope, ROUND(resid, 4) AS intercept,
+        |  ROUND(slope * (xmax + 1) + resid, 4) AS f1,
+        |  ROUND(slope * (xmax + 2) + resid, 4) AS f2,
+        |  ROUND(slope * (xmax + 3) + resid, 4) AS f3
+        |FROM res WHERE rn = (n_points + 1) // 2 ORDER BY segment""".stripMargin,
     // the greedy pipeline's own generated text over the q274/q276
     // daily fixture — engine and oracle share every arithmetic chain
     "q309_changepoint_greedy" -> graft.operators.ChangepointTrend.greedySql(

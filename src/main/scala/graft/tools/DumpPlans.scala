@@ -96,7 +96,9 @@ object DumpPlans {
       "q298_novelty_rollup" -> "gram shuffle to global counts, equi-join back to owners, per-source conditional rollup — no pair join anywhere",
       "q305_ablation_grid" -> "leave-one-out UniMax grid: ONE corpus count agg; every waterfilling window PARTITION BY arm on the 100-row grid frame",
       "q306_range_splits" -> "exact split boundaries: two-phase running totals; each row locally decides which targets it crosses — no range join, no BNLJ",
-      "q307_training_manifest" -> "three planning operators composed; corpus passes once through assign, all manifest windows on the 16-row shard frame")
+      "q307_training_manifest" -> "three planning operators composed; corpus passes once through assign, all manifest windows on the 16-row shard frame",
+      "q309_changepoint_greedy" -> "greedy round = candidate equi-join fan-out (<= k x n rows) + map-side-combined sufficient-stats aggregate + top-1 window; staged checkpoints keep the multi-round tree linear (final stage shown)",
+      "q314_systematic_resample" -> "cumulative axis via the two-phase range-exchange prefix sum (no single-partition window); multiplicity a per-row BIGINT closed form; <= m-row draw set broadcasts back for the per-source rollup")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.tools.DumpPlans` at sf0.01; regenerate with\n")
