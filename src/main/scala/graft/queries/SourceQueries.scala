@@ -717,6 +717,62 @@ object SourceQueries {
       graft.operators.TheilSen.fit(daily)
     }),
 
+    // Mann–Kendall trend gate — the non-parametric "is there a trend
+    // at all" test run BEFORE fitting slopes (pairs with q315: a
+    // segment failing this gate takes the mean model, not a slope fit
+    // to noise). S and the tie-corrected 18·Var(S) are pure integer
+    // sums; the α=0.05 two-sided verdict is a cross-multiplied integer
+    // comparison (1.96 = 49/25 — no sqrt, no libm), so every engine
+    // reaches the identical verdict.
+    "q317_mann_kendall" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type").as("segment"),
+          datediff(col("ts").cast(DateType),
+            lit("1970-01-01").cast(DateType)).cast(LongType).as("x"))
+        .agg(dsum(col("value")).as("y"))
+      graft.operators.MannKendall.test(daily)
+    }),
+
+    // MASE backtest — forecast-accuracy scoring the way M-competitions
+    // do it: hold out each segment's LAST 3 days, score the
+    // seasonal-naive (7-day-ago) forecaster on them, scale by the
+    // in-sample one-step naive MAE (the denominator that makes error
+    // comparable across segments of different magnitude). Absolute
+    // errors stay EXACT DECIMAL through both sums; the published MASE
+    // is one double division and the beats-naive verdict is a decimal
+    // cross-multiplication — never a divide (q253/q189 discipline).
+    "q318_mase_backtest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type").as("segment"),
+          datediff(col("ts").cast(DateType),
+            lit("1970-01-01").cast(DateType)).cast(LongType).as("x"))
+        .agg(dsum(col("value")).as("y"))
+      val w = Window.partitionBy("segment").orderBy("x")
+      val wSeg = Window.partitionBy("segment")
+      val marked = daily
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wSeg))
+        .withColumn("d1", abs(col("y") - lag("y", 1).over(w)))
+        .withColumn("d7", abs(col("y") - lag("y", 7).over(w)))
+      marked.groupBy("segment")
+        .agg(max("n").as("n"),
+          // in-sample one-step naive MAE numerator: train rows only
+          // (rn <= n-3), first row has no lag -> n-4 diffs
+          sum(when(col("rn") > 1 && col("rn") <= col("n") - 3, col("d1")))
+            .as("train_sum"),
+          sum(when(col("rn") > col("n") - 3, col("d7"))).as("test_sum"))
+        .select(col("segment"), col("n"),
+          round(col("train_sum").cast(DoubleType) /
+            (col("n") - 4).cast(DoubleType), 6).as("train_mae"),
+          round(col("test_sum").cast(DoubleType) / 3.0, 6).as("test_mae"),
+          round((col("test_sum") * (col("n") - 4)).cast(DoubleType) /
+            (col("train_sum") * 3).cast(DoubleType), 6).as("mase"),
+          (col("test_sum") * (col("n") - 4) < col("train_sum") * 3)
+            .as("beats_naive"))
+        .orderBy("segment")
+    }),
+
     // F8++ — the Prophet-shaped grid (funnel_forecast.py:365-412 sweeps
     // growth={linear,logistic} and seasonality): same CV selection as
     // q110 over {mean, linear, sat, seasonal}, where `sat` is a
@@ -869,6 +925,59 @@ object SourceQueries {
 
   val oracles: Map[String, String] = Map(
     "q276_changepoint2" -> q276Oracle,
+    // S, tie-corrected 18*Var, and the cross-multiplied verdict all in
+    // exact integers
+    "q317_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type AS segment,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.segment, CAST(SUM(SIGN(b.y - a.y)) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b ON a.segment = b.segment AND a.x < b.x
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT segment,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum,
+        |    CAST(SUM(t) AS BIGINT) AS n
+        |  FROM (SELECT segment, y, COUNT(*)::BIGINT AS t
+        |        FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT p.segment, t.n, p.s,
+        |  CAST(t.n * (t.n - 1) * (2 * t.n + 5) - t.tsum AS BIGINT) AS var18,
+        |  CASE WHEN p.s <> 0 AND 625 * 18 * p.s * p.s >=
+        |      2401 * (t.n * (t.n - 1) * (2 * t.n + 5) - t.tsum)
+        |    THEN CASE WHEN p.s > 0 THEN 'increasing' ELSE 'decreasing' END
+        |    ELSE 'none' END AS trend
+        |FROM p JOIN t ON p.segment = t.segment ORDER BY p.segment""".stripMargin,
+    // exact decimal error sums; MASE one double division; the verdict
+    // a decimal cross-multiplication
+    "q318_mase_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type AS segment,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT segment, y,
+        |    row_number() OVER w AS rn,
+        |    COUNT(*) OVER (PARTITION BY segment) AS n,
+        |    ABS(y - LAG(y, 1) OVER w) AS d1,
+        |    ABS(y - LAG(y, 7) OVER w) AS d7
+        |  FROM daily WINDOW w AS (PARTITION BY segment ORDER BY x)),
+        |a AS (
+        |  SELECT segment, CAST(MAX(n) AS BIGINT) AS n,
+        |    SUM(CASE WHEN rn > 1 AND rn <= n - 3 THEN d1 END) AS train_sum,
+        |    SUM(CASE WHEN rn > n - 3 THEN d7 END) AS test_sum
+        |  FROM m GROUP BY 1)
+        |SELECT segment, n,
+        |  ROUND(CAST(train_sum AS DOUBLE) / (n - 4), 6) AS train_mae,
+        |  ROUND(CAST(test_sum AS DOUBLE) / 3.0, 6) AS test_mae,
+        |  ROUND(CAST(test_sum * (n - 4) AS DOUBLE)
+        |    / CAST(train_sum * 3 AS DOUBLE), 6) AS mase,
+        |  test_sum * (n - 4) < train_sum * 3 AS beats_naive
+        |FROM a ORDER BY segment""".stripMargin,
     // every pairwise slope, both median selections, and the forecast
     // chain replayed term-for-term
     "q315_theil_sen" ->

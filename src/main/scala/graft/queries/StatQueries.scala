@@ -1454,6 +1454,29 @@ object StatQueries {
         .orderBy("bin")
     }),
 
+    // Isotonic calibration map (PAVA) — the FIX for the reliability
+    // failure q252 audits: fitted rates are the closest non-decreasing
+    // sequence to the per-bin empirical rates (weighted L2), computed
+    // by the closed minimax identity over interval prefix sums instead
+    // of the sequential PAV loop (operators/Isotonic scaladoc; PavaSpec
+    // pins the equivalence by property). Same 10-bin doc-length score
+    // as q252 — non-monotone at every SF, so pooling genuinely engages
+    // (8-10 of 10 bins pooled at sf0.1). Corpus pass = the binning
+    // aggregate; everything after rides the 10-row bin frame.
+    "q316_isotonic_calibration" -> ((s, dir) => {
+      val bins = t(s, dir, "documents").select(
+          least(col("n_chars"), lit(600L)).as("sc"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .withColumn("bin", least(expr("CAST(sc * 10 div 600 AS BIGINT)"),
+          lit(9L)))
+        .groupBy("bin").agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      graft.operators.Isotonic.fitBins(bins)
+        .select(col("bin"), col("n"), col("pos"),
+          round(col("rate"), 6).as("rate"),
+          round(col("fitted"), 6).as("fitted"), col("pooled"))
+        .orderBy("bin")
+    }),
+
     // Exact tie-aware ROC AUC by rank-sum (Mann-Whitney U): does doc
     // length separate lang='en' from the rest? With integer scores
     // (n_chars) ties are REAL, so ranks are midranks — kept exact by
@@ -2688,6 +2711,39 @@ object StatQueries {
         |  CAST(ece_scaled AS DOUBLE) / (n_tot * 600) AS ece,
         |  ece_scaled * 10 < n_tot * 600 AS well_calibrated
         |FROM g, tot ORDER BY bin""".stripMargin,
+    // same bins; the minimax identity replayed over interval prefix
+    // sums (exact-int divisions -> identical IEEE min/max selections)
+    "q316_isotonic_calibration" ->
+      """WITH d AS (
+        |  SELECT LEAST(n_chars, 600) AS sc,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |bins AS (
+        |  SELECT LEAST(sc * 10 // 600, 9) AS bin, COUNT(*)::BIGINT AS n,
+        |    CAST(SUM(y) AS BIGINT) AS pos
+        |  FROM d GROUP BY 1),
+        |pre AS (
+        |  SELECT bin, n, pos,
+        |    CAST(SUM(n) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+        |    CAST(SUM(pos) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+        |  FROM bins),
+        |seg AS (
+        |  SELECT j.bin AS j, k.bin AS k,
+        |    CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+        |      / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS avg
+        |  FROM pre j JOIN pre k ON j.bin <= k.bin),
+        |mins AS (
+        |  SELECT i.bin AS i, s.j, MIN(s.avg) AS mn
+        |  FROM pre i JOIN seg s ON s.j <= i.bin AND s.k >= i.bin
+        |  GROUP BY 1, 2),
+        |fit AS (SELECT i, MAX(mn) AS fitted FROM mins GROUP BY 1)
+        |SELECT p.bin, p.n, p.pos,
+        |  ROUND(CAST(p.pos AS DOUBLE) / CAST(p.n AS DOUBLE), 6) AS rate,
+        |  ROUND(f.fitted, 6) AS fitted,
+        |  f.fitted <> CAST(p.pos AS DOUBLE) / CAST(p.n AS DOUBLE) AS pooled
+        |FROM pre p JOIN fit f ON p.bin = f.i ORDER BY p.bin""".stripMargin,
     // same midrank-by-tie-block construction, same 2x-scaled integers
     "q253_auc_exact" ->
       """WITH d AS (
