@@ -1477,6 +1477,43 @@ object StatQueries {
         .orderBy("bin")
     }),
 
+    // The calibration map APPLIED — expected corpus yield under a
+    // calibrated keep-probability filter: q316's isotonic map (10-row
+    // broadcast) joins back onto per-(source, bin) EXACT counts, and
+    // the expected kept docs/tokens are integer products of counts ×
+    // the 6-dp-scaled fitted rate, summed exactly and divided ONCE —
+    // never a data-order-dependent double sum (group-then-multiply
+    // discipline). The planning question this answers: "if we keep
+    // docs with probability = calibrated P(en | length bin), how much
+    // of each source survives?"
+    "q319_calibrated_keep" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"),
+          least(col("n_chars"), lit(600L)).as("sc"),
+          graft.llm.TextStats.tokenCount(col("text")).cast(LongType)
+            .as("n_tok"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .withColumn("bin", least(expr("CAST(sc * 10 div 600 AS BIGINT)"),
+          lit(9L)))
+      val bins = d.groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      val map6 = graft.operators.Isotonic.fitBins(bins)
+        .select(col("bin"),
+          expr("CAST(ROUND(fitted * 1000000, 0) AS BIGINT)").as("f6"))
+      val perCell = d.groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_toks"))
+      perCell.join(broadcast(map6), Seq("bin"))
+        .groupBy("source")
+        .agg(sum("n_docs").as("n_docs"), sum("n_toks").as("n_tokens"),
+          sum(col("n_docs") * col("f6")).as("kept_docs_e6"),
+          sum(col("n_toks") * col("f6")).as("kept_toks_e6"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("kept_docs_e6").cast(DoubleType) / 1e6).as("expected_kept_docs"),
+          (col("kept_toks_e6").cast(DoubleType) / 1e6).as("expected_kept_tokens"),
+          (col("kept_docs_e6").cast(DoubleType) /
+            (col("n_docs") * 1000000L).cast(DoubleType)).as("keep_rate"))
+        .orderBy("source")
+    }),
+
     // Exact tie-aware ROC AUC by rank-sum (Mann-Whitney U): does doc
     // length separate lang='en' from the rest? With integer scores
     // (n_chars) ties are REAL, so ranks are midranks — kept exact by
@@ -2711,6 +2748,55 @@ object StatQueries {
         |  CAST(ece_scaled AS DOUBLE) / (n_tot * 600) AS ece,
         |  ece_scaled * 10 < n_tot * 600 AS well_calibrated
         |FROM g, tot ORDER BY bin""".stripMargin,
+    // same isotonic map; yields as exact integer products of per-cell
+    // counts x the 6-dp-scaled fitted rate, one division at the end
+    "q319_calibrated_keep" ->
+      """WITH d AS (
+        |  SELECT source, LEAST(n_chars, 600) AS sc,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |d2 AS (SELECT source, LEAST(sc * 10 // 600, 9) AS bin, n_tok, y FROM d),
+        |bins AS (
+        |  SELECT bin, COUNT(*)::BIGINT AS n, CAST(SUM(y) AS BIGINT) AS pos
+        |  FROM d2 GROUP BY 1),
+        |pre AS (
+        |  SELECT bin, n, pos,
+        |    CAST(SUM(n) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+        |    CAST(SUM(pos) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+        |  FROM bins),
+        |seg AS (
+        |  SELECT j.bin AS j, k.bin AS k,
+        |    CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+        |      / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS avg
+        |  FROM pre j JOIN pre k ON j.bin <= k.bin),
+        |mins AS (
+        |  SELECT i.bin AS i, s.j, MIN(s.avg) AS mn
+        |  FROM pre i JOIN seg s ON s.j <= i.bin AND s.k >= i.bin
+        |  GROUP BY 1, 2),
+        |fit AS (
+        |  SELECT i AS bin,
+        |    CAST(ROUND(MAX(mn) * 1000000, 0) AS BIGINT) AS f6
+        |  FROM mins GROUP BY 1),
+        |cell AS (
+        |  SELECT source, bin, COUNT(*)::BIGINT AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_toks
+        |  FROM d2 GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source,
+        |    CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(n_docs * f6) AS BIGINT) AS kept_docs_e6,
+        |    CAST(SUM(n_toks * f6) AS BIGINT) AS kept_toks_e6
+        |  FROM cell JOIN fit USING (bin) GROUP BY 1)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(kept_docs_e6 AS DOUBLE) / 1e6 AS expected_kept_docs,
+        |  CAST(kept_toks_e6 AS DOUBLE) / 1e6 AS expected_kept_tokens,
+        |  CAST(kept_docs_e6 AS DOUBLE) / CAST(n_docs * 1000000 AS DOUBLE)
+        |    AS keep_rate
+        |FROM agg ORDER BY source""".stripMargin,
     // same bins; the minimax identity replayed over interval prefix
     // sums (exact-int divisions -> identical IEEE min/max selections)
     "q316_isotonic_calibration" ->

@@ -80,4 +80,15 @@ class ChangepointGreedySpec extends SparkTestBase {
     assert(r.getLong(3) == 6L, s"first pick should be the big bend: $r")
     assert(r.getLong(4) == 26L)
   }
+
+  test("staged session views are dropped after the fit (catalog hygiene)") {
+    val before = spark.catalog.listTables().count()
+    val df = ChangepointTrend.fitGreedy(
+      obs(piecewise("s", 30, 1L, Nil)), k = 10)
+    assert(spark.catalog.listTables().count() == before,
+      "fitGreedy leaked temp views")
+    // the returned frame stays executable AFTER the views are dropped
+    // (resolved at sql() time, data in the checkpointed RDDs)
+    assert(df.count() == 1)
+  }
 }
