@@ -733,6 +733,42 @@ object SourceQueries {
       graft.operators.MannKendall.test(daily)
     }),
 
+    // Kendall tau-b — rank correlation between two daily metrics per
+    // segment (does spend co-move with activity?), the tie-aware form:
+    // concordant/discordant/tied pair counts are PURE INTEGER sums over
+    // the O(n²) within-segment day pairs (the bounded-series contract
+    // q315/q317 share), and tau_b = (C − D) / √((n0−n1)(n0−n2)) is one
+    // division whose √ is IEEE-correctly-rounded — unlike exp/ln, sqrt
+    // is exact-portable, so the published tau hash-matches.
+    "q320_kendall_tau" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type").as("segment"),
+          datediff(col("ts").cast(DateType),
+            lit("1970-01-01").cast(DateType)).cast(LongType).as("x"))
+        .agg(dsum(col("value")).as("v"), count(lit(1)).as("c"))
+      val a = daily.select(col("segment"), col("x").as("x1"),
+        col("v").as("v1"), col("c").as("c1"))
+      val b = daily.select(col("segment"), col("x").as("x2"),
+        col("v").as("v2"), col("c").as("c2"))
+      val pairs = a.join(b, Seq("segment")).filter(col("x1") < col("x2"))
+        .withColumn("sv", signum((col("v2") - col("v1")).cast(DoubleType))
+          .cast(LongType))
+        .withColumn("sc", signum((col("c2") - col("c1")).cast(DoubleType))
+          .cast(LongType))
+      pairs.groupBy("segment")
+        .agg(count(lit(1)).as("n0"),
+          sum(when(col("sv") * col("sc") === 1L, 1L).otherwise(0L)).as("conc"),
+          sum(when(col("sv") * col("sc") === -1L, 1L).otherwise(0L)).as("disc"),
+          sum(when(col("sv") === 0L, 1L).otherwise(0L)).as("ties_v"),
+          sum(when(col("sc") === 0L, 1L).otherwise(0L)).as("ties_c"))
+        .select(col("segment"), col("n0"), col("conc"), col("disc"),
+          col("ties_v"), col("ties_c"),
+          round((col("conc") - col("disc")).cast(DoubleType) /
+            sqrt(((col("n0") - col("ties_v")) *
+              (col("n0") - col("ties_c"))).cast(DoubleType)), 9).as("tau_b"))
+        .orderBy("segment")
+    }),
+
     // MASE backtest — forecast-accuracy scoring the way M-competitions
     // do it: hold out each segment's LAST 3 days, score the
     // seasonal-naive (7-day-ago) forecaster on them, scale by the
@@ -951,6 +987,31 @@ object SourceQueries {
         |    THEN CASE WHEN p.s > 0 THEN 'increasing' ELSE 'decreasing' END
         |    ELSE 'none' END AS trend
         |FROM p JOIN t ON p.segment = t.segment ORDER BY p.segment""".stripMargin,
+    // integer pair counts; tau_b's sqrt is IEEE-correctly-rounded in
+    // both engines
+    "q320_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT event_type AS segment,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v,
+        |    COUNT(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.segment,
+        |    CAST(SIGN(b.v - a.v) AS BIGINT) AS sv,
+        |    CAST(SIGN(b.c - a.c) AS BIGINT) AS sc
+        |  FROM daily a JOIN daily b ON a.segment = b.segment AND a.x < b.x),
+        |g AS (
+        |  SELECT segment, COUNT(*)::BIGINT AS n0,
+        |    CAST(SUM(CASE WHEN sv * sc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+        |    CAST(SUM(CASE WHEN sv * sc = -1 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+        |    CAST(SUM(CASE WHEN sv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_v,
+        |    CAST(SUM(CASE WHEN sc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_c
+        |  FROM p GROUP BY 1)
+        |SELECT segment, n0, conc, disc, ties_v, ties_c,
+        |  ROUND(CAST(conc - disc AS DOUBLE)
+        |    / SQRT(CAST((n0 - ties_v) * (n0 - ties_c) AS DOUBLE)), 9) AS tau_b
+        |FROM g ORDER BY segment""".stripMargin,
     // exact decimal error sums; MASE one double division; the verdict
     // a decimal cross-multiplication
     "q318_mase_backtest" ->
