@@ -2216,6 +2216,50 @@ object LlmQueries {
         .orderBy("threshold_pct")
     }),
 
+    // Per-source duplication PROFILE — the question after any dedup
+    // threshold is picked (q293's curve): how duplicated is each
+    // source? For every document, the nearest-duplicate similarity =
+    // max exact Jaccard over its LSH candidates (same portable
+    // candidate set as q293 — linear, no all-pairs), scaled to an
+    // exact integer (i·10⁶ DIV u — deterministic floor division, so
+    // the per-doc MAX is engine-identical), bucketed into the
+    // {none, <50, 50-80, 80-95, 95+} duplication bands and counted per
+    // source. Docs with NO candidate are the 'none' band (banded
+    // recall bounds what any profile can see — q293's honesty note).
+    "q321_nearest_dup_profile" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      val cands = TextDedup.minhashCandidates(d, k = 32, bands = 8,
+        shingleW = 1, portable = true)
+      val sets = d.select(col("doc_id"),
+        array_distinct(transform(split(col("text"), " "),
+          w => xxhash64(w))).as("ts"))
+      val sims = cands
+        .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta")),
+          Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("tb")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ta"), col("tb"))).cast(LongType).as("i"),
+          (size(col("ta")) + size(col("tb"))).cast(LongType).as("ab"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("(i * 1000000) DIV (ab - i)").as("sim6"))
+      val perDoc = sims.select(col("doc_a").as("doc_id"), col("sim6"))
+        .union(sims.select(col("doc_b").as("doc_id"), col("sim6")))
+        .groupBy("doc_id").agg(max("sim6").as("mx"))
+      d.select(col("doc_id"), col("source"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .withColumn("band",
+          when(col("mx").isNull, "none")
+            .when(col("mx") >= 950000L, "95+")
+            .when(col("mx") >= 800000L, "80-95")
+            .when(col("mx") >= 500000L, "50-80")
+            .otherwise("<50"))
+        .groupBy("source", "band")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "band")
+    }),
+
     // Inference-batch padding audit — the serving-side twin of q269's
     // packing audit: fixed 16-doc batches padded to the batch max, the
     // cost model of batched transformer inference. Length-sorted
@@ -3016,6 +3060,61 @@ object LlmQueries {
       |  n_candidates
       |FROM a, (VALUES (50), (60), (70), (80), (90), (95)) AS t(th)
       |ORDER BY 1""".stripMargin
+  }
+
+  /** q321's oracle: the q293 portable candidate pipeline, then per-doc
+    * max scaled similarity (exact floor division — the max is over
+    * integers, engine-identical), left-joined back so candidate-less
+    * docs land in the 'none' band. */
+  private def nearestDupProfileSql: String = {
+    val seedVals = TextDedup.portableSeeds(32).zipWithIndex
+      .map { case (c, i) => s"($i, $c)" }.mkString(", ")
+    val blk = "WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')"
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents $blk),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(w[i+1]), 1, 15)) AS BIGINT) AS sh
+      |  FROM (SELECT doc_id, w,
+      |    unnest(range(0, greatest(len(w) - 1, 0) + 1)) AS i FROM ws)),
+      |seeds(seed, sc) AS (VALUES $seedVals),
+      |seeded AS (
+      |  SELECT doc_id, s.seed, ${TextDedup.portableMixSql("sh.sh", "s.sc")} AS h
+      |  FROM sh CROSS JOIN seeds s),
+      |mins AS (SELECT doc_id, seed, MIN(h) AS m FROM seeded GROUP BY 1, 2),
+      |bk AS (
+      |  SELECT doc_id, seed // 4 AS band,
+      |    string_agg(CAST(m AS VARCHAR), '_' ORDER BY seed) AS key
+      |  FROM mins GROUP BY doc_id, seed // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+      |    AND a.doc_id < b.doc_id),
+      |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+      |  FROM documents $blk),
+      |p AS (
+      |  SELECT cand.da, cand.db,
+      |    CAST(len(list_intersect(sa.ts, sb.ts)) AS BIGINT) AS i,
+      |    CAST(len(sa.ts) + len(sb.ts) AS BIGINT) AS ab
+      |  FROM cand JOIN sets sa ON sa.doc_id = cand.da
+      |    JOIN sets sb ON sb.doc_id = cand.db),
+      |sims AS (SELECT da, db, (i * 1000000) // (ab - i) AS sim6 FROM p),
+      |per_doc AS (
+      |  SELECT doc_id, MAX(sim6) AS mx FROM (
+      |    SELECT da AS doc_id, sim6 FROM sims
+      |    UNION ALL SELECT db AS doc_id, sim6 FROM sims)
+      |  GROUP BY 1),
+      |banded AS (
+      |  SELECT d.source,
+      |    CASE WHEN pd.mx IS NULL THEN 'none'
+      |      WHEN pd.mx >= 950000 THEN '95+'
+      |      WHEN pd.mx >= 800000 THEN '80-95'
+      |      WHEN pd.mx >= 500000 THEN '50-80'
+      |      ELSE '<50' END AS band
+      |  FROM (SELECT doc_id, source FROM documents $blk) d
+      |  LEFT JOIN per_doc pd ON pd.doc_id = d.doc_id)
+      |SELECT source, band, COUNT(*)::BIGINT AS n_docs
+      |FROM banded GROUP BY 1, 2 ORDER BY source, band""".stripMargin
   }
 
   /** q301's oracle: the greedy farthest-point selection unrolled
@@ -4820,6 +4919,7 @@ object LlmQueries {
         |FROM base JOIN dup USING (source) JOIN med USING (source)
         |ORDER BY base.source""".stripMargin,
     "q293_dedup_threshold_curve" -> dedupCurveSql,
+    "q321_nearest_dup_profile" -> nearestDupProfileSql,
     // both global orders replayed as row_number windows; integer DIV
     // batching and exact integer padding arithmetic on both engines
     "q294_batch_padding" ->
