@@ -73,8 +73,10 @@ class BpeSpec extends SparkTestBase {
     // symbol collisions (a+b = "ab" colliding with later candidates),
     // and dense weight ties.
     val rnd = new scala.util.Random(20260815L)
-    val alpha = "ab"
-    for (trial <- 1 to 40) {
+    // "ab": maximal collision/run density; "abcd": wider pair table, so
+    // the prefix rule actually accepts >1 merge and its bounds (not
+    // just the stop-at-first-failure path) are what equivalence tests
+    for (alpha <- Seq("ab", "abcd"); trial <- 1 to 40) {
       val words = (1 to (3 + rnd.nextInt(8))).map { _ =>
         (1 to (1 + rnd.nextInt(6)))
           .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
@@ -86,7 +88,7 @@ class BpeSpec extends SparkTestBase {
       val (sequential, seqRounds) =
         Bpe.learnMergeListWithRounds(docs, m = 8, topK = 1)
       assert(batched == sequential,
-        s"trial $trial diverged on '$text':\n  batched   $batched\n  sequential $sequential")
+        s"alpha $alpha trial $trial diverged on '$text':\n  batched   $batched\n  sequential $sequential")
       assert(seqRounds >= sequential.size)
     }
   }
