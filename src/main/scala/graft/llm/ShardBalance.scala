@@ -60,9 +60,22 @@ object ShardBalance {
     * broadcast. */
   def globalOrderStats(df: DataFrame, order: Seq[Column],
       nRangeParts: Int = 32): DataFrame = {
+    // `ranged` feeds BOTH the offsets aggregate and the main ranked
+    // frame. Those are two plan instances, and each range exchange
+    // SAMPLES its input to pick boundaries — when `df` is itself a
+    // multi-stage plan (e.g. chained globalNtile calls, or any input
+    // behind a window/join), the two instances can sample different
+    // boundaries and assign the SAME row different pids, silently
+    // corrupting ranks near every boundary (caught by q221's chained
+    // quintiles at sf0.1). localCheckpoint pins the partitioning once
+    // so both consumers read identical (row, pid) pairs by
+    // construction; blocks are distributed (each executor holds its
+    // range) and ContextCleaner-reclaimed, the repo's standard pattern
+    // (Closure/PageRank/ConnectedComponents).
     val ranged = df
       .repartitionByRange(nRangeParts, order: _*)
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
     val wPid = Window.partitionBy("pid").orderBy(order: _*)
     val tiny = Window.orderBy("pid")
     val offsets = ranged.groupBy("pid")
@@ -83,6 +96,49 @@ object ShardBalance {
       .join(broadcast(offsets), Seq("pid"))
       .withColumn("r", col("off") + col("wrn") - 1)
       .withColumn("cum", col("voff") + col("wcum"))
+  }
+
+  /** Distributed `ntile(k)` under a total `order` — standard SQL ntile
+    * semantics (front-loaded buckets: with n = count and base = n/k,
+    * rem = n%k, buckets 1..rem hold base+1 rows and the rest base) but
+    * computed from [[globalOrderStats]]'s two-phase global rank instead
+    * of an unpartitioned Window, so entity-sized frames (customers,
+    * users) never collapse onto a single partition. Adds `outCol`
+    * (LongType, 1..k); all rank plumbing columns are dropped. `order`
+    * must be total (append a unique id) for determinism — same contract
+    * as globalOrderStats. Exact integer arithmetic, engine-portable. */
+  def globalNtile(df: DataFrame, order: Seq[Column], k: Int,
+      outCol: String, nRangeParts: Int = 32): DataFrame = {
+    require(k >= 1, s"ntile bucket count must be >= 1, got $k")
+    val helper = Seq("n_tok", "pid", "wrn", "wcum", "off", "voff",
+      "total", "cum", "r")
+    val pre = df.columns.toSeq
+    require(helper.forall(h => !pre.contains(h)),
+      s"globalNtile helper columns collide with input: " +
+        pre.filter(helper.contains).mkString(","))
+    // n_tok=1 makes globalOrderStats's `total` the row count n
+    val ranked = globalOrderStats(df.withColumn("n_tok", lit(1L)),
+      order, nRangeParts)
+    // Spark's `/` on longs is DOUBLE division (DuckDB's `//` has no
+    // Column-API twin), so integer floor division is spelled exactly:
+    // (a - a%b)/b divides two exact multiples — the double quotient is
+    // exact for counts < 2^53, i.e. any row count that exists.
+    def ldiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast(LongType)
+    val n = col("total")
+    val base = ldiv(n, lit(k.toLong)) // 0 iff n < k
+    val rem = n % k
+    val cut = rem * (base + lit(1L)) // ranks below this sit in +1 buckets
+    ranked
+      .withColumn(outCol,
+        when(col("r") < cut, ldiv(col("r"), base + lit(1L)) + lit(1L))
+          .otherwise(rem + ldiv(col("r") - cut,
+            // base=0 only when n<k, where every rank is < cut (rem=n),
+            // so the otherwise branch is never taken; greatest() keeps
+            // the unevaluated expression safe under ANSI division
+            greatest(base, lit(1L))) + lit(1L))
+          .cast(LongType))
+      .drop(helper: _*)
   }
 
   /** Distributed global rank (0-based) by (`tokCol` desc, `idCol`). */

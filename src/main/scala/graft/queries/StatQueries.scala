@@ -737,11 +737,28 @@ object StatQueries {
     // summary (nodes, edges, components, giant-component size). The
     // oracle recomputes CC with a recursive CTE over the same edges —
     // an independent implementation of the reachability fixpoint.
+    //
+    // BASKET CAP (scale guard): the within-basket self-join is
+    // quadratic in basket size, so baskets are deterministically
+    // truncated to their MAX_BASKET=32 smallest part keys before the
+    // pair explosion (a per-order window — partitioned, cheap). The
+    // recall trade is the same shape FuzzyJoin documents for its prefix
+    // blocking: a pair is lost only when BOTH co-occurrences of (a,b)
+    // land in baskets where one of them ranks beyond position 32 —
+    // on TPC-H (≤7 lines/order) the cap is inert and results are
+    // bit-identical to uncapped; on a power-law recommender corpus it
+    // bounds the explosion at B² per basket while mega-baskets (carts
+    // with hundreds of items) carry the least co-purchase signal per
+    // pair. The oracle applies the same capped definition.
     "q228_knn_graph" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val li = t(s, dir, "lineitem")
+      val maxBasket = 32
+      val li0 = t(s, dir, "lineitem")
         .filter(pmod(col("l_partkey"), lit(5)) === 0)
         .select("l_orderkey", "l_partkey").distinct()
+      val wOrd = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+      val li = li0.withColumn("bpos", row_number().over(wOrd))
+        .filter(col("bpos") <= maxBasket).drop("bpos")
       val nParts = li.select("l_partkey").distinct()
         .agg(count(lit(1)).as("n_parts"))
       val deg = li.groupBy(col("l_partkey").as("item"))
@@ -857,24 +874,28 @@ object StatQueries {
     // RFM customer segmentation (the BI scoring every commerce
     // warehouse ships): recency = last order day, frequency = order
     // count, monetary = decimal-exact revenue; each scored into
-    // quintiles with ntile over a UNIQUE order (metric, then customer
-    // key — deterministic in any engine), combined into the 3-digit
-    // RFM code. Three ntile windows over the customers-sized aggregate
-    // (not the fact table); published as the per-code rollup.
+    // quintiles under a UNIQUE order (metric, then customer key —
+    // deterministic in any engine), combined into the 3-digit RFM code.
+    // Quintiles come from ShardBalance.globalNtile — the two-phase
+    // range-exchange global rank — NOT an unpartitioned ntile Window,
+    // so the customers frame never single-partitions (at 10^9 customers
+    // each of the three scoring passes is a 32-way range exchange plus
+    // a 32-row offsets broadcast). Exact-integer ntile arithmetic keeps
+    // the DuckDB ntile(5) oracle unchanged.
     "q221_rfm_segments" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      import graft.llm.ShardBalance
       val per = t(s, dir, "orders")
         .groupBy(col("o_custkey").as("c"))
         .agg(max(to_date(col("o_orderdate"))).as("last_day"),
           count(lit(1)).as("freq"),
           sum(col("o_totalprice").cast(DecimalType(18, 2))).as("monetary"))
-      val scored = per
-        .withColumn("r_score", ntile(5).over(
-          Window.orderBy(col("last_day"), col("c"))))
-        .withColumn("f_score", ntile(5).over(
-          Window.orderBy(col("freq"), col("c"))))
-        .withColumn("m_score", ntile(5).over(
-          Window.orderBy(col("monetary"), col("c"))))
+      val scored = Seq(
+        (Seq(col("last_day"), col("c")), "r_score"),
+        (Seq(col("freq"), col("c")), "f_score"),
+        (Seq(col("monetary"), col("c")), "m_score"))
+        .foldLeft(per) { case (df, (ord, out)) =>
+          ShardBalance.globalNtile(df, ord, 5, out)
+        }
       scored
         .select((col("r_score") * 100 + col("f_score") * 10 +
           col("m_score")).cast(LongType).as("rfm"))
@@ -2072,9 +2093,14 @@ object StatQueries {
     // independent CC: recursive-CTE reachability over the same top-3
     // edges (min-label = LEAST(node, min reachable) on both sides)
     "q228_knn_graph" ->
-      """WITH RECURSIVE li AS (
+      """WITH RECURSIVE li0 AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         |  WHERE l_partkey % 5 = 0),
+        |li AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey, row_number() OVER
+        |      (PARTITION BY l_orderkey ORDER BY l_partkey) AS bpos
+        |    FROM li0) WHERE bpos <= 32),
         |deg AS (
         |  SELECT l_partkey AS item, COUNT(*)::BIGINT AS d
         |  FROM li GROUP BY 1),

@@ -64,6 +64,36 @@ class ShardBalanceSpec extends SparkTestBase {
     assert(got === naive)
   }
 
+  test("globalNtile matches Spark's ntile, including chained calls") {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), tok.cast("long").as("len"))
+    for (k <- Seq(2, 5, 7)) {
+      // chained twice on purpose: the second call's input is itself a
+      // multi-stage plan, the regime where un-pinned range exchanges
+      // sampled different boundaries per consumer and corrupted ranks
+      // (the q221 sf0.1 regression this spec pins)
+      val step1 = ShardBalance.globalNtile(base,
+        Seq(col("len").desc, col("doc_id")), k, "s1", nRangeParts = 5)
+      val got = ShardBalance.globalNtile(step1,
+          Seq(col("len"), col("doc_id")), k, "s2", nRangeParts = 5)
+        .select("doc_id", "s1", "s2").orderBy("doc_id").collect().toSeq
+      val naive = base
+        .withColumn("s1", ntile(k).over(
+          Window.orderBy(col("len").desc, col("doc_id"))).cast("long"))
+        .withColumn("s2", ntile(k).over(
+          Window.orderBy(col("len"), col("doc_id"))).cast("long"))
+        .select("doc_id", "s1", "s2").orderBy("doc_id").collect().toSeq
+      assert(got === naive, s"k=$k")
+    }
+    // n < k: every row its own front-loaded bucket 1..n
+    val tiny = docs.limit(3).select(col("doc_id"),
+      lit(1L).as("len"))
+    val gotTiny = ShardBalance.globalNtile(tiny,
+        Seq(col("doc_id")), 5, "s", nRangeParts = 2)
+      .orderBy("doc_id").select("s").collect().map(_.getLong(0)).toSeq
+    assert(gotTiny === Seq(1L, 2L, 3L))
+  }
+
   test("every document is assigned exactly once, shards cover 0..n-1") {
     val assigned = ShardBalance.assign(docs, "doc_id", tok, 16)
     assert(assigned.count() === docs.count())
