@@ -67,7 +67,12 @@ object ChangepointTrend {
       m(0)(2) * minor(2) - m(0)(3) * minor(3)
   }
 
-  def fit(obs: DataFrame, k: Int = 25): DataFrame = {
+  /** The [[fit]] winner per segment with UNROUNDED coefficients —
+    * (segment, sn, c, b0, b1, b2, sse, syy, xmax0) — for consumers
+    * that need the model itself (residuals, predictive intervals:
+    * q323) rather than the published rounded summary. Same expression
+    * trees as [[fit]]; the rounding there happens on these columns. */
+  def fitParams(obs: DataFrame, k: Int = 25): DataFrame = {
     val wSeg = Window.partitionBy("segment")
     val wOrd = wSeg.orderBy("x")
     // integer day offsets from the segment's first point: keeps the
@@ -139,14 +144,20 @@ object ChangepointTrend {
     // way everywhere.
     val wBest = Window.partitionBy("segment")
       .orderBy(round(col("sse") / col("syy"), 9), col("c"))
+    solved
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("segment"), col("sn"), col("c"), col("b0"), col("b1"),
+        col("b2"), col("sse"), col("syy"), col("xmax0"))
+  }
+
+  def fit(obs: DataFrame, k: Int = 25): DataFrame = {
     def fc(stepAhead: Int): Column = {
       val xf = col("xmax0") + stepAhead
       col("b0") + col("b1") * xf +
         col("b2") * greatest(lit(0L), xf - col("c"))
     }
-    solved
-      .withColumn("rk", row_number().over(wBest))
-      .filter(col("rk") === 1)
+    fitParams(obs, k)
       .select(col("segment"),
         col("sn").cast(LongType).as("n_points"),
         col("c").as("changepoint"),
@@ -255,6 +266,94 @@ object ChangepointTrend {
         round(fc(1), 4).as("f1"), round(fc(2), 4).as("f2"),
         round(fc(3), 4).as("f3"))
       .orderBy("segment")
+  }
+
+  // ---- changepoint-aware predictive intervals ---------------------------
+
+  /** Changepoint-aware predictive intervals (q323) — Prophet's interval
+    * SEMANTICS (prophet_forecast.py:52-59 predictive_samples: trend
+    * uncertainty GROWS past the last changepoint because future slope
+    * shifts may occur) on a deterministic, engine-portable sampler.
+    *
+    * Per segment, the [[fitParams]] single-changepoint model gives the
+    * trend and the historical slope-shift magnitude |b2| — the analog
+    * of Prophet's Laplace scale fitted to historical deltas. Path i
+    * then draws, via the md5-prefix portable hash (the q121 seeded-RNG
+    * convention, so DuckDB recomputes every draw):
+    *   - occurrence: a future changepoint happens on this path iff
+    *     hash(seg|i|cp) is even — Prophet's changepoint frequency made
+    *     a fixed documented prior;
+    *   - location g ∈ {1,2,3}: hash(seg|i|g) mod 3 + 1, the step where
+    *     the new slope starts;
+    *   - sign ±1: hash(seg|i|s) parity (Laplace is symmetric);
+    *   - a residual from the full-history pool: hash(seg|i|h) mod n.
+    * sample(i,h) = trend(xmax+h) + sign·|b2|·max(0, h−g+1) + resid —
+    * so more paths carry a shift as h grows AND each shift grows
+    * linearly, giving the widening interval fan Prophet draws, while
+    * every draw is replayable in SQL.
+    *
+    * Scale shape: params is one segment-sized frame; the path grid is
+    * segments × horizon × nPaths rows built by explode (no driver
+    * loop) and joins the residual pool on (segment, rn) — residuals
+    * are history-sized, so the join broadcasts. The per-(segment, h)
+    * summary collects nPaths values — bounded by construction, the
+    * same contract as Stats.groupPercentile.
+    *
+    * Output per (segment, h): mean/p10/p50/p90 and width = p90−p10,
+    * rounded at 6 dp like q121. */
+  def intervalSummary(obs: DataFrame, k: Int = 25, horizon: Int = 7,
+      nPaths: Int = 1000): DataFrame = {
+    import graft.operators.Stats
+    val params = fitParams(obs, k)
+    val wSeg = Window.partitionBy("segment")
+    val based = obs
+      .withColumn("x0", (col("x") - min("x").over(wSeg)).cast(LongType))
+      .withColumn("rn",
+        row_number().over(wSeg.orderBy("x")).cast(LongType))
+    val resid = based
+      .join(params.select("segment", "c", "b0", "b1", "b2"), Seq("segment"))
+      .select(col("segment"), col("rn"),
+        (col("y").cast(DoubleType) - (col("b0") + col("b1") * col("x0") +
+          col("b2") * greatest(lit(0L), col("x0") - col("c")))).as("rr"))
+    def ph(parts: Column*): Column =
+      graft.llm.TextDedup.portableHash(concat(parts: _*))
+    val iS = col("i").cast(StringType)
+    val grid = params
+      .withColumn("h", explode(sequence(lit(1), lit(horizon))))
+      .withColumn("i", explode(sequence(lit(0), lit(nPaths - 1))))
+      .withColumn("ridx", pmod(
+        ph(col("segment"), lit("|"), iS, lit("|"), col("h").cast(StringType)),
+        col("sn").cast(LongType)))
+      .withColumn("occ",
+        pmod(ph(col("segment"), lit("|"), iS, lit("|cp")), lit(2L)) === 0L)
+      .withColumn("g",
+        pmod(ph(col("segment"), lit("|"), iS, lit("|g")), lit(3L)) + 1L)
+      .withColumn("sgn",
+        (pmod(ph(col("segment"), lit("|"), iS, lit("|s")), lit(2L)) * 2L -
+          1L).cast(DoubleType))
+      .withColumn("shift", when(col("occ"),
+        col("sgn") * abs(col("b2")) *
+          greatest(lit(0L), col("h") - col("g") + 1L).cast(DoubleType))
+        .otherwise(lit(0.0)))
+    val sampled = grid
+      .join(resid, grid("segment") === resid("segment") &&
+        resid("rn") === col("ridx") + 1L)
+      .drop(resid("segment"))
+      .withColumn("v",
+        col("b0") + col("b1") * (col("xmax0") + col("h")) +
+          col("b2") *
+            greatest(lit(0L), col("xmax0") + col("h") - col("c")) +
+          col("shift") + col("rr"))
+    sampled.groupBy("segment", "h")
+      .agg(sort_array(collect_list(col("v"))).as("vs"))
+      .select(col("segment"), col("h"),
+        round(Stats.arrayMean(col("vs")), 6).as("mean"),
+        round(Stats.arrayPercentile(col("vs"), 0.1), 6).as("p10"),
+        round(Stats.arrayPercentile(col("vs"), 0.5), 6).as("p50"),
+        round(Stats.arrayPercentile(col("vs"), 0.9), 6).as("p90"),
+        round(Stats.arrayPercentile(col("vs"), 0.9) -
+          Stats.arrayPercentile(col("vs"), 0.1), 6).as("width"))
+      .orderBy("segment", "h")
   }
 
   // ---- greedy-forward k-changepoint selection ---------------------------

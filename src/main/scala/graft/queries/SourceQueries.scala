@@ -453,6 +453,34 @@ object SourceQueries {
         .orderBy("key")
     }),
 
+    // P7 as an oracle row (r15 ask #5; PlanAuditSpec keeps the
+    // plan-level assertion) — nested-struct predicate pushdown on a
+    // REAL nested parquet: orders staged as {k, info:{status, price,
+    // meta:{prio}}}, read back with predicates on both nesting levels.
+    // The query body REQUIREs the executed plan carries both nested
+    // fields in PushedFilters (a silently-unpushed scan fails the round
+    // loudly, q310 discipline); the oracle recomputes the same
+    // aggregate from the flat orders table, proving the nested
+    // round-trip + filtered scan is lossless.
+    "q322_nested_pushdown" -> ((s, dir) => {
+      val path = tmpDir("graft_nested")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        struct(col("o_orderstatus").as("status"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+          struct(col("o_orderpriority").as("prio")).as("meta")).as("info"))
+        .write.mode(SaveMode.Overwrite).parquet(path)
+      val nested = s.read.parquet(path)
+        .filter(col("info.status") =!= "O" &&
+          col("info.meta.prio").startsWith("1"))
+      val p = nested.queryExecution.executedPlan.toString
+      require(p.contains("PushedFilters") &&
+        p.contains("info.status") && p.contains("info.meta.prio"),
+        s"nested predicates not pushed to the parquet scan:\n$p")
+      nested.groupBy(col("info.status").as("status"))
+        .agg(count(lit(1)).as("n"), dsum(col("info.price")).as("total"))
+        .orderBy("status")
+    }),
+
     // S3/S13 — JSON-rows load (driver rows + explicit schema,
     // bqhelpers.py:564-593) unioned with table data, through a JSON
     // sink round-trip (experiments-monitoring export.py:70-90).
@@ -798,6 +826,12 @@ object SourceQueries {
           sum(when(col("rn") > 1 && col("rn") <= col("n") - 3, col("d1")))
             .as("train_sum"),
           sum(when(col("rn") > col("n") - 3, col("d7"))).as("test_sum"))
+        // degenerate-segment guard (mirrored in the oracle): n<8 leaves
+        // every 7-lag diff NULL (no scoreable test step) and n<=4 makes
+        // the n-4 divisor zero/negative; a constant series (train_sum=0)
+        // diverges cross-engine (Spark double/0 -> NULL, DuckDB -> inf).
+        // MASE is undefined in all three cases, so drop those segments.
+        .where(col("n") >= 8 && col("train_sum") > lit(0))
         .select(col("segment"), col("n"),
           round(col("train_sum").cast(DoubleType) /
             (col("n") - 4).cast(DoubleType), 6).as("train_mae"),
@@ -843,6 +877,26 @@ object SourceQueries {
     // RNG, so DuckDB recomputes every draw. The 1000×3 matrix is then
     // reduced through the same row-axis mean/p10/p50/p90 HOFs as q61 /
     // ForecastSummary — fit → paths → summary, end-to-end oracle-checked.
+    // F8 interval closure (r15 ask #2) — CHANGEPOINT-AWARE predictive
+    // intervals: Prophet's interval semantics (prophet_forecast.py:
+    // 52-59 — trend uncertainty grows past the last changepoint
+    // because future slope shifts may occur) on the deterministic
+    // md5-seeded sampler. The q274 single-changepoint fit supplies the
+    // trend and the historical shift magnitude |b2|; each path draws
+    // occurrence/location/sign of ONE future changepoint plus a
+    // residual-pool draw (see ChangepointTrend.intervalSummary). The
+    // published width = p90−p10 grows with horizon — the widening fan
+    // Prophet draws — and DuckDB recomputes every draw, fit included.
+    "q323_cp_intervals" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type").as("segment"),
+          datediff(col("ts").cast(DateType),
+            lit("1970-01-01").cast(DateType)).cast(LongType).as("x"))
+        .agg(dsum(col("value")).as("y"))
+      graft.operators.ChangepointTrend.intervalSummary(daily, k = 25,
+        horizon = 7, nPaths = 1000)
+    }),
+
     "q121_forecast_paths" -> ((s, dir) => {
       import graft.jobs.SegmentForecast
       import graft.operators.Stats
@@ -1012,6 +1066,15 @@ object SourceQueries {
         |  ROUND(CAST(conc - disc AS DOUBLE)
         |    / SQRT(CAST((n0 - ties_v) * (n0 - ties_c) AS DOUBLE)), 9) AS tau_b
         |FROM g ORDER BY segment""".stripMargin,
+    // same status/priority predicates over the flat table — equality
+    // proves the nested stage + pushed scan dropped nothing
+    "q322_nested_pushdown" ->
+      """SELECT o_orderstatus AS status, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders
+        |WHERE o_orderstatus <> 'O' AND o_orderpriority LIKE '1%'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact decimal error sums; MASE one double division; the verdict
     // a decimal cross-multiplication
     "q318_mase_backtest" ->
@@ -1038,7 +1101,7 @@ object SourceQueries {
         |  ROUND(CAST(test_sum * (n - 4) AS DOUBLE)
         |    / CAST(train_sum * 3 AS DOUBLE), 6) AS mase,
         |  test_sum * (n - 4) < train_sum * 3 AS beats_naive
-        |FROM a ORDER BY segment""".stripMargin,
+        |FROM a WHERE n >= 8 AND train_sum > 0 ORDER BY segment""".stripMargin,
     // every pairwise slope, both median selections, and the forecast
     // chain replayed term-for-term
     "q315_theil_sen" ->
@@ -1354,6 +1417,110 @@ object SourceQueries {
     // one DOUBLE cast; Cramer cofactor expansion written in the same
     // a*(e*i - f*h) - b*(d*i - f*g) + c*(d*h - e*g) order as the
     // engine's det3, so every fitted slope/SSE is the same IEEE chain
+    // the q274 fit replayed UNROUNDED, then every md5 draw recomputed:
+    // residual index, changepoint occurrence/location/sign per path —
+    // same IEEE chains, same sorted-list reductions as q121
+    "q323_cp_intervals" ->
+      """WITH daily AS (
+        |  SELECT event_type AS segment,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |obs AS (
+        |  SELECT segment, x - MIN(x) OVER (PARTITION BY segment) AS x0, y,
+        |    row_number() OVER (PARTITION BY segment ORDER BY x) AS rn,
+        |    COUNT(*) OVER (PARTITION BY segment) AS n,
+        |    MAX(x) OVER (PARTITION BY segment)
+        |      - MIN(x) OVER (PARTITION BY segment) AS xmax0
+        |  FROM daily),
+        |cands AS (
+        |  SELECT DISTINCT segment, x0 AS c FROM obs
+        |  WHERE rn >= 2 AND rn <= FLOOR(n * 0.8)
+        |    AND (rn - 2) % GREATEST(1, CAST(FLOOR(n / 25) AS BIGINT)) = 0),
+        |feat AS (
+        |  SELECT o.segment, c.c, o.x0, o.y, o.xmax0,
+        |    GREATEST(0, o.x0 - c.c) AS h
+        |  FROM obs o JOIN cands c ON o.segment = c.segment),
+        |sums AS (
+        |  SELECT segment, c,
+        |    CAST(COUNT(*) AS DOUBLE) AS sn,
+        |    CAST(CAST(SUM(x0) AS BIGINT) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(x0 * x0) AS BIGINT) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(h) AS BIGINT) AS DOUBLE) AS sh,
+        |    CAST(CAST(SUM(h * h) AS BIGINT) AS DOUBLE) AS shh,
+        |    CAST(CAST(SUM(x0 * h) AS BIGINT) AS DOUBLE) AS sxh,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x0 AS DECIMAL(18,0)) * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(h AS DECIMAL(18,0)) * y) AS DOUBLE) AS shy,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy,
+        |    MAX(xmax0) AS xmax0
+        |  FROM feat GROUP BY 1, 2),
+        |solved AS (
+        |  SELECT *,
+        |    sn*(sxx*shh - sxh*sxh) - sx*(sx*shh - sxh*sh) + sh*(sx*sxh - sxx*sh)
+        |      AS det
+        |  FROM sums),
+        |params AS (
+        |  SELECT *,
+        |    (sy*(sxx*shh - sxh*sxh) - sx*(sxy*shh - sxh*shy) + sh*(sxy*sxh - sxx*shy)) / det AS b0,
+        |    (sn*(sxy*shh - sxh*shy) - sy*(sx*shh - sxh*sh) + sh*(sx*shy - sxy*sh)) / det AS b1,
+        |    (sn*(sxx*shy - sxy*sxh) - sx*(sx*shy - sxy*sh) + sy*(sx*sxh - sxx*sh)) / det AS b2
+        |  FROM solved WHERE det <> 0),
+        |scored AS (
+        |  SELECT *, syy - (b0*sy + b1*sxy + b2*shy) AS sse FROM params),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY segment
+        |    ORDER BY ROUND(sse / syy, 9), c) AS rk
+        |  FROM scored),
+        |win AS (
+        |  SELECT segment, sn, c, b0, b1, b2, xmax0 FROM ranked WHERE rk = 1),
+        |resid AS (
+        |  SELECT o.segment, o.rn,
+        |    CAST(o.y AS DOUBLE)
+        |      - (w.b0 + w.b1*o.x0 + w.b2*GREATEST(0, o.x0 - w.c)) AS rr
+        |  FROM obs o JOIN win w ON w.segment = o.segment),
+        |hs AS (SELECT unnest(generate_series(1, 7)) AS h),
+        |ii AS (SELECT unnest(generate_series(0, 999)) AS i),
+        |draws AS (
+        |  SELECT w.segment, hs.h, ii.i, w.b0, w.b1, w.b2, w.c, w.xmax0,
+        |    CAST(('0x' || substr(md5(w.segment || '|' ||
+        |      CAST(ii.i AS VARCHAR) || '|' || CAST(hs.h AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % CAST(w.sn AS BIGINT) AS ridx,
+        |    CAST(('0x' || substr(md5(w.segment || '|' ||
+        |      CAST(ii.i AS VARCHAR) || '|cp'), 1, 15)) AS BIGINT) % 2 = 0 AS occ,
+        |    CAST(('0x' || substr(md5(w.segment || '|' ||
+        |      CAST(ii.i AS VARCHAR) || '|g'), 1, 15)) AS BIGINT) % 3 + 1 AS g,
+        |    CAST(CAST(('0x' || substr(md5(w.segment || '|' ||
+        |      CAST(ii.i AS VARCHAR) || '|s'), 1, 15)) AS BIGINT) % 2 * 2 - 1
+        |      AS DOUBLE) AS sgn
+        |  FROM win w CROSS JOIN hs CROSS JOIN ii),
+        |paths AS (
+        |  SELECT d.segment, d.h, d.i,
+        |    d.b0 + d.b1*(d.xmax0 + d.h)
+        |      + d.b2*GREATEST(0, d.xmax0 + d.h - d.c)
+        |      + (CASE WHEN d.occ THEN d.sgn * ABS(d.b2)
+        |          * CAST(GREATEST(0, d.h - d.g + 1) AS DOUBLE)
+        |          ELSE 0.0 END)
+        |      + r.rr AS v
+        |  FROM draws d
+        |  JOIN resid r ON r.segment = d.segment AND r.rn = d.ridx + 1),
+        |agg AS (
+        |  SELECT segment, h, list_sort(list(v)) AS vs, COUNT(*) AS n
+        |  FROM paths GROUP BY 1, 2),
+        |iq AS (SELECT segment, h, vs, n,
+        |  CAST(0.1 AS DOUBLE) * (n - 1) AS i10,
+        |  CAST(0.5 AS DOUBLE) * (n - 1) AS i50,
+        |  CAST(0.9 AS DOUBLE) * (n - 1) AS i90 FROM agg),
+        |pct AS (SELECT segment, h, vs, n, i10, i50, i90,
+        |  vs[CAST(FLOOR(i10) AS INTEGER) + 1] + (vs[CAST(CEIL(i10) AS INTEGER) + 1] - vs[CAST(FLOOR(i10) AS INTEGER) + 1]) * (i10 - FLOOR(i10)) AS v10,
+        |  vs[CAST(FLOOR(i50) AS INTEGER) + 1] + (vs[CAST(CEIL(i50) AS INTEGER) + 1] - vs[CAST(FLOOR(i50) AS INTEGER) + 1]) * (i50 - FLOOR(i50)) AS v50,
+        |  vs[CAST(FLOOR(i90) AS INTEGER) + 1] + (vs[CAST(CEIL(i90) AS INTEGER) + 1] - vs[CAST(FLOOR(i90) AS INTEGER) + 1]) * (i90 - FLOOR(i90)) AS v90
+        |  FROM iq)
+        |SELECT segment, CAST(h AS INTEGER) AS h,
+        |  ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs), (a, x) -> a + x) / n, 6) AS mean,
+        |  ROUND(v10, 6) AS p10, ROUND(v50, 6) AS p50, ROUND(v90, 6) AS p90,
+        |  ROUND(v90 - v10, 6) AS width
+        |FROM pct ORDER BY segment, h""".stripMargin,
     "q274_changepoint_trend" ->
       """WITH daily AS (
         |  SELECT event_type AS segment,

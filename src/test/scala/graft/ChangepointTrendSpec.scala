@@ -85,6 +85,41 @@ class ChangepointTrendSpec extends SparkTestBase {
     assert(fit.getAs[Double]("rel_sse") < one.getAs[Double]("rel_sse"))
   }
 
+  test("interval width grows with horizon and covers a planted-break holdout") {
+    // Prophet interval semantics (r15 ask #2): train on 60 points with
+    // a slope break 2→8 planted at x=41 (odd, so it sits ON the
+    // rank-spaced candidate grid: step=60/25=2, candidates x0∈{1,3,…,47});
+    // small deterministic noise keeps residuals honest. The holdout
+    // continues the post-break slope for 7 more days.
+    def noise(i: Int): Double = ((i * 37) % 5 - 2) * 0.1 // ∈ {−0.2..0.2}
+    def trend(i: Int): Double =
+      if (i < 41) 100.0 + 2.0 * i else 100.0 + 2.0 * 41 + 8.0 * (i - 41)
+    val train = series("s", 60)(i => trend(i) + noise(i))
+    val summary = ChangepointTrend
+      .intervalSummary(train, k = 25, horizon = 7, nPaths = 1000)
+      .collect().sortBy(_.getAs[Int]("h"))
+    assert(summary.length === 7)
+    val widths = summary.map(_.getAs[Double]("width")).toSeq
+    // widening fan: monotone non-decreasing, strictly wider overall —
+    // the changepoint-shift mass both grows in magnitude (linear in
+    // h−g) and reaches more paths as h grows
+    widths.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a, s"width shrank: $widths")
+    }
+    assert(widths.last > widths.head * 1.5,
+      s"no horizon growth: $widths")
+    // coverage: each holdout point (the post-break slope continued,
+    // noise-free) falls inside [p10, p90]
+    summary.foreach { r =>
+      val h = r.getAs[Int]("h")
+      val actual = trend(59 + h)
+      assert(r.getAs[Double]("p10") <= actual &&
+        actual <= r.getAs[Double]("p90"),
+        s"h=$h actual $actual outside [${r.getAs[Double]("p10")}, " +
+          s"${r.getAs[Double]("p90")}]")
+    }
+  }
+
   test("multi-segment fit is independent per segment") {
     val df = series("a", 50)(i => if (i < 20) i.toDouble else 20.0 + 4.0 * (i - 20))
       .union(series("b", 50)(i => 200.0 - 2.0 * i))
