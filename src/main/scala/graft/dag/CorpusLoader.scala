@@ -517,6 +517,13 @@ object CorpusLoader {
     }
   }
 
+  /** Drop the session's cached exec sweep so the next
+    * [[deployAndExecuteCached]] pays the full deploy + materialization.
+    * Bench calls this before every timed q109 run: without it, min-of-2
+    * timing always records the second run's treehash hit and the real
+    * fused deploy+execute path is no longer performance-gated. */
+  def clearExecCache(spark: SparkSession): Unit = execCache.remove(spark)
+
   private def withStoreConf[A](spark: SparkSession, storeAnalyzed: Boolean)(f: => A): A =
     withConfs(spark,
       Map("spark.sql.legacy.storeAnalyzedPlanForView" -> storeAnalyzed.toString))(f)

@@ -2139,6 +2139,13 @@ object LlmQueries {
     // source + one per-source rank window; all counts integers, the
     // two published rates are single exact-int divisions. Sources are
     // few — the card is a reduction, never a bottleneck.
+    // Scale audit (r15 ask #3): the rank window is PARTITIONED BY
+    // source — sources parallelize, and no partition ever holds more
+    // than one source's rows. A corpus where a single source is itself
+    // petabyte-scale would migrate this one column to
+    // ShardBalance.globalOrderStats run per source (or
+    // percentile_approx when the card tolerates it); everything else
+    // here is partial-aggregatable.
     "q261_dataset_card" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
         col("lang"), col("n_chars"),

@@ -93,6 +93,31 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("batched == sequential on collision-prone fragments, long words, m=16") {
+    // r15 ADVICE regime widening: words built from multi-char FRAGMENTS
+    // {a, b, ab, ba} — so a freshly minted merge symbol "ab" collides
+    // with pre-existing substrings constantly — plus words up to ~14
+    // chars (long runs → many leftover pairs literal replace skips) and
+    // a deeper merge budget (m=16) so late rounds run on heavily merged
+    // symbol sequences where the interference bounds have compounded.
+    val rnd = new scala.util.Random(16160816L)
+    val frags = Seq("a", "b", "ab", "ba")
+    for (trial <- 1 to 40) {
+      val words = (1 to (3 + rnd.nextInt(6))).map { _ =>
+        (1 to (2 + rnd.nextInt(6)))
+          .map(_ => frags(rnd.nextInt(frags.size))).mkString
+      }
+      val text = (1 to 25).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" ")
+      val docs = Seq((trial.toLong, text)).toDF("doc_id", "text")
+      val (batched, _) = Bpe.learnMergeListWithRounds(docs, m = 16)
+      val (sequential, _) =
+        Bpe.learnMergeListWithRounds(docs, m = 16, topK = 1)
+      assert(batched == sequential,
+        s"trial $trial diverged on '$text':\n  batched   $batched\n  sequential $sequential")
+    }
+  }
+
   test("batched acceptance needs FEWER rounds than merges on a spread corpus") {
     // well-separated pair frequencies over disjoint alphabets: the
     // prefix rule accepts several merges per collect

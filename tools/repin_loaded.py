@@ -31,7 +31,8 @@ import json
 import sys
 
 # queries whose cost this round's code deliberately reduced: the old
-# idle pin would overstate them, so they re-pin at the loaded median
+# idle pin would overstate them, so they re-pin at the loaded max
+# outright (no floor at the old pin)
 RESET_TO_LOADED = {
     "q118_stream_incr_dedup",   # 4 -> 2 triggers
     "q258_stream_left_outer",   # 3 -> 2 staged files, 8 -> 4 state parts
