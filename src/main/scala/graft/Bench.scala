@@ -245,6 +245,11 @@ object Bench {
         System.gc(); Thread.sleep(500)
         val evalCount = sys.env.get("SPARK_GRAFT_BENCH_EVAL").contains("count")
         val again = (1 to 2).flatMap { _ =>
+          // same uncached-path contract as the main loop: a retry that
+          // hit the corpus exec cache would record a ~0.1 s "min" and
+          // un-gate the real deploy+execute path
+          if (name == "q109_corpus_exec")
+            graft.dag.CorpusLoader.clearExecCache(spark)
           val t0 = System.nanoTime()
           try {
             val df = byName(name)(spark, sfDir)

@@ -56,6 +56,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(formatted("q12_anti_join").contains("LeftAnti"))
   }
 
+  test("q221 quintiles ride the range exchange, not a global ntile window") {
+    // r15 ask #3: the RFM scoring must never single-partition the
+    // customers frame — each of the three globalNtile passes shows up
+    // as a rangepartitioning exchange, and no unpartitioned ntile
+    // window remains in the plan
+    val p = formatted("q221_rfm_segments")
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"no range exchange in q221 plan:\n$p")
+    assert(!p.contains("ntile"), s"ntile window survived in q221:\n$p")
+  }
+
   test("MinHash-LSH candidate generation has no cartesian product") {
     val p = formatted("q72_minhash_lsh")
     assert(!p.contains("CartesianProduct"), s"cartesian in LSH plan:\n$p")

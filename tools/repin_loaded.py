@@ -32,12 +32,11 @@ import sys
 
 # queries whose cost this round's code deliberately reduced: the old
 # idle pin would overstate them, so they re-pin at the loaded max
-# outright (no floor at the old pin)
-RESET_TO_LOADED = {
-    "q118_stream_incr_dedup",   # 4 -> 2 triggers
-    "q258_stream_left_outer",   # 3 -> 2 staged files, 8 -> 4 state parts
-    "q109_corpus_exec",         # treehash short-circuit on re-runs
-}
+# outright (no floor at the old pin). r16: emptied — the r15 names'
+# reductions are already baked into the current pins, and no r16 change
+# reduced a query's cost (q109/q221 deliberately ROSE: uncached bench
+# path / range-exchange quintiles — the max-merge handles increases).
+RESET_TO_LOADED = set()
 
 NOTE = (
     "per-query sf0.1 seconds: MAX of 3 full sweeps run UNDER A "
