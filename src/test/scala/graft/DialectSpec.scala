@@ -8,6 +8,37 @@ import graft.dag.{Dialect, ViewDag, ViewDef}
 class DialectSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("implicit-unnest EXISTS becomes the exists() HOF, executed on data") {
+    // the platform_priority_scores shape: EXISTS over a bare dotted
+    // array path with unqualified element-field predicates. Must become
+    // a linear HOF (Spark decorrelates the correlated-subquery fallback
+    // into a domain join PER EXISTS — measured 680 s at 640 fixture
+    // rows vs 21 s with the HOF)
+    val t = Dialect.translate(
+      """SELECT f.name FROM feats AS f WHERE EXISTS (
+        |  SELECT 1 FROM f.bugs as bugs where priority = "P1" OR priority = "P2")""".stripMargin)
+    assert(t.contains("exists(f.bugs, bugs -> bugs.priority = "), t)
+    assert(!t.toLowerCase.contains("inline"), t)
+    // predicates that reference anything dotted/called fall through to
+    // the (correct, slower) correlated path instead of misqualifying
+    val keep = Dialect.translate(
+      "SELECT 1 FROM t WHERE EXISTS (SELECT 1 FROM t.arr AS x WHERE upper(v) = 'A')")
+    assert(keep.toLowerCase.contains("inline"), keep)
+    // executed end-to-end: HOF result matches the hand-written truth
+    val df = Seq(
+      ("a", Seq(("P1", 1L), ("P3", 2L))),
+      ("b", Seq(("P3", 3L))),
+      ("c", Seq.empty[(String, Long)])).toDF("name", "bugs")
+      .select(col("name"), col("bugs").cast(
+        "array<struct<priority:string,n:bigint>>").as("bugs"))
+    df.createOrReplaceTempView("feats_hof")
+    val got = spark.sql(Dialect.translate(
+      """SELECT name FROM feats_hof AS f
+        |WHERE EXISTS (SELECT 1 FROM f.bugs AS bugs where priority = "P1")""".stripMargin))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a"))
+  }
+
   test("function shims translate") {
     assert(Dialect.translate("SELECT COUNTIF(x > 1) FROM t")
       .contains("count_if(x > 1)"))
