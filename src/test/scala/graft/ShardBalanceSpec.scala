@@ -94,6 +94,27 @@ class ShardBalanceSpec extends SparkTestBase {
     assert(gotTiny === Seq(1L, 2L, 3L))
   }
 
+  test("globalNtile == ntile by property over random (n, k, duplicates)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(16L)
+    for (trial <- 1 to 12) {
+      val n = 1 + rnd.nextInt(200)
+      val k = 1 + rnd.nextInt(9)
+      // duplicate-heavy values: the tie-broken total order (v, id) is
+      // the contract under test
+      val rows = (0 until n).map(i => (i.toLong, rnd.nextInt(7).toLong))
+      val df = rows.toDF("id", "v")
+      val got = ShardBalance.globalNtile(df,
+          Seq(col("v"), col("id")), k, "b", nRangeParts = 1 + rnd.nextInt(6))
+        .orderBy("id").select("b").collect().map(_.getLong(0)).toSeq
+      val want = df.withColumn("b",
+          ntile(k).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+        .orderBy("id").select("b").collect().map(_.getLong(0)).toSeq
+      assert(got == want, s"trial $trial n=$n k=$k")
+    }
+  }
+
   test("every document is assigned exactly once, shards cover 0..n-1") {
     val assigned = ShardBalance.assign(docs, "doc_id", tok, 16)
     assert(assigned.count() === docs.count())
