@@ -248,7 +248,16 @@ object TextDedup {
     val verified = verifyJaccard(
       minhashCandidates(docs, textCol, idCol, k, bands, shingleW),
       docs, threshold, textCol, idCol)
+    // The edge list feeds FOUR plan branches (the CC operator's
+    // symmetrized union twice, edgeVerts' union twice) and none share an
+    // exchange subtree, so without a barrier the whole LSH→verify
+    // pipeline re-executes per branch (measured: 4 full candidate+verify
+    // passes at sf0.1). The verified pair set is candidate-bounded and
+    // tiny by construction — checkpoint it once, every branch reads the
+    // materialized rows. (r16; guide §2.4 — remove repeated work before
+    // tuning anything inside it.)
     val edges = verified.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint()
     // Iterate ONLY the non-trivial subgraph: in a dedup corpus nearly
     // all docs are singletons (no verified edge), and their label is
     // their own id by definition — excluding them shrinks every CC

@@ -30,11 +30,19 @@ object TriangleCount {
     */
   def count(edges: DataFrame): DataFrame = {
     // canonical undirected edge set: (u,v) with u < v, distinct
+    // e feeds four branches (degree union twice, the orientation join,
+    // the edge-count aggregate) and oriented feeds three (both wedge
+    // sides, the closing set); neither shares an exchange subtree across
+    // branches, so without barriers the caller's edge-construction plan
+    // re-executes per branch (measured: 72 parquet scans in q153's
+    // un-barriered plan). Both frames are |E|-bounded — checkpoint once,
+    // every branch reads the materialized rows (r16; guide §2.4).
     val e = edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint()
     val deg = e.select(col("u").as("id"))
       .unionAll(e.select(col("v").as("id")))
       .groupBy("id").agg(fcount(lit(1)).as("d"))
@@ -48,6 +56,7 @@ object TriangleCount {
       when(col("ou") < col("ov"), col("u")).otherwise(col("v")).as("s"),
       when(col("ou") < col("ov"), col("ov")).otherwise(col("ou")).as("to"),
       when(col("ou") < col("ov"), col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint()
     // wedges around the pivot s: two out-neighbors, kept ordered so each
     // unordered pair appears once
     val w1 = oriented.select(col("s"), col("t").as("a"), col("to").as("oa"))

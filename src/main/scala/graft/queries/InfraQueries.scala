@@ -181,6 +181,10 @@ object InfraQueries {
         .groupBy(col("o_custkey").as("c"),
           (col("l_suppkey") + 10000000L).as("sup"))
         .agg(min(col("l_quantity")).cast(LongType).as("w"))
+        // the symmetrizing union + the operator's internal ed/nodes
+        // branches evaluate this orders⋈lineitem aggregate 4x without a
+        // barrier — checkpoint the |pairs|-sized frame once (r16)
+        .localCheckpoint()
       val edges = pair.select(col("c").as("src"), col("sup").as("dst"), col("w"))
         .union(pair.select(col("sup").as("src"), col("c").as("dst"), col("w")))
       val sources = t(s, dir, "orders")
@@ -202,6 +206,9 @@ object InfraQueries {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"),
           (col("l_suppkey") + 10000000L).as("sup")).distinct()
+        // symmetrizing union + the operator's internal branches evaluate
+        // the orders⋈lineitem distinct 4x without a barrier (r16)
+        .localCheckpoint()
       val edges = pair.select(col("c").as("src"), col("sup").as("dst"))
         .union(pair.select(col("sup").as("src"), col("c").as("dst")))
       graft.operators.KCore.run(edges, k = 10, rounds = 3)
@@ -627,6 +634,10 @@ object InfraQueries {
         .select(col("o_custkey").as("c"),
           (col("l_suppkey") + 10000000L).as("sup"))
         .distinct()
+        // symmetrizing union + PageRank's ed/degree/nodes branches
+        // evaluate the orders⋈lineitem distinct up to 8x without a
+        // barrier — checkpoint the pair frame once (r16)
+        .localCheckpoint()
       val edges = cs.select(col("c").as("src"), col("sup").as("dst"))
         .union(cs.select(col("sup").as("src"), col("c").as("dst")))
       graft.operators.PageRank.run(edges, iters = 3)

@@ -1597,7 +1597,7 @@ object LlmQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wShard = Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val flagged = docs
+      val flagged0 = docs
         .withColumn("is_eval", isEval)
         .withColumn("k", md5(lower(col("text"))))
         .join(contam, Seq("doc_id"), "left")
@@ -1628,6 +1628,14 @@ object LlmQueries {
         // greedy concat packing offset over the sampled stream (q59 form)
         .withColumn("off", sum(when(col("s4"), col("n_tok")).otherwise(0L)).over(wShard))
         .withColumn("bin", floor(coalesce(col("off"), lit(0L)) / 512))
+      // the funnel frame feeds two actions (the sharded export and the
+      // card aggregate); without a barrier the decontamination join and
+      // all three windows execute twice. Project down to the ten columns
+      // both consumers need (drops text) and checkpoint once (r16).
+      val flagged = flagged0.select(col("doc_id"), col("source"),
+          col("is_eval"), col("s1"), col("s2"), col("s3"), col("s4"),
+          col("n_tok"), col("shard"), col("bin"))
+        .localCheckpoint()
       // export the sampled set sharded (side effect + read-back proof,
       // the q88 pattern: shared dir per sf, overwrite keeps it correct)
       val path = shardDirs.computeIfAbsent(s"$dir#card",
@@ -2251,8 +2259,13 @@ object LlmQueries {
           (size(col("ta")) + size(col("tb"))).cast(LongType).as("ab"))
         .select(col("doc_a"), col("doc_b"),
           expr("(i * 1000000) DIV (ab - i)").as("sim6"))
-      val perDoc = sims.select(col("doc_a").as("doc_id"), col("sim6"))
-        .union(sims.select(col("doc_b").as("doc_id"), col("sim6")))
+      // one evaluation of the candidate-verify join, exploded to both
+      // endpoints — the union-of-two-selects form re-executed the whole
+      // LSH+intersect pipeline per branch (no shared exchange subtree;
+      // measured 2x at sf0.1, r16). Same multiset of (doc_id, sim6) rows.
+      val perDoc = sims
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"),
+          col("sim6"))
         .groupBy("doc_id").agg(max("sim6").as("mx"))
       d.select(col("doc_id"), col("source"))
         .join(perDoc, Seq("doc_id"), "left")
