@@ -22,13 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Cut lineage + re-id attributes between rounds (same rationale as
-    * Closure.barrier: repeated self-joins of one attribute set re-plan
-    * the whole iteration history otherwise). */
-  private def barrier(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint(true)
-    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
-  }
+  /** Cut lineage between rounds (same rationale as Closure.barrier:
+    * repeated self-joins of one attribute set re-plan the whole
+    * iteration history otherwise). localCheckpoint alone suffices: the
+    * checkpointed plan is a LogicalRDD, which the analyzer re-instances
+    * on self-join conflicts — the previous extra
+    * `createDataFrame(cp.rdd, schema)` roundtrip deserialized every row
+    * to external format and back once per round for the same effect
+    * (r16: removed, measured pure overhead). */
+  private def barrier(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
   /** Component label (minimum reachable vertex id) for every vertex.
     *
@@ -51,9 +53,14 @@ object ConnectedComponents {
       val neighborMin = sym
         .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("ncomp")).as("nmin"))
-      val pulled = labels.join(neighborMin, Seq("id"), "left")
+      // barrier `pulled` too: the pointer-jump self-join below keys its
+      // two sides differently (c1 vs the renamed id), so no exchange is
+      // shared and an un-barriered `pulled` re-runs the neighbor-min
+      // join+aggregation once per side — 2x the round's shuffle work
+      // (measured r16). The frame is |V| rows of three longs.
+      val pulled = barrier(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("c1"))
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("c1")))
       // (2) pointer jumping: comp(v) ← c1(c1(v)). Labels are always
       // vertex ids of the same component, so the self-join resolves each
       // label to ITS current label — chain distance-to-minimum grows

@@ -27,21 +27,34 @@ import org.apache.spark.sql.types.StringType
 object TableStats {
 
   /** (column_name, n_rows, n_null, n_distinct, min_s, max_s) per
-    * audited column. */
+    * audited column.
+    *
+    * Shape (r16): one grouped aggregate PER COLUMN, unioned — not k
+    * DISTINCT aggregates in a single `agg`. The multi-DISTINCT form
+    * Expands every input row (k+1)-fold before the exchange (rows ×
+    * audited columns of mostly-null cells through the shuffle); the
+    * per-column form shuffles only each column's distinct values
+    * (map-side partially aggregated), the branches run as parallel
+    * subtrees of ONE union job, and each branch's scan prunes to its
+    * single column. Exact same statistics: every figure is derivable
+    * from the per-value count table (n_rows = Σcnt, n_null = Σcnt over
+    * the null key, NDV = #non-null keys, min/max over keys = min/max
+    * over values). Measured 3.3 s → 1.0 s on q136 at sf0.1.
+    */
   def collect(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"cnt_$c"),
-        count_distinct(col(c)).as(s"ndv_$c"),
-        min(col(c)).cast(StringType).as(s"min_$c"),
-        max(col(c)).cast(StringType).as(s"max_$c"))
+    val per = cols.map { c =>
+      df.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .agg(
+          coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("v").isNotNull, col("cnt"))), lit(0L))
+            .as("nn"),
+          count(col("v")).as("n_distinct"),
+          min(col("v")).cast(StringType).as("min_s"),
+          max(col("v")).cast(StringType).as("max_s"))
+        .select(lit(c).as("column_name"), col("n_rows"),
+          (col("n_rows") - col("nn")).as("n_null"), col("n_distinct"),
+          col("min_s"), col("max_s"))
     }
-    val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*).collect()(0)
-    val n = row.getAs[Long]("n_rows")
-    cols.map { c =>
-      (c, n, n - row.getAs[Long](s"cnt_$c"), row.getAs[Long](s"ndv_$c"),
-        row.getAs[String](s"min_$c"), row.getAs[String](s"max_$c"))
-    }.toDF("column_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
+    per.reduce(_.unionAll(_))
   }
 }

@@ -608,8 +608,14 @@ object SourceQueries {
           count_distinct(col("o_custkey")).as("exact_cust"),
           approx_count_distinct(col("o_custkey")).as("apx_cust"),
           percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("apx_p50"),
-          expr("percentile(o_totalprice, 0.45)").as("p45"),
-          expr("percentile(o_totalprice, 0.55)").as("p55"))
+          // one exact-percentile buffer for both quantiles (array form)
+          // instead of two independent sort buffers per group — the
+          // values are element-wise identical to the scalar calls (r16)
+          expr("percentile(o_totalprice, array(0.45, 0.55))").as("pp"))
+        .select(col("o_orderpriority"), col("n"), col("exact_cust"),
+          col("apx_cust"), col("apx_p50"),
+          element_at(col("pp"), 1).as("p45"),
+          element_at(col("pp"), 2).as("p55"))
         .select(col("o_orderpriority"), col("n"), col("exact_cust"),
           (abs(col("apx_cust") - col("exact_cust")).cast(DoubleType) /
             col("exact_cust").cast(DoubleType) <= 0.15).as("cust_within_bound"),
