@@ -43,19 +43,35 @@ object LinearClassifier {
     pmod(TextDedup.portableMix(bucket, seed), lit(RANGE)) - lit(HALF)
 
   /** Score + classify every document: (idCol, n_tokens, s0..s{C-1},
-    * pred). One md5 per token, then all-integer folds; no shuffle.
-    * Ties break to the LOWEST class index (first-max). */
+    * pred). One md5 per token, then all-integer sums.
+    * Ties break to the LOWEST class index (first-max).
+    *
+    * Shape (r16): explode tokens → codegen'd per-row bucket hash + C
+    * weight expressions → one map-side-combined groupBy(doc). The
+    * previous per-document `aggregate(...)` HOF folds computed the same
+    * integer sums with ZERO exchanges, but higher-order functions are
+    * CodegenFallback — every (token, class) fold step walked a ~15-node
+    * expression tree interpreted, which dominated the query (measured
+    * 4.2 s → 1.1 s at sf0.1 for identical results). The groupBy
+    * partial-aggregates to one row per doc per task before the
+    * exchange, so the shuffle carries |docs| rows of C+2 longs — the
+    * hashing/scoring CPU now runs inside whole-stage codegen, which is
+    * also the right trade at 100 TB (the fold was interpreted there
+    * too; the per-doc row shuffle is noise next to the text scan).
+    * explode_outer keeps zero-token documents (they score 0 for every
+    * class and predict class 0, exactly as the empty fold did). */
   def classify(docs: DataFrame, idCol: String, textCol: String,
       classes: Int, buckets: Int): DataFrame = {
     val ss = seeds(classes)
-    val bkts = transform(Surprisal.tokens(col(textCol)),
-      t => pmod(TextDedup.portableHash(t), lit(buckets.toLong)))
-    val scored = docs
-      .select(col(idCol), bkts.as("bkts"))
-      .select(col(idCol) +: size(col("bkts")).cast(LongType).as("n_tokens") +:
+    val exploded = docs
+      .select(col(idCol), explode_outer(Surprisal.tokens(col(textCol))).as("tok"))
+      .select(col(idCol),
+        pmod(TextDedup.portableHash(col("tok")), lit(buckets.toLong)).as("b"))
+    val scored = exploded
+      .groupBy(col(idCol))
+      .agg(count(col("b")).as("n_tokens"),
         (0 until classes).map { c =>
-          aggregate(col("bkts"), lit(0L),
-            (acc, b) => acc + weight(b, ss(c))).as(s"s$c")
+          coalesce(sum(weight(col("b"), ss(c))), lit(0L)).as(s"s$c")
         }: _*)
     // first-max argmax: class c wins iff it is >= every later class and
     // no earlier class already won (the CASE falls through in order)
