@@ -601,17 +601,23 @@ object SourceQueries {
     // ≤ 0.1 %). A regression in either sketch turns a boolean false →
     // hash mismatch → red row.
     "q106_approx_variants" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .groupBy("o_orderpriority")
+      // The exact COUNT(DISTINCT) runs in its OWN aggregate, joined back
+      // on the 5-row group key: mixed into the same agg as the
+      // typed-imperative buffers (percentile, percentile_approx, HLL),
+      // the planner's distinct rewrite expands the input and every
+      // buffer pays it — measured 4.5 s fused vs 0.8 s split at sf0.1
+      // for identical results (r16). The percentile pair also shares one
+      // buffer via the array form.
+      val o = t(s, dir, "orders")
+      val base = o.groupBy("o_orderpriority")
         .agg(
           count(lit(1)).as("n"),
-          count_distinct(col("o_custkey")).as("exact_cust"),
           approx_count_distinct(col("o_custkey")).as("apx_cust"),
           percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("apx_p50"),
-          // one exact-percentile buffer for both quantiles (array form)
-          // instead of two independent sort buffers per group — the
-          // values are element-wise identical to the scalar calls (r16)
           expr("percentile(o_totalprice, array(0.45, 0.55))").as("pp"))
+      val cd = o.groupBy("o_orderpriority")
+        .agg(count_distinct(col("o_custkey")).as("exact_cust"))
+      base.join(cd, Seq("o_orderpriority"))
         .select(col("o_orderpriority"), col("n"), col("exact_cust"),
           col("apx_cust"), col("apx_p50"),
           element_at(col("pp"), 1).as("p45"),
