@@ -164,8 +164,12 @@ object Bm25 {
     def sCol(t: String) = s"s_${terms.indexOf(t)}"
     val perTerm = terms.map(t =>
       sum(when(col("term") === t, col("score"))).as(sCol(t)))
+    // one branch per query consumes byDoc below — checkpoint so the
+    // postings join + per-term aggregate run once, not once per query
+    // (r16; the frame is one row per term-matching doc)
     val byDoc = scoredRows.groupBy("doc_id")
       .agg(perTerm.head, perTerm.tail: _*)
+      .localCheckpoint()
     val perQuery = queries.map { case (qid, qTerms) =>
       byDoc
         .withColumn("score",

@@ -850,8 +850,13 @@ object LlmQueries {
       val deletes = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
         .select(lit("D").as("op"), col("doc_id"),
           lit(null).cast(StringType).as("text"))
+      // the maintained index feeds BOTH the term-filtered postings scan
+      // and the full-index stats aggregate inside topKFromIndex —
+      // checkpoint so the anti-join + re-tokenize delta apply runs once
+      // (r16; postings are corpus-vocab bounded)
       val idx1 = graft.llm.Bm25.applyChanges(idx0,
         inserts.unionByName(updates).unionByName(deletes))
+        .localCheckpoint()
       graft.llm.Bm25.topKFromIndex(idx1, bm25Queries, k = 10)
         .orderBy("query_id", "rank")
     }),
