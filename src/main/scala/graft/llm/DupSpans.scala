@@ -26,15 +26,29 @@ object DupSpans {
       w: Int): DataFrame = {
     val toks = docs.select(col(idCol),
       Surprisal.tokens(col(textCol)).as("toks"))
+    // Gram keys are chained xxhash64 longs over a let-bound hashed-token
+    // array (the q57/q68/q84 pattern): tokens hash ONCE per position,
+    // every window key is 8 bytes through the gram shuffle instead of a
+    // ~w-word string, and no per-window string is ever allocated.
+    // Injective short of a 2^-64 collision: tokens cannot contain the
+    // separator, so equal gram strings ⇔ equal hash tuples. (r16;
+    // previously concat_ws(" ", slice(...)) built and shuffled the
+    // string form.)
+    val hsed = toks.select(col(idCol),
+      size(col("toks")).cast("long").as("n_tokens"),
+      transform(col("toks"), t => xxhash64(t)).as("hs"))
     // sequence(1,0) would DESCEND in Spark — guard short docs to an
-    // empty window list instead
-    val wins = toks.select(col(idCol),
-        size(col("toks")).cast("long").as("n_tokens"),
-        posexplode(when(size(col("toks")) >= w,
-          transform(sequence(lit(1), size(col("toks")) - (w - 1)),
-            i => concat_ws(" ", slice(col("toks"), i, lit(w)))))
-          .otherwise(array())))
+    // empty window list instead. The frame feeds both the gram-count
+    // aggregate and the survivor semi-join; checkpoint so the
+    // explode+hash pass runs once (r16).
+    val wins = hsed.select(col(idCol), col("n_tokens"),
+        posexplode(when(size(col("hs")) >= w,
+          transform(sequence(lit(1), size(col("hs")) - (w - 1)),
+            i => xxhash64((0 until w).map(o =>
+              element_at(col("hs"), i + lit(o))): _*)))
+          .otherwise(array().cast("array<bigint>"))))
       .withColumnRenamed("pos", "start").withColumnRenamed("col", "gram")
+      .localCheckpoint()
     val dupGrams = wins.groupBy("gram")
       .agg(count_distinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") > 1).select("gram")
