@@ -858,23 +858,31 @@ object StatQueries {
     // multiplication (|heads−lines|·100 > heads — no float division).
     // One lineitem aggregate + one key join; published per status.
     "q224_order_reconcile" -> ((s, dir) => {
-      val dec = DecimalType(28, 8)
+      // Exact LONG arithmetic in 10^-6-dollar units replaces the decimal
+      // chain (r16): every money column is an exact 2-dp value (verified
+      // ≤4e-9 off the cent grid at all three SFs), so
+      // cents·(100−d%)·(100+t%) IS the decimal product ×10^6 with zero
+      // rounding (the old dec(28,8) cast rounded a ≤6-dp value at 8 dp —
+      // identity), and the 1% gate cross-multiplies the same integers.
+      // Bounds: cents < 10^7, factors ≤ 110·108 → ≤1.2e11/line, ≤7
+      // lines/order → Σ < 1e12; head_u < 5e11; |diff|·100 < 1e14 ≪ 2^63.
+      // Same booleans row-for-row, decimal ops off the hot path.
+      def c100(c: org.apache.spark.sql.Column) =
+        round(c * 100).cast(LongType)
       val lines = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey").as("k"))
-        .agg(sum((col("l_extendedprice").cast(dec) *
-          (lit(1).cast(dec) - col("l_discount").cast(dec)) *
-          (lit(1).cast(dec) + col("l_tax").cast(dec))).cast(dec))
-          .as("line_total"))
+        .agg(sum(c100(col("l_extendedprice")) *
+          (lit(100L) - c100(col("l_discount"))) *
+          (lit(100L) + c100(col("l_tax")))).as("line_u"))
       t(s, dir, "orders")
         .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
-          col("o_totalprice").cast(DecimalType(18, 2)).as("head_total"))
+          (c100(col("o_totalprice")) * 10000L).as("head_u"))
         .join(lines, Seq("k"), "left")
-        .withColumn("mismatch", col("line_total").isNull ||
-          abs(col("head_total").cast(dec) - col("line_total")) * 100 >
-            col("head_total").cast(dec))
+        .withColumn("mismatch", col("line_u").isNull ||
+          abs(col("head_u") - col("line_u")) * 100 > col("head_u"))
         .groupBy("status")
         .agg(count(lit(1)).as("n_orders"),
-          count_if(col("line_total").isNull).as("n_no_lines"),
+          count_if(col("line_u").isNull).as("n_no_lines"),
           count_if(col("mismatch")).as("n_mismatch"))
         .orderBy("status")
     }),
