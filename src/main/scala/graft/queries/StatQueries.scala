@@ -1321,9 +1321,12 @@ object StatQueries {
         .orderBy("v")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
-      val tot = byVal.groupBy("g").agg(sum("w").as("tw"))
+      // total weight rides the SAME per-g exchange as the cumulative sum
+      // (whole-partition window frame) instead of re-evaluating byVal
+      // into a second aggregate + join (r16; identical tw per group)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("g")
       byVal.withColumn("cw", sum(col("w")).over(wc))
-        .join(broadcast(tot), "g")
+        .withColumn("tw", sum(col("w")).over(wAll))
         .filter(col("cw") >= expr("(tw + 1) div 2"))
         .groupBy("g", "tw").agg(min("v").as("weighted_median"))
         .orderBy("g")
