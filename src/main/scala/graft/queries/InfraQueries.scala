@@ -440,10 +440,14 @@ object InfraQueries {
         col("l_linestatus").as("linestatus"),
         col("l_quantity").cast(LongType).cast(StringType).as("quantity"),
         month(col("l_shipdate")).cast(StringType).as("shipmonth"))
+      // the unpivoted frame feeds both the run-length window path and
+      // the per-column distinct count — checkpoint so the 4x-unpivot
+      // scan runs once, not per branch (r16)
       val long = li.unpivot(Array(col("ok"), col("ln")),
         Array(col("returnflag"), col("linestatus"), col("quantity"),
           col("shipmonth")), "colname", "val")
         .withColumn("chunk", expr("ok div 1000"))
+        .localCheckpoint()
       // (ok, ln) is NOT unique in the synthetic lineitem — val joins the
       // order key so tie groups sort identically in both engines and the
       // match count is well-defined

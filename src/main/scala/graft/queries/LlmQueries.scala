@@ -2463,10 +2463,13 @@ object LlmQueries {
     // 8-gram hits isolate exact-dup phrasing — the same property that
     // made 8 the right decon window in q271.
     "q298_novelty_rollup" -> ((s, dir) => {
+      // the gram frame feeds both the per-gram count and the join-back —
+      // checkpoint so the explode + per-window md5 runs once (r16)
       val grams = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           graft.llm.Surprisal.tokens(col("text")).as("ws"))
         .select(col("doc_id"), col("source"), gram8(col("ws")).as("g"))
+        .localCheckpoint()
       val all = Window.partitionBy()
       val counts = grams.groupBy("g").agg(count(lit(1)).as("n"))
       grams.join(counts, Seq("g"))
