@@ -21,7 +21,12 @@ object Closure {
     * lineage, and rebuilding from the checkpointed RDD gives the plan
     * fresh attribute ids (an analysis barrier) — without it, repeated
     * self-unions of the same attributes trip Catalyst constraint
-    * propagation and re-plan the whole history each round. */
+    * propagation and re-plan the whole history each round. (r16 note:
+    * a bare localCheckpoint was tried — self-UNIONS of one LogicalRDD
+    * fail Union.rewriteConstraints with "key not found: src#N",
+    * reproduced by OperatorsSpec's chain fixpoint — unlike the
+    * self-JOIN-only ConnectedComponents loop, where the roundtrip was
+    * removable. The Row roundtrip stays.) */
   private def barrier(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint(true)
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
