@@ -144,6 +144,34 @@ object Bm25 {
     * probed postings, never the corpus. */
   def topKFromIndex(index: DataFrame, queries: Seq[(Int, Seq[String])],
       k: Int = 10): DataFrame = {
+    // one branch per query consumes the per-doc score frame below —
+    // checkpoint so the postings join + per-term aggregate run once,
+    // not once per query (r16; the frame is one row per term-matching
+    // doc). probeScores stays separate so the probe PLAN (isin postings
+    // prune + stats broadcast) remains assertable (Bm25IndexSpec).
+    val byDoc = probeScores(index, queries).localCheckpoint()
+    val terms = queries.flatMap(_._2).distinct
+    def sCol(t: String) = s"s_${terms.indexOf(t)}"
+    val perQuery = queries.map { case (qid, qTerms) =>
+      byDoc
+        .withColumn("score",
+          qTerms.map(t => coalesce(col(sCol(t)), lit(0.0))).reduceLeft(_ + _))
+        .filter(col("score") > 0.0)
+        .select(lit(qid).as("query_id"), col("doc_id"), col("score"))
+    }
+    val all = perQuery.reduceLeft(_.unionAll(_))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    all.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** The lazy probe plan: term-pruned postings scored and folded to one
+    * row per matching doc with a column per query term. Exposed for
+    * plan audits; [[topKFromIndex]] checkpoints it once. */
+  private[graft] def probeScores(index: DataFrame,
+      queries: Seq[(Int, Seq[String])]): DataFrame = {
     val terms = queries.flatMap(_._2).distinct
     val dec = DecimalType(38, 0)
     val postings = index.filter(col("term").isin(terms: _*))
@@ -164,24 +192,6 @@ object Bm25 {
     def sCol(t: String) = s"s_${terms.indexOf(t)}"
     val perTerm = terms.map(t =>
       sum(when(col("term") === t, col("score"))).as(sCol(t)))
-    // one branch per query consumes byDoc below — checkpoint so the
-    // postings join + per-term aggregate run once, not once per query
-    // (r16; the frame is one row per term-matching doc)
-    val byDoc = scoredRows.groupBy("doc_id")
-      .agg(perTerm.head, perTerm.tail: _*)
-      .localCheckpoint()
-    val perQuery = queries.map { case (qid, qTerms) =>
-      byDoc
-        .withColumn("score",
-          qTerms.map(t => coalesce(col(sCol(t)), lit(0.0))).reduceLeft(_ + _))
-        .filter(col("score") > 0.0)
-        .select(lit(qid).as("query_id"), col("doc_id"), col("score"))
-    }
-    val all = perQuery.reduceLeft(_.unionAll(_))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-    all.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id"),
-        round(col("score"), 6).as("score"))
+    scoredRows.groupBy("doc_id").agg(perTerm.head, perTerm.tail: _*)
   }
 }

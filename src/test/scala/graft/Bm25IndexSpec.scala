@@ -55,8 +55,11 @@ class Bm25IndexSpec extends SparkTestBase {
   }
 
   test("probe plan touches only query-term postings: isin filter present, stats broadcast") {
+    // r16: topKFromIndex checkpoints the per-doc frame (so the probe
+    // runs once across query branches), which hides the probe stage from
+    // the result's plan — assert on the lazy probeScores plan instead.
     val docs = graft.util.Tables.t(spark, sfDir, "documents")
-    val plan = Bm25.topKFromIndex(Bm25.buildIndex(docs), queries, k = 5)
+    val plan = Bm25.probeScores(Bm25.buildIndex(docs), queries)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"), plan)
     assert(plan.contains("hash IN") || plan.contains("term#") && plan.contains(" IN "), plan)

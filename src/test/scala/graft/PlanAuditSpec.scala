@@ -301,10 +301,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(cartesians == 0, s"cartesian in PMI plan:\n$p")
   }
 
-  test("q193 classifier is zero-shuffle: the only exchange is the published sort") {
+  test("q193 classifier: one map-side-combined doc exchange, no weight join") {
+    // r16: scoring moved from interpreted per-doc aggregate() folds to a
+    // codegen'd explode + groupBy(doc) — the plan's ONE data exchange
+    // carries |docs| partially-aggregated rows (plus the published sort);
+    // the closed-form weights still never join or broadcast.
     val p = formatted("q193_linear_classifier")
     val exchanges = "Exchange".r.findAllIn(p).length
-    assert(exchanges <= 1, s"classifier plan grew a data exchange:\n$p")
+    assert(exchanges <= 2, s"classifier plan grew a data exchange:\n$p")
+    assert(p.contains("partial_sum"),
+      s"classifier lost its map-side combine:\n$p")
     assert(!p.contains("Join"), s"classifier plan grew a weight join:\n$p")
   }
 
