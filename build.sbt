@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's one-line JSON out of the LAST 2000 bytes
+// of stdout. With sbt's default LoggedOutput strategy every forked-process
+// line is re-emitted under an "[info] " prefix, so the JSON line never
+// starts with '{' and the driver has recorded "parsed": null every round
+// (BENCH_r01..r16 all carry the complete, valid line — prefixed). Inherit
+// stdout directly so graft.Bench's println lands bare on the console.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -45,6 +45,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // ObjectHashAggregate (TypedImperativeAggregate paths: TopKAgg,
+      // PairCountAgg, HistogramAgg, collect_*) abandons hashing and
+      // SORTS the whole input once a task sees >128 distinct groups —
+      // a 2006-era default far below any real keyspace. 64k groups of
+      // small buffers is a few MB per task at any scale; the knob is
+      // group COUNT, not data volume, so the same value is right on a
+      // cluster (it mirrors what HashAggregate already does for
+      // primitive buffers). Overridable for A/B via env.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "65536"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
