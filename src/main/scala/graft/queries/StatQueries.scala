@@ -208,29 +208,24 @@ object StatQueries {
 
     // Item-item co-occurrence top-k (the recsys/association primitive):
     // part pairs exploded WITHIN each order (bounded quadratic per
-    // order ≈ linear overall), pair counts in one shuffle, then the
-    // native bounded-heap top-k aggregate picks each item's 3 strongest
-    // neighbors — no window sort over the full pair table. Ties break
-    // toward the smaller neighbor id (the heap's deterministic order).
+    // order ≈ linear overall), then pair counting AND the per-item
+    // top-3 heap fused into ONE aggregate keyed on `a`
+    // (PairCountSelect, r17): the former groupBy(a,b).count →
+    // groupBy(a).topK two-step paid a second exchange + a second pass
+    // over the counted pair table for the same per-a neighbor-count
+    // map the fused buffer holds. Selection order is the heap's
+    // deterministic (n DESC, b ASC) — identical rows.
     "q186_cooccurrence_topk" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+      li.select(col("l_orderkey"), col("l_partkey").as("a"))
         .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
           Seq("l_orderkey"))
         .filter(col("a") =!= col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n"))
-      // heap value = n with -b as the deterministic tiebreak, encoded
-      // into the double mantissa-safe range: v = n * 2^22 - b
-      pairs
         .groupBy("a")
-        .agg(graft.operators.TopKAgg.topK(
-          (col("n") * lit(1 << 22) - col("b")).cast(DoubleType),
-          col("b"), 3).as("top"))
+        .agg(graft.operators.PairCountAgg.pairTopK(col("b"), 3).as("top"))
         .select(col("a"), posexplode(col("top")))
         .select(col("a"), (col("pos") + 1).cast(LongType).as("rank"),
-          col("col.id").as("b"),
-          ((col("col.value") + col("col.id")) / lit(1 << 22))
-            .cast(LongType).as("n"))
+          col("col.b").as("b"), col("col.n").as("n"))
         .orderBy("a", "rank")
     }),
 
@@ -315,12 +310,17 @@ object StatQueries {
       val tot = li.agg(count_distinct(col("l_orderkey")).as("n_orders"))
       val itemN = li.groupBy(col("l_partkey").as("item"))
         .agg(count(lit(1)).as("cnt"))
+      // pair counting + the support filter fused into one exchange on
+      // `a` (PairCountSelect, r17) — the former groupBy(a,b).count paid
+      // a second full pair exchange for counts this buffer already holds
       val pairs = li.select(col("l_orderkey"), col("l_partkey").as("a"))
         .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
           Seq("l_orderkey"))
         .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 3)
+        .groupBy("a")
+        .agg(graft.operators.PairCountAgg.countsAtLeast(col("b"), 3L).as("bs"))
+        .select(col("a"), explode(col("bs")).as("e"))
+        .select(col("a"), col("e.b").as("b"), col("e.n").as("n_ab"))
       pairs
         .join(itemN.select(col("item").as("a"), col("cnt").as("n_a")),
           Seq("a"))
@@ -767,12 +767,16 @@ object StatQueries {
         .agg(count(lit(1)).as("n_parts"))
       val deg = li.groupBy(col("l_partkey").as("item"))
         .agg(count(lit(1)).as("d"))
+      // pair counting + the c >= 2 floor fused into one exchange on `a`
+      // (PairCountSelect, r17; same rationale as q186/q191/q220)
       val pairs = li.select(col("l_orderkey"), col("l_partkey").as("a"))
         .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
           Seq("l_orderkey"))
         .filter(col("a") =!= col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2)
+        .groupBy("a")
+        .agg(graft.operators.PairCountAgg.countsAtLeast(col("b"), 2L).as("bs"))
+        .select(col("a"), explode(col("bs")).as("e"))
+        .select(col("a"), col("e.b").as("b"), col("e.n").as("c"))
       val scored = pairs
         .join(deg.select(col("item").as("a"), col("d").as("da")), Seq("a"))
         .join(deg.select(col("item").as("b"), col("d").as("db")), Seq("b"))
@@ -963,12 +967,16 @@ object StatQueries {
         .select("l_orderkey", "l_partkey").distinct()
       val deg = li.groupBy(col("l_partkey").as("item"))
         .agg(count(lit(1)).as("d"))
+      // pair counting + the c >= 2 floor fused into one exchange on `a`
+      // (PairCountSelect, r17; same rationale as q186/q191)
       val pairs = li.select(col("l_orderkey"), col("l_partkey").as("a"))
         .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
           Seq("l_orderkey"))
         .filter(col("a") =!= col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2)
+        .groupBy("a")
+        .agg(graft.operators.PairCountAgg.countsAtLeast(col("b"), 2L).as("bs"))
+        .select(col("a"), explode(col("bs")).as("e"))
+        .select(col("a"), col("e.b").as("b"), col("e.n").as("c"))
       val scored = pairs
         .join(deg.select(col("item").as("a"), col("d").as("da")), Seq("a"))
         .join(deg.select(col("item").as("b"), col("d").as("db")), Seq("b"))
