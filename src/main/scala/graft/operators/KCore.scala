@@ -22,13 +22,24 @@ object KCore {
 
   /** Survivors of `rounds` peeling rounds at threshold k over a
     * SYMMETRIC edge list (src, dst) — returns (id, deg) with each
-    * survivor's final-round degree. */
+    * survivor's final-round degree.
+    *
+    * Iteration cadence (r17): each round's |V|-sized degree frame is an
+    * EAGER localCheckpoint — the ConnectedComponents barrier pattern.
+    * The previous lazy persist chain deferred all rounds to the single
+    * final action, whose plan nested every round's InMemoryRelation:
+    * at fixture scale the cost was driver-side planning/scheduling of
+    * that one deep plan (q180's 8c/32c scaling ratio was 0.73 —
+    * serial), not data. The barriers keep every per-round plan shallow
+    * (two joins over a LogicalRDD) and both consumers of `alive` read
+    * materialized rows. Blocks are executor-resident and
+    * ContextCleaner-reclaimed; on a real cluster an executor loss
+    * mid-query recomputes nothing (localCheckpoint is not
+    * fault-tolerant) — acceptable for an intra-query barrier, same
+    * trade as CC documents. */
   def run(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val toRelease = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val ed = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).persist(lvl)
-    toRelease += ed
+      .repartition(col("src")).localCheckpoint(true)
     var alive = ed.select(col("src").as("id")).distinct()
     var deg: DataFrame = null
     for (_ <- 1 to rounds) {
@@ -39,13 +50,10 @@ object KCore {
         .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("deg"))
-      deg = degAll.join(alive, Seq("id"), "left_semi").persist(lvl)
-      toRelease += deg
+      deg = degAll.join(alive, Seq("id"), "left_semi").localCheckpoint(true)
       alive = deg.filter(col("deg") >= k).select("id")
     }
-    val out = deg.filter(col("deg") >= k).localCheckpoint()
-    toRelease.foreach(_.unpersist(false))
-    out
+    deg.filter(col("deg") >= k)
   }
 
   /** DuckDB replay of [[run]]: one (edge-restrict, degree, filter) CTE
