@@ -441,13 +441,18 @@ object InfraQueries {
         col("l_quantity").cast(LongType).cast(StringType).as("quantity"),
         month(col("l_shipdate")).cast(StringType).as("shipmonth"))
       // the unpivoted frame feeds both the run-length window path and
-      // the per-column distinct count — checkpoint so the 4x-unpivot
-      // scan runs once, not per branch (r16)
+      // the per-column distinct count. NOT checkpointed (r17): the r16
+      // barrier materialized a 4x|lineitem| frame in executor storage
+      // for a branch whose map side reduces to ~nothing (the distinct
+      // count partial-aggregates to <= NDV rows per task) — at 8x
+      // lineitem the stress A/B measured checkpoint 25.6 s vs recompute
+      // 8.1 s (CheckpointStress, r17): re-running the scan+Expand twice
+      // is scan-bound and cheap; pinning O(rows) to block storage
+      // spills and evicts. sf0.1 confirmed flat.
       val long = li.unpivot(Array(col("ok"), col("ln")),
         Array(col("returnflag"), col("linestatus"), col("quantity"),
           col("shipmonth")), "colname", "val")
         .withColumn("chunk", expr("ok div 1000"))
-        .localCheckpoint()
       // (ok, ln) is NOT unique in the synthetic lineitem — val joins the
       // order key so tie groups sort identically in both engines and the
       // match count is well-defined

@@ -2478,16 +2478,19 @@ object LlmQueries {
     // 8-gram hits isolate exact-dup phrasing — the same property that
     // made 8 the right decon window in q271.
     "q298_novelty_rollup" -> ((s, dir) => {
-      // the gram frame feeds both the per-gram count and the join-back —
-      // checkpoint so the explode + per-window md5 runs once (r16)
+      // per-gram count as a whole-partition window over `g` instead of a
+      // groupBy(g) + join-back (r17): the same count reaches every gram
+      // row off ONE exchange, the gram frame has a single consumer, and
+      // the r16 localCheckpoint — a corpus-sized (one row per token
+      // window) executor-resident materialization, flagged as a 100 TB
+      // spill risk — is no longer needed at all.
       val grams = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           graft.llm.Surprisal.tokens(col("text")).as("ws"))
         .select(col("doc_id"), col("source"), gram8(col("ws")).as("g"))
-        .localCheckpoint()
       val all = Window.partitionBy()
-      val counts = grams.groupBy("g").agg(count(lit(1)).as("n"))
-      grams.join(counts, Seq("g"))
+      grams
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
         .groupBy("source")
         .agg(countDistinct("doc_id").as("n_docs"),
           count(lit(1)).as("n_windows"),

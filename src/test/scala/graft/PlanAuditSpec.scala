@@ -278,9 +278,16 @@ class PlanAuditSpec extends SparkTestBase {
       s"unexpected cartesian in the LM join:\n$p")
   }
 
-  test("dup-span gram survivors prune via LeftSemi, not inner+distinct (q168)") {
+  test("dup-span gram survivors prune on ONE gram exchange, no join (q168)") {
+    // r17: cross-doc duplication decided by two window functions over a
+    // single gram-keyed exchange (stress-measured faster than both the
+    // checkpoint+LeftSemi r16 shape and recompute+LeftSemi; no
+    // corpus-sized barrier). The pin: no join operator anywhere, and
+    // exactly one gram-hash exchange feeds the window pair.
     val p = formatted("q168_dup_spans")
-    assert(p.contains("LeftSemi"), s"gram survivor join is not a semi join:\n$p")
+    assert(!p.contains("Join"), s"gram survivor pruning grew a join:\n$p")
+    assert("hashpartitioning\\(gram".r.findAllIn(p).length == 1,
+      s"expected exactly one gram exchange:\n$p")
   }
 
   test("zone-map probe broadcasts the surviving zones (q170)") {
