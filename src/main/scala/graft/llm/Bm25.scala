@@ -150,8 +150,7 @@ object Bm25 {
     // doc). probeScores stays separate so the probe PLAN (isin postings
     // prune + stats broadcast) remains assertable (Bm25IndexSpec).
     val byDoc = probeScores(index, queries).localCheckpoint()
-    val terms = queries.flatMap(_._2).distinct
-    def sCol(t: String) = s"s_${terms.indexOf(t)}"
+    def sCol(t: String) = scoreCol(queries, t)
     val perQuery = queries.map { case (qid, qTerms) =>
       byDoc
         .withColumn("score",
@@ -167,12 +166,22 @@ object Bm25 {
         round(col("score"), 6).as("score"))
   }
 
+  /** THE per-term score-column naming, shared by [[probeScores]] (which
+    * writes the columns) and [[topKFromIndex]] (which reads them) — one
+    * derivation so an edit cannot silently mis-map scores to terms
+    * (ADVICE r16: the two sides previously re-derived terms/sCol
+    * independently and lined up only by staying byte-identical). */
+  private def queryTerms(queries: Seq[(Int, Seq[String])]): Seq[String] =
+    queries.flatMap(_._2).distinct
+  private def scoreCol(queries: Seq[(Int, Seq[String])], t: String): String =
+    s"s_${queryTerms(queries).indexOf(t)}"
+
   /** The lazy probe plan: term-pruned postings scored and folded to one
     * row per matching doc with a column per query term. Exposed for
     * plan audits; [[topKFromIndex]] checkpoints it once. */
   private[graft] def probeScores(index: DataFrame,
       queries: Seq[(Int, Seq[String])]): DataFrame = {
-    val terms = queries.flatMap(_._2).distinct
+    val terms = queryTerms(queries)
     val dec = DecimalType(38, 0)
     val postings = index.filter(col("term").isin(terms: _*))
     val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
@@ -189,9 +198,8 @@ object Bm25 {
             lit(9).cast(dec) * col("dl").cast(dec) * n.cast(dec))
         num.cast(DoubleType) / den.cast(DoubleType)
       })
-    def sCol(t: String) = s"s_${terms.indexOf(t)}"
     val perTerm = terms.map(t =>
-      sum(when(col("term") === t, col("score"))).as(sCol(t)))
+      sum(when(col("term") === t, col("score"))).as(scoreCol(queries, t)))
     scoredRows.groupBy("doc_id").agg(perTerm.head, perTerm.tail: _*)
   }
 }

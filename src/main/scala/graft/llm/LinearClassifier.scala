@@ -59,7 +59,11 @@ object LinearClassifier {
     * also the right trade at 100 TB (the fold was interpreted there
     * too; the per-doc row shuffle is noise next to the text scan).
     * explode_outer keeps zero-token documents (they score 0 for every
-    * class and predict class 0, exactly as the empty fold did). */
+    * class and predict class 0, exactly as the empty fold did for
+    * empty-ARRAY docs; a NULL text differs — the old fold published
+    * n_tokens=-1 with null scores via size(null), this shape publishes
+    * n_tokens=0 and zero scores. The generator never emits null text
+    * and the oracle encodes the new rule; noted per ADVICE r16). */
   def classify(docs: DataFrame, idCol: String, textCol: String,
       classes: Int, buckets: Int): DataFrame = {
     val ss = seeds(classes)

@@ -21,12 +21,18 @@ object TextStats {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Mean token length (exact rational: int sums → one double division). */
-  def meanTokenLen(text: Column): Column = {
-    val toks = split(text, "\\s+")
-    aggregate(transform(toks, t => length(t)), lit(0),
-      (acc, x) => acc + x).cast(DoubleType) / size(toks)
-  }
+  /** Mean token length (exact rational: int sums → one double division).
+    *
+    * The token-length sum is `length(text minus all \s runs)`: split on
+    * `\s+` concatenates back to exactly the non-whitespace characters
+    * (a leading empty token contributes 0 to both forms), so one
+    * codegen'd regexp_replace replaces the interpreted
+    * aggregate(transform(...)) fold over the token array (HOFs are
+    * CodegenFallback — the q193/r16 lesson applied down the sub-second
+    * band, r17). Identical integers, identical division. */
+  def meanTokenLen(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast(DoubleType) /
+      size(split(text, "\\s+"))
 
   /** Stopword ratio against a fixed lexicon. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {

@@ -37,6 +37,14 @@ object TriangleCount {
     // re-executes per branch (measured: 72 parquet scans in q153's
     // un-barriered plan). Both frames are |E|-bounded — checkpoint once,
     // every branch reads the materialized rows (r16; guide §2.4).
+    // localCheckpoint caveats (ADVICE r16, applies to every barrier in
+    // this repo): blocks are executor-local and NON-replicated — an
+    // executor loss mid-query fails the job instead of recomputing
+    // (acceptable for an intra-query barrier; a cluster deployment that
+    // cannot retry the query should use reliable checkpoint dirs) — and
+    // they are reclaimed by the ContextCleaner when the frame is GC'd,
+    // not unpersisted eagerly (unpersisting a checkpoint before its
+    // consumers run would LOSE the data: there is no lineage left).
     val e = edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
