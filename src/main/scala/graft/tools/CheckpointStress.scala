@@ -152,6 +152,51 @@ object CheckpointStress {
       q298tail(gramsFrame
         .withColumn("n", count(lit(1)).over(Window.partitionBy("g"))))
 
+    // ---- q264 per-gram source-set variants ---------------------------
+    def q264grams: DataFrame = docs
+      .select(col("source"),
+        explode(graft.llm.TextDedup.shingles(col("text"), 3)).as("gs"))
+      .select(col("source"), graft.llm.TextDedup.portableHash(col("gs")).as("g"))
+      .distinct()
+    def q264pairsOf = flatten(transform(col("ss"), (x, i) =>
+      transform(slice(col("ss"), i + lit(2),
+        greatest(size(col("ss")) - i - lit(1), lit(0))),
+        y => struct(x.as("s1"), y.as("s2")))))
+    def q264tail(sizes: DataFrame, inter: DataFrame): DataFrame = {
+      val grid = sizes.select(col("source").as("s1"), col("n").as("n1"))
+        .crossJoin(sizes.select(col("source").as("s2"), col("n").as("n2")))
+        .filter(col("s1") < col("s2"))
+      grid.join(inter, Seq("s1", "s2"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+    }
+    def q264cp: DataFrame = { // the r16 shape: gsets checkpointed, 2 consumers
+      val gsets = q264grams.groupBy("g")
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .localCheckpoint()
+      val sizes = gsets.select(explode(col("ss")).as("source"))
+        .groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = gsets.select(explode(q264pairsOf).as("p"))
+        .select(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
+      q264tail(sizes, inter)
+    }
+    def q264onepass: DataFrame = { // r17: singles+pairs in one generator
+      val gsets = q264grams.groupBy("g")
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+      val singlesOf = transform(col("ss"),
+        x => struct(x.as("s1"), lit(null).cast(StringType).as("s2")))
+      val counts = gsets
+        .select(explode(concat(singlesOf, q264pairsOf)).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      q264tail(
+        counts.filter(col("s2").isNull)
+          .select(col("s1").as("source"), col("cnt").as("n")),
+        counts.filter(col("s2").isNotNull)
+          .select(col("s1"), col("s2"), col("cnt").as("inter")))
+    }
+
     val body: () => DataFrame = variant match {
       case "q168_cp"     => () => q168(withCp = true)
       case "q168_nocp"   => () => q168(withCp = false)
@@ -160,6 +205,8 @@ object CheckpointStress {
       case "q201_nocp"   => () => q201(withCp = false)
       case "q298_join_cp" => () => q298joinCp
       case "q298_win"    => () => q298win
+      case "q264_cp"     => () => q264cp
+      case "q264_onepass" => () => q264onepass
       case other => sys.error(s"unknown variant $other")
     }
     val times = (1 to 2).map { _ =>
